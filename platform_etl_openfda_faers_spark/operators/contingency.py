@@ -1,0 +1,78 @@
+"""Exact 2x2 contingency table + LLR per (drug, reaction) pair.
+
+Reference: ``stage/OpenFdaEtl.scala:110-160`` (W1-W3, A1, F10/F11, P7).  The
+reference computes the three distinct-counts with HLL++
+``approx_count_distinct`` over unordered windows because Spark forbids exact
+``count_distinct`` over a window — so its A/B/C/D carry ~5% rsd error
+(reference quirk #1).
+
+Our engine defaults to EXACT semantics via three group-by aggregates joined
+back (SURVEY §4 recommendation): at 100 TB, windows materialize entire
+partitions per key (every pair row for a hot reaction lands in one task),
+while groupBy does map-side partial aggregation and the joined-back
+aggregates are small enough to broadcast.  ``approx=True`` restores the
+reference's cheaper HLL++ behavior as an opt-in.
+
+Output columns: (drug, reaction, A, B, C, D, uniq_report_ids_by_drug,
+uniq_report_ids_by_reaction, uniq_reports_total, aterm, cterm, acterm, llr).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import stats
+from .filters import finite_metric
+
+
+def contingency_llr(
+    pairs: DataFrame,
+    report_col: str = "safetyreportid",
+    drug_col: str = "chembl_id",
+    reaction_col: str = "reaction_reactionmeddrapt",
+    approx: bool = False,
+) -> DataFrame:
+    """pairs(report, drug, reaction) -> one row per (drug, reaction) + stats."""
+    count = (
+        F.approx_count_distinct(report_col) if approx else F.countDistinct(report_col)
+    )
+
+    # A1 — driver-scalar folding: total N collected once and re-injected as a
+    # literal (the idiomatic alternative to a crossJoin with a 1-row agg);
+    # reference stage/OpenFdaEtl.scala:143,150.
+    total = pairs.select(report_col).distinct().count()
+
+    # A per (drug, reaction): the big aggregate — shuffles once on the pair key
+    # with map-side partial aggregation.
+    a = pairs.groupBy(drug_col, reaction_col).agg(count.alias("A"))
+
+    # Per-drug and per-reaction marginals: output cardinality == #drugs /
+    # #reactions (small) -> broadcast them back onto the pair-level rows.
+    by_drug = pairs.groupBy(drug_col).agg(count.alias("uniq_report_ids_by_drug"))
+    by_reaction = pairs.groupBy(reaction_col).agg(
+        count.alias("uniq_report_ids_by_reaction")
+    )
+
+    df = (
+        a.join(F.broadcast(by_drug), [drug_col])
+        .join(F.broadcast(by_reaction), [reaction_col])
+        .withColumn("C", F.col("uniq_report_ids_by_drug") - F.col("A"))
+        .withColumn("B", F.col("uniq_report_ids_by_reaction") - F.col("A"))
+        .withColumn("uniq_reports_total", F.lit(total))
+        .withColumn(
+            "D",
+            F.col("uniq_reports_total") - F.col("A") - F.col("B") - F.col("C"),
+        )
+    )
+
+    a_, b_, c_, d_ = (F.col(x).cast("double") for x in ("A", "B", "C", "D"))
+    df = (
+        df.withColumn("aterm", stats.aterm(a_, b_))
+        .withColumn("cterm", stats.cterm(c_, d_))
+        .withColumn("acterm", stats.acterm(a_, b_, c_, d_))
+        .withColumn("llr", stats.llr(a_, b_, c_, d_))
+    )
+
+    # P7 — drop NULL/NaN llr (C=0 or B=0 degenerate cells), like the reference.
+    return df.where(finite_metric(F.col("llr")))

@@ -1,0 +1,342 @@
+"""Deduplication operators for training-data pipelines (beyond-reference).
+
+Four families, all expressed as DataFrame compositions (no Python in the hot
+path):
+
+- **exact**: md5-fingerprint hash-groupBy — one shuffle on the digest.
+- **n-gram Jaccard**: token/shingle sets, candidate pairs via an inverted-
+  index self-join (docs sharing a shingle), exact Jaccard on the pair.
+- **MinHash + LSH**: portable 60-bit token hashes -> K permutation mins ->
+  banded bucket keys -> candidates join only within buckets -> verify with
+  true Jaccard.  The classic scale path: candidate generation is linear in
+  corpus size instead of quadratic.
+- **SimHash**: per-token hash bits, weighted majority per bit position ->
+  64-bit signature; near-dups = small Hamming distance, bucketed by 16-bit
+  chunks (two signatures within Hamming<=3 of each other share at least one
+  of 4 chunks exactly).
+
+Determinism: all hash-permutation constants derive from an explicit seed, so
+signatures are stable across runs and partition layouts (and reproducible in
+the DuckDB oracle).
+
+Scale notes: the inverted-index join explodes |doc| x |shingles| rows — at
+100 TB prune hot shingles first (drop shingles appearing in >X% of docs:
+they generate O(n^2) candidate pairs and carry no discriminative signal).
+``prune_df_above`` implements that.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, token_hash64, tokens
+
+# ---------------------------------------------------------------------------
+# Shared deterministic MinHash constants (mirrored into the oracle SQL).
+MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime; (a*h+b) stays < 2^63 for h<2^32
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """(a, b) per hash function; a in [1, 2^30), b in [0, 2^30)."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+        for _ in range(num_hashes)
+    ]
+
+
+def token_hash32(tok):
+    """Portable 32-bit token hash (first 8 hex chars of md5, base 16).
+
+    Small enough that a*h+b never overflows int64 with the params above.
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct normalized text: (fingerprint, n_docs, keep_id)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one (min-id) row per normalized-text fingerprint."""
+    keep = exact_duplicate_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, [id_col], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Token / shingle sets
+
+
+def distinct_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token) — deduped inverted-index rows."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-grams (concat_ws of sliding windows)."""
+    toks = tokens(F.col(text_col))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def prune_df_above(index: DataFrame, key: str, max_doc_freq: int) -> DataFrame:
+    """Drop inverted-index keys whose document frequency exceeds the cap.
+
+    Hot shingles generate O(df^2) candidate pairs; at 100 TB this cap is what
+    keeps the self-join from degenerating.
+    """
+    hot = (
+        index.groupBy(key)
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_doc_freq)
+        .select(key)
+    )
+    return index.join(F.broadcast(hot), [key], "left_anti")
+
+
+def jaccard_pairs(
+    index: DataFrame, id_col: str, key: str = "token", threshold: float = 0.5
+) -> DataFrame:
+    """Exact pairwise Jaccard over an inverted index (id, key).
+
+    Candidates = pairs sharing >=1 key (inverted-index self-join — never an
+    all-pairs cross join); |A∩B| from the join, |A|,|B| from per-doc sizes.
+    Output: (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
+    """
+    sizes = index.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = index.toDF("id_a", key)
+    b = index.toDF("id_b", key)
+    shared = (
+        a.join(b, [key])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.toDF("id_a", "size_a")
+    sz_b = sizes.toDF("id_b", "size_b")
+    return (
+        shared.join(F.broadcast(sz_a), ["id_a"])
+        .join(F.broadcast(sz_b), ["id_b"])
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(
+    index: DataFrame,
+    id_col: str,
+    key: str = "token",
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, mh_0..mh_{K-1}) — min over tokens of (a_k*h32(token)+b_k) mod P.
+
+    One groupBy with K min-aggregates: a single shuffle regardless of K.
+    """
+    params = minhash_params(num_hashes, seed)
+    h = token_hash32(F.col(key))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return index.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Banded-LSH candidate pairs: same md5 bucket in any band.
+
+    Explodes each doc to ``bands`` (band, bucket) rows, self-joins per band
+    bucket — linear candidate generation.
+    """
+    num_hashes = bands * rows_per_band
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{bnd * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for bnd in range(bands)
+        ]
+    )
+    assert num_hashes <= sum(1 for _ in signatures.columns if _.startswith("mh_")), (
+        "signature has fewer hashes than bands*rows_per_band"
+    )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(band_entries).alias("be")
+    ).select(id_col, F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
+    a = buckets.toDF("id_a", "band", "bucket")
+    b = buckets.toDF("id_b", "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup: candidates -> exact-Jaccard verify.
+
+    Output: (id_a, id_b, jaccard) for verified pairs above ``threshold``.
+    """
+    index = distinct_tokens(df, text_col, id_col)
+    if max_doc_freq is not None:
+        index = prune_df_above(index, "token", max_doc_freq)
+    sigs = minhash_signatures(
+        index, id_col, num_hashes=bands * rows_per_band, seed=seed
+    )
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    exact = jaccard_pairs(index, id_col, threshold=threshold)
+    return cands.join(exact, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash(
+    index: DataFrame, id_col: str, key: str = "token", bits: int = 64
+) -> DataFrame:
+    """(id, simhash) — bitwise majority over per-token hashes.
+
+    Token bits come from ``xxhash64`` (JVM fast path).  Implemented as
+    explode-over-bit-positions + conditional sum + bit reassembly: one
+    shuffle on (id, position) then one on id.  For the oracle-checkable
+    variant use ``bits<=32`` with the portable md5 hash via
+    ``simhash_portable``.
+    """
+    h = F.xxhash64(F.col(key))
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    per_bit = index.select(
+        F.col(id_col), h.alias("h"), F.explode(positions).alias("pos")
+    ).withColumn("bit", F.shiftrightunsigned(F.col("h"), F.col("pos")) % 2)
+    votes = per_bit.groupBy(id_col, "pos").agg(
+        (F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1))).alias("vote")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("pos"))).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_portable(
+    index: DataFrame, id_col: str, key: str = "token", bits: int = 16
+) -> DataFrame:
+    """SimHash over the portable md5-based 32-bit token hash (oracle twin)."""
+    assert bits <= 32
+    h = token_hash32(F.col(key))
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    per_bit = index.select(
+        F.col(id_col), h.alias("h"), F.explode(positions).alias("pos")
+    ).withColumn("bit", F.floor(F.col("h") / F.pow(F.lit(2), F.col("pos")).cast("long")) % 2)
+    votes = per_bit.groupBy(id_col, "pos").agg(
+        (F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1))).alias("vote")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0, F.pow(F.lit(2), F.col("pos")).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, chunk-bucketed.
+
+    Signatures within Hamming<=3 share at least one of 4 16-bit chunks
+    (pigeonhole), so candidates join on (chunk_idx, chunk_value) — linear,
+    never all-pairs.  Output: (id_a, id_b, hamming).
+    """
+    index = distinct_tokens(df, text_col, id_col)
+    sigs = simhash(index, id_col, bits=bits)
+    n_chunks = 4
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                (
+                    F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+                    .bitwiseAND(F.lit(mask))
+                ).alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    keyed = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")
+    ).select(id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = keyed.toDF("id_a", "sig_a", "ci", "cv")
+    b = keyed.toDF("id_b", "sig_b", "ci", "cv")
+    return (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (beyond-reference).
+
+- ``brute_force_topk``: exact cosine top-k of a (small, broadcast) query set
+  against the full corpus.  The corpus side streams — no shuffle of the big
+  side; per-row math is JVM-side ``zip_with``/``aggregate``.
+- ``hyperplane_lsh_topk``: random-hyperplane LSH — sign-bit bucket key per
+  vector, candidates join within buckets, exact cosine re-rank.  The scale
+  path: candidate generation is linear; recall tunes with #tables/#bits.
+- ``cosine_near_duplicates``: embedding near-dup pairs above a cosine
+  threshold (LSH-bucketed candidates, exact verify).
+
+Ranking determinism: scores are rounded before ranking and ties break on
+neighbor id, so results are stable across partitionings and replicable by
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot, norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors: (query_id, neighbor_id, score), self excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), score_decimals).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (shared with tests/oracles)."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, dim, n_planes]))
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_key(vec_col, planes: np.ndarray):
+    """Sign-bit bucket id: sum(2^i * (dot(v, plane_i) >= 0))."""
+    key = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec_col, plane_lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        key = key + bit.cast("long")
+    return key
+
+
+def add_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Attach (table, bucket) rows — one row per vector per table."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    v = F.col(vec_col).cast("array<double>")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _bucket_key(v, random_hyperplanes(dim, n_planes, seed + t)).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select("*", F.explode(entries).alias("_e")).select(
+        *df.columns, F.col("_e.table").alias("table"), F.col("_e.bucket").alias("bucket")
+    )
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Approximate top-k: LSH-bucketed candidates, exact cosine re-rank."""
+    dim = len(corpus.select(vec_col).first()[0])
+    cb = add_lsh_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        ),
+        "c_vec",
+        n_planes,
+        n_tables,
+        seed,
+        dim,
+    )
+    qb = add_lsh_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+        ),
+        "q_vec",
+        n_planes,
+        n_tables,
+        seed,
+        dim,
+    )
+    cands = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), score_decimals).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def cosine_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs: (id_a, id_b, score) with score >= threshold."""
+    dim = len(df.select(vec_col).first()[0])
+    b = add_lsh_buckets(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")),
+        "v",
+        n_planes,
+        n_tables,
+        seed,
+        dim,
+    )
+    left = b.toDF("id_a", "v_a", "table", "bucket")
+    right = b.toDF("id_b", "v_b", "table", "bucket")
+    return (
+        left.join(right, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), score_decimals).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )

@@ -1,0 +1,86 @@
+"""End-to-end FAERS pipeline composer (reference: ``ETL.scala`` +
+``stage/OpenFdaEtl.scala:16-55``).
+
+Dataflow (SURVEY §3.2):
+
+    load_chembl_drug_list  ─┐
+    load_fda_reports ──> explode_reports ──> anti_join_blacklist ──> J2
+        ──> contingency_llr (exact A/B/C/D + llr) ──> meddra codes (or stub)
+        ──> persist  ──┬──> writers ("Unfiltered" stage-1 output)
+                       └──> monte_carlo_filter ──> persist ──> writers
+
+Persist placement mirrors the reference (``stage/OpenFdaEtl.scala:43,47``,
+``ETL.scala:27``): stage-1 feeds both the writers and the MC stage, and the
+MC stage scans its input twice (groupBy + join-back), so both are persisted
+MEMORY_AND_DISK.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import EngineConfig
+from ..operators.contingency import contingency_llr
+from ..operators.drugmap import map_to_chembl
+from ..operators.filters import anti_join_blacklist
+from ..operators.flatten import explode_reports
+from ..operators.meddra import add_meddra_codes, stub_meddra_code
+from ..operators.montecarlo import monte_carlo_filter
+from ..sources import readers, writers
+
+
+def open_fda_stage1(
+    spark: SparkSession,
+    reports: DataFrame,
+    drug_list: DataFrame,
+    blacklist: DataFrame,
+    meddra_pt: DataFrame | None = None,
+    meddra_llt: DataFrame | None = None,
+) -> DataFrame:
+    """Stage 1 ("Unfiltered"): pair stats + llr, MedDRA-enriched if given."""
+    pairs = explode_reports(reports)
+    pairs = anti_join_blacklist(pairs, blacklist)
+    pairs = map_to_chembl(pairs, drug_list)
+    stage1 = contingency_llr(pairs)
+    if meddra_pt is not None and meddra_llt is not None:
+        stage1 = add_meddra_codes(stage1, meddra_pt, meddra_llt)
+    else:
+        stage1 = stub_meddra_code(stage1)
+    return stage1
+
+
+def run(spark: SparkSession, config: EngineConfig) -> DataFrame:
+    """Full pipeline from config paths; returns the significant-pairs result."""
+    fda = config.fda
+    reports = readers.load_fda_reports(spark, fda.fda_data)
+    drug_list = readers.load_chembl_drug_list(spark, fda.chembl_drugs)
+    blacklist = readers.load_blacklist(spark, fda.blacklist)
+    meddra_pt = meddra_llt = None
+    if fda.meddra_path:
+        meddra_pt = readers.load_meddra_preferred_terms(
+            spark, f"{fda.meddra_path}/MedAscii/pt.asc"
+        )
+        meddra_llt = readers.load_meddra_low_level_terms(
+            spark, f"{fda.meddra_path}/MedAscii/llt.asc"
+        )
+
+    stage1 = open_fda_stage1(
+        spark, reports, drug_list, blacklist, meddra_pt, meddra_llt
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    result = monte_carlo_filter(
+        stage1,
+        permutations=fda.montecarlo.permutations,
+        percentile=fda.montecarlo.percentile,
+        seed=fda.montecarlo.seed,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    if fda.output_path:
+        writers.write_outputs(
+            stage1, list(fda.outputs), f"{fda.output_path}/agg_by_chembl"
+        )
+        writers.write_outputs(
+            result, list(fda.outputs), f"{fda.output_path}/agg_critval_drug"
+        )
+    return result

@@ -1,0 +1,51 @@
+"""Sinks (reference: ``utils/Writers.scala``).
+
+Fixes reference quirk #3 (SURVEY §2.10): the reference computes a CSV file
+name then ignores it and writes to the bare output root
+(``utils/Writers.scala:15,21``).  Ours honors the path.
+
+Scale notes: ``coalesce(1)`` single-file CSV is kept only as an explicit
+opt-in (the reference itself documents it as "very slow",
+``reference.conf:20-22``); Parquet/JSON write many parts in parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5 — ``utils/Writers.scala:27-31,45-48``."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6 — ``utils/Writers.scala:23-26,41-44`` (many-part JSONL, parallel)."""
+    df.write.mode(mode).json(path)
+
+
+def write_csv_single_file(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7 — ``utils/Writers.scala:14-21``: gzip'd single-file CSV with header.
+
+    Deliberately serializes to one partition; never use in a hot path.
+    """
+    (
+        df.coalesce(1)
+        .write.mode(mode)
+        .option("compression", "gzip")
+        .option("header", True)
+        .csv(path)
+    )
+
+
+def write_outputs(df: DataFrame, formats: list[str], path: str) -> None:
+    """Dispatch like the reference's per-format loop (``ETL.scala:32-45``)."""
+    for fmt in formats:
+        if fmt == "parquet":
+            write_parquet(df, f"{path}/parquet")
+        elif fmt == "json":
+            write_json(df, f"{path}/json")
+        elif fmt == "csv":
+            write_csv_single_file(df, f"{path}/csv")
+        else:
+            raise ValueError(f"unknown output format: {fmt}")

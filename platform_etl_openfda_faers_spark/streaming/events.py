@@ -1,0 +1,99 @@
+"""Structured Streaming over the events table (beyond-reference surface —
+the reference is pure batch; SURVEY §1.1 notes "no streams").
+
+Each transformation is written once as a DataFrame->DataFrame function and
+applied identically to a batch frame or a ``readStream`` frame — Spark's
+unified API makes the batch twin the natural correctness oracle for the
+streaming path (and the DuckDB oracle checks the batch twin).
+
+Scale notes: watermarks bound state (late rows beyond the watermark are
+dropped); the windowed aggregate state is partitioned by (window, key) so it
+scales horizontally.  ``availableNow`` triggers give batch-like runs over a
+growing directory without keeping a cluster hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a parquet directory (schema must be explicit)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Per-(hour, event_type) count + value sum.  Works batch or streaming."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_user_activity(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Sliding-window distinct-user activity (batch or streaming).
+
+    Streaming mode uses ``approx_count_distinct`` (exact distinct over
+    sliding state doesn't exist in streaming); batch mode is exact.
+    """
+    if df.isStreaming:
+        if watermark is not None:
+            df = df.withWatermark("ts", watermark)
+        cnt = F.approx_count_distinct("user_id")
+    else:
+        cnt = F.countDistinct("user_id")
+    return (
+        df.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(cnt.alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_users")
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain the stream into an in-memory table and return it (test helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

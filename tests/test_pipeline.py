@@ -1,0 +1,136 @@
+"""End-to-end FAERS pipeline tests (mirrors the reference's OpenFdaEtlTest
+strategy — SURVEY §5 — plus exact-count invariants the reference can't
+assert because of its approx_count_distinct)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_openfda_faers_spark.operators.contingency import contingency_llr
+from platform_etl_openfda_faers_spark.operators.drugmap import map_to_chembl
+from platform_etl_openfda_faers_spark.operators.filters import anti_join_blacklist
+from platform_etl_openfda_faers_spark.operators.flatten import explode_reports
+from platform_etl_openfda_faers_spark.operators.montecarlo import monte_carlo_filter
+from platform_etl_openfda_faers_spark.plans.pipeline import open_fda_stage1
+from platform_etl_openfda_faers_spark.sources import readers
+
+from .faers_fixtures import write_fixtures
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(tmp_path_factory):
+    return write_fixtures(tmp_path_factory.mktemp("faers"))
+
+
+@pytest.fixture(scope="module")
+def loaded(spark, fixture_paths):
+    reports_path, drugs_path, blacklist_path = fixture_paths
+    reports = readers.load_fda_reports(spark, reports_path)
+    drugs = readers.load_chembl_drug_list(spark, drugs_path)
+    blacklist = readers.load_blacklist(spark, blacklist_path)
+    return reports, drugs, blacklist
+
+
+def test_drug_list_schema_and_explosion(loaded):
+    # reference OpenFdaEtlTest: generateDrugList output schema [chembl_id, drug_name]
+    _, drugs, _ = loaded
+    assert drugs.columns == ["chembl_id", "drug_name"]
+    rows = {(r.chembl_id, r.drug_name) for r in drugs.collect()}
+    assert ("CHEMBL25", "aspirin") in rows
+    assert ("CHEMBL25", "acetylsalicylic acid") in rows
+    assert ("CHEMBL112", "tylenol") in rows
+    assert all(n == n.lower() for _, n in rows)
+
+
+def test_blacklist_anti_join_inverse_property(spark, loaded):
+    # reference OpenFdaEtlTest invariant: re-anti-joining the blacklist
+    # against the filtered output leaves the blacklist unchanged.
+    reports, drugs, blacklist = loaded
+    pairs = explode_reports(reports)
+    filtered = anti_join_blacklist(pairs, blacklist)
+    remaining = blacklist.join(
+        filtered,
+        blacklist["reactions"] == filtered["reaction_reactionmeddrapt"],
+        "left_anti",
+    )
+    assert remaining.count() == blacklist.count()
+    # and the filter actually removed the blacklisted terms present in data
+    bad = filtered.where(
+        F.col("reaction_reactionmeddrapt").isin("drug ineffective", "off label use")
+    )
+    assert bad.count() == 0
+    assert filtered.count() < pairs.count()
+
+
+def test_flatten_filters(spark, loaded):
+    reports, _, _ = loaded
+    pairs = explode_reports(reports)
+    # normalization: everything lowercased, no empties
+    assert pairs.where(F.col("drug_name") != F.lower(F.col("drug_name"))).count() == 0
+    assert pairs.where(F.col("reaction_reactionmeddrapt") == "").count() == 0
+
+
+def test_contingency_exact_counts_match_duckdb(spark, loaded):
+    """A/B/C/D from the groupBy+join formulation == brute-force SQL."""
+    reports, drugs, blacklist = loaded
+    pairs = map_to_chembl(
+        anti_join_blacklist(explode_reports(reports), blacklist), drugs
+    ).select("safetyreportid", "chembl_id", "reaction_reactionmeddrapt")
+    stage1 = contingency_llr(pairs)
+
+    pdf = pairs.toPandas()
+    con = duckdb.connect()
+    con.register("pairs", pdf)
+    oracle = con.sql(
+        """
+        WITH a AS (
+          SELECT chembl_id, reaction_reactionmeddrapt AS reaction,
+                 count(DISTINCT safetyreportid) AS A
+          FROM pairs GROUP BY 1, 2
+        ), d AS (
+          SELECT chembl_id, count(DISTINCT safetyreportid) AS nd FROM pairs GROUP BY 1
+        ), r AS (
+          SELECT reaction_reactionmeddrapt AS reaction,
+                 count(DISTINCT safetyreportid) AS nr FROM pairs GROUP BY 1
+        ), t AS (SELECT count(DISTINCT safetyreportid) AS n FROM pairs)
+        SELECT a.chembl_id, a.reaction, a.A, d.nd - a.A AS C, r.nr - a.A AS B,
+               t.n - a.A - (r.nr - a.A) - (d.nd - a.A) AS D
+        FROM a JOIN d USING (chembl_id) JOIN r USING (reaction) CROSS JOIN t
+        """
+    ).df()
+    got = {
+        (r.chembl_id, r.reaction_reactionmeddrapt): (r.A, r.B, r.C, r.D)
+        for r in stage1.collect()
+    }
+    checked = 0
+    for row in oracle.itertuples():
+        key = (row.chembl_id, row.reaction)
+        if key in got:  # stage1 drops NaN-llr rows (P7), oracle doesn't
+            assert got[key] == (row.A, row.B, row.C, row.D), key
+            checked += 1
+    assert checked > 10
+
+
+def test_llr_nonnegative_and_finite(spark, loaded):
+    reports, drugs, blacklist = loaded
+    stage1 = open_fda_stage1(spark, reports, drugs, blacklist)
+    rows = stage1.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.llr is not None and r.llr == r.llr  # not NaN
+        assert r.A >= 1
+        assert r.A + r.B + r.C + r.D == r.uniq_reports_total
+        assert r.meddraCode == ""
+
+
+def test_monte_carlo_deterministic_and_significant(spark, loaded):
+    reports, drugs, blacklist = loaded
+    stage1 = open_fda_stage1(spark, reports, drugs, blacklist).cache()
+    out1 = monte_carlo_filter(stage1, permutations=50, percentile=0.95, seed=42)
+    out2 = monte_carlo_filter(stage1, permutations=50, percentile=0.95, seed=42)
+    rows1 = sorted((r.chembl_id, r.event, r.llr, r.critval) for r in out1.collect())
+    rows2 = sorted((r.chembl_id, r.event, r.llr, r.critval) for r in out2.collect())
+    assert rows1 == rows2  # seeded => reproducible (fixes reference quirk #2)
+    for _, _, llr, critval in rows1:
+        assert llr > critval > 0
+    assert out1.columns == ["chembl_id", "event", "count", "llr", "critval", "meddraCode"]

@@ -1,0 +1,65 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}}.
+
+Each query is forced to full execution with a noop sink (no driver collect
+skew, no result materialization cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from platform_etl_openfda_faers_spark.plans import benchmarks  # noqa: E402
+from platform_etl_openfda_faers_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        conf={
+            "spark.sql.shuffle.partitions": str(max(int(cpus), 8)),
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths once so per-query numbers measure the plan,
+    # not first-call JIT
+    benchmarks.SPARK_QUERIES["a2_distinct_rows"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in benchmarks.HEADLINE:
+        fn = benchmarks.SPARK_QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline-queries wall time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -93,10 +93,15 @@ def distinct_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) — distinct word n-grams (concat_ws of sliding windows)."""
     toks = tokens(F.col(text_col))
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    # guard: sequence(1, 0) would DESCEND in Spark, so short docs get an
+    # explicit empty array instead
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .where(F.col("shingle") != "")

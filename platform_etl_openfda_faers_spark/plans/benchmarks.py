@@ -1,0 +1,1090 @@
+"""The engine's query inventory over the synthetic star schema, with DuckDB
+oracle twins — the driver-contract backing for ``__spark_entry__.py``.
+
+Every operator from SURVEY §2 is phrased as a named query over the testdata
+tables (region nation customer supplier part orders lineitem events
+documents embeddings); each has an equivalent ANSI-SQL string DuckDB runs on
+the same parquet files.  Cross-engine float discipline:
+
+- **counts / ints**: nothing to do.
+- **big sums**: cast each addend to DECIMAL first (exact, order-independent
+  — a parallel double sum is not), then cast the exact total back to double.
+- **ratios of exact ints/decimals**: emit the raw IEEE division (single op,
+  deterministic) — never ``round()`` it: Spark rounds the shortest decimal
+  string of a double (HALF_UP on ``BigDecimal.valueOf``) while DuckDB rounds
+  the binary value, and they disagree on values like 1.005.
+- **transcendental outputs** (log/cosine): ``round(x, 6)`` — the engines'
+  libm may differ in the last ulp, and for these "generic" reals the
+  probability that an ulp straddles a rounding boundary is negligible.
+- **timestamps**: formatted to strings; **booleans**: cast to int.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS
+from ..functions.vectors import cosine
+from ..operators import dedup, multimodal, similarity
+from ..operators.asof import asof_join
+from ..operators.contingency import contingency_llr
+from ..operators.montecarlo import monte_carlo_filter
+from ..sources.readers import load_table
+from ..streaming.events import sliding_user_activity, tumbling_counts
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+SPARK_QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+# headline queries bench.py times at sf0.1
+HEADLINE = [
+    "q1_pricing_summary",
+    "faers_llr",
+    "faers_significant",
+    "j1_blacklist_anti",
+    "w_distinct_windows",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "emb_cosine_topk",
+    "asof_join_events",
+    "stream_tumbling_counts",
+]
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections (S1-S8, P1-P8)
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship aggregate (TPC-H Q1 shape): scan-pushdown filter + hash agg."""
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(dec2("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(dec2("l_extendedprice")).cast("double") / F.count("*")).alias(
+            "avg_price"
+        ),
+        (F.sum(dec2("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "p5_filter_inlist",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R') AND l_linestatus = 'F' AND l_quantity < 10
+    """,
+)
+def p5_filter_inlist(spark: SparkSession, sf: str) -> DataFrame:
+    """P5 — IN-list + equality conjunction (qualification/suspect filter shape)."""
+    return (
+        load_table(spark, sf, "lineitem")
+        .where(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_linestatus") == "F")
+            & (F.col("l_quantity") < 10)
+        )
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    )
+
+
+@query(
+    "p6_null_guards",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value) AND event_type <> ''
+    GROUP BY event_type
+    """,
+)
+def p6_null_guards(spark: SparkSession, sf: str) -> DataFrame:
+    """P6/P7 — null / NaN / empty-string guards before aggregation."""
+    ev = load_table(spark, sf, "events").where(
+        F.col("value").isNotNull()
+        & ~F.isnan(F.col("value"))
+        & (F.col("event_type") != "")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J7)
+
+
+@query(
+    "j1_blacklist_anti",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+      COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey AND p.p_size >= 48
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def j1_blacklist_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 — broadcast left-anti join against a small blacklist relation."""
+    li = load_table(spark, sf, "lineitem")
+    black = (
+        load_table(spark, sf, "part").where(F.col("p_size") >= 48).select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(black), li["l_partkey"] == black["p_partkey"], "left_anti")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "j2_dimension_join",
+    """
+    SELECT p.p_brand, COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      COUNT(DISTINCT l.l_suppkey) AS n_suppliers
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def j2_dimension_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 — broadcast inner equi-join to a dimension (the drug-map shape)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "j3_left_outer",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders, COUNT(c.c_name) AS n_matched,
+      COUNT(DISTINCT c.c_mktsegment) AS n_segments
+    FROM orders o LEFT JOIN (
+      SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_acctbal > 5000
+    ) c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j3_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """J3/J4 — left-outer enrichment join (MedDRA-code shape)."""
+    orders = load_table(spark, sf, "orders")
+    rich = (
+        load_table(spark, sf, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    return (
+        orders.join(
+            F.broadcast(rich), orders["o_custkey"] == rich["c_custkey"], "left_outer"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count("c_name").alias("n_matched"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@query(
+    "j6_full_outer",
+    """
+    SELECT COALESCE(a.k, b.k) AS custkey,
+      CASE WHEN a.k IS NULL THEN 0 ELSE 1 END AS in_big_spenders,
+      CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS in_building
+    FROM (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 400000) a
+    FULL OUTER JOIN
+      (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING') b
+    ON a.k = b.k
+    """,
+)
+def j6_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """J6 — full-outer key-set merge (the id-union shape from sampling)."""
+    a = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("a_k"))
+        .distinct()
+    )
+    b = (
+        load_table(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("b_k"))
+    )
+    return a.join(b, a["a_k"] == b["b_k"], "full_outer").select(
+        F.coalesce(F.col("a_k"), F.col("b_k")).alias("custkey"),
+        F.when(F.col("a_k").isNull(), 0).otherwise(1).alias("in_big_spenders"),
+        F.when(F.col("b_k").isNull(), 0).otherwise(1).alias("in_building"),
+    )
+
+
+@query(
+    "j7_semi_join",
+    """
+    SELECT l_linestatus, COUNT(*) AS n_rows
+    FROM lineitem l
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+    )
+    GROUP BY l_linestatus
+    """,
+)
+def j7_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J7 — left-semi filter join (sampled-id filtering shape)."""
+    li = load_table(spark, sf, "lineitem")
+    fo = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    return (
+        li.join(fo, li["l_orderkey"] == fo["o_orderkey"], "left_semi")
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1-W3: exact distinct-count over partition) and aggregates (A1-A4)
+
+
+@query(
+    "w_distinct_windows",
+    """
+    SELECT DISTINCT l_partkey, l_suppkey,
+      CAST(COUNT(DISTINCT l_orderkey) OVER (PARTITION BY l_partkey) AS INT) AS n_orders_by_part,
+      CAST(COUNT(DISTINCT l_orderkey) OVER (PARTITION BY l_suppkey) AS INT) AS n_orders_by_supp,
+      CAST(COUNT(DISTINCT l_orderkey) OVER (PARTITION BY l_partkey, l_suppkey) AS INT) AS n_orders_by_pair
+    FROM lineitem WHERE l_partkey <= 500
+    """,
+)
+def w_distinct_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """W1-W3 — EXACT distinct-count over unordered windows.
+
+    The reference is forced into HLL++ ``approx_count_distinct`` here
+    (quirk #1); we use ``size(collect_set())`` for exact window semantics.
+    This materializes each partition's key set per row — fine for bounded
+    partitions; for the 100 TB hot-key case the contingency operator's
+    groupBy+broadcast-join formulation is the scale path (same numbers, no
+    full-partition materialization).
+    """
+    li = load_table(spark, sf, "lineitem").where(F.col("l_partkey") <= 500)
+    by_part = Window.partitionBy("l_partkey")
+    by_supp = Window.partitionBy("l_suppkey")
+    by_pair = Window.partitionBy("l_partkey", "l_suppkey")
+    return li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.size(F.collect_set("l_orderkey").over(by_part)).alias("n_orders_by_part"),
+        F.size(F.collect_set("l_orderkey").over(by_supp)).alias("n_orders_by_supp"),
+        F.size(F.collect_set("l_orderkey").over(by_pair)).alias("n_orders_by_pair"),
+    ).distinct()
+
+
+@query(
+    "a1_distinct_count",
+    """
+    SELECT
+      (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_orders,
+      (SELECT COUNT(*) FROM lineitem) AS n_rows,
+      (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)) AS n_pairs
+    """,
+)
+def a1_distinct_count(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 — global distinct counts (the uniqReports driver scalar)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("n_pairs"),
+    )
+
+
+@query(
+    "a2_distinct_rows",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a2_distinct_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 — full-row distinct."""
+    return load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+@query(
+    "a3_dedup_subset",
+    "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders",
+)
+def a3_dedup_subset(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 — dropDuplicates on a key subset (projected to the key for
+    determinism; the reference's extra columns are arbitrary-row picks)."""
+    return load_table(spark, sf, "orders").dropDuplicates(
+        ["o_orderpriority", "o_orderstatus"]
+    ).select("o_orderpriority", "o_orderstatus")
+
+
+@query(
+    "a4_collect_list",
+    """
+    SELECT l_suppkey,
+      array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers_csv,
+      COUNT(*) AS n
+    FROM lineitem WHERE l_suppkey <= 20 GROUP BY l_suppkey
+    """,
+)
+def a4_collect_list(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 — collect_list vector build (sorted for determinism, serialized to
+    CSV so the value-hash is representation-stable across engines)."""
+    li = load_table(spark, sf, "lineitem").where(F.col("l_suppkey") <= 20)
+    return li.groupBy("l_suppkey").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("linenumbers_csv"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "o1_global_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o1_global_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """O1 + limit — global top-k (TakeOrderedAndProject, no full sort)."""
+    return (
+        load_table(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function suite (F1-F17) and the MedDRA .asc parsing shape (S4)
+
+
+@query(
+    "f_scalar_suite",
+    """
+    SELECT p_partkey,
+      translate(lower(p_name), ' ', '_') AS slug,
+      trim(p_type) AS ptype,
+      coalesce(nullif(p_brand, ''), 'unknown') AS brand_or_unknown,
+      string_split(p_type, ' ')[1] AS type_head,
+      concat_ws('|', p_brand, p_type) AS brand_type,
+      CASE WHEN p_size IN (1, 5, 10) THEN 1 ELSE 0 END AS size_flag,
+      regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants
+    FROM part
+    """,
+)
+def f_scalar_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """F1-F5, F14-F16 + regexp — the normalization-function surface."""
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.translate(F.lower(F.col("p_name")), " ", "_").alias("slug"),
+        F.trim(F.col("p_type")).alias("ptype"),
+        F.coalesce(
+            F.nullif(F.col("p_brand"), F.lit("")), F.lit("unknown")
+        ).alias("brand_or_unknown"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.when(F.col("p_size").isin(1, 5, 10), 1).otherwise(0).alias("size_flag"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("consonants"),
+    )
+
+
+@query(
+    "f_meddra_parse",
+    r"""
+    WITH lines AS (
+      SELECT p_partkey,
+        p_brand || '$$' || p_type || '$' || CAST(p_size AS VARCHAR) || '$' AS line
+      FROM part
+    ), cleaned AS (
+      SELECT p_partkey,
+        regexp_replace(regexp_replace(line, '\$+', ',', 'g'), ',$', '') AS c
+      FROM lines
+    )
+    SELECT p_partkey,
+      string_split(c, ',')[1] AS code,
+      string_split(c, ',')[2] AS name,
+      string_split(c, ',')[3] AS extra
+    FROM cleaned
+    """,
+)
+def f_meddra_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """S4 + F13-F15 — the $-delimited MedDRA .asc parsing shape, on synthetic
+    lines built from part columns (same regexp_replace/split/getItem chain as
+    ``sources.readers.load_meddra_asc``)."""
+    p = load_table(spark, sf, "part")
+    line = F.concat(
+        F.col("p_brand"),
+        F.lit("$$"),
+        F.col("p_type"),
+        F.lit("$"),
+        F.col("p_size").cast("string"),
+        F.lit("$"),
+    )
+    cleaned = F.regexp_replace(F.regexp_replace(line, r"\$+", ","), r",$", "")
+    toks = F.split(cleaned, ",")
+    return p.select(
+        "p_partkey",
+        toks.getItem(0).alias("code"),
+        toks.getItem(1).alias("name"),
+        toks.getItem(2).alias("extra"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FAERS disproportionality on the star schema (the flagship)
+
+_FAERS_PAIRS_SQL = """
+      SELECT DISTINCT l.l_orderkey AS rid, p.p_brand AS drug, n.n_name AS reaction
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+def _faers_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """(report=order, drug=part brand, reaction=supplier nation) pairs."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("l_orderkey").alias("rid"),
+            F.col("p_brand").alias("drug"),
+            F.col("n_name").alias("reaction"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "faers_llr",
+    f"""
+    WITH pairs AS ({_FAERS_PAIRS_SQL}),
+    a AS (
+      SELECT drug, reaction, COUNT(DISTINCT rid) AS n_a
+      FROM pairs GROUP BY drug, reaction
+    ),
+    bd AS (SELECT drug, COUNT(DISTINCT rid) AS nd FROM pairs GROUP BY drug),
+    br AS (SELECT reaction, COUNT(DISTINCT rid) AS nr FROM pairs GROUP BY reaction),
+    t AS (SELECT COUNT(DISTINCT rid) AS n FROM pairs),
+    tab AS (
+      SELECT a.drug, a.reaction, a.n_a,
+        (br.nr - a.n_a) AS n_b, (bd.nd - a.n_a) AS n_c,
+        (t.n - br.nr - bd.nd + a.n_a) AS n_d
+      FROM a JOIN bd USING (drug) JOIN br USING (reaction) CROSS JOIN t
+    )
+    SELECT drug, reaction, n_a, n_b, n_c, n_d,
+      round(
+        n_a * (ln(n_a::DOUBLE) - ln((n_a + n_b)::DOUBLE))
+        + n_c * (ln(n_c::DOUBLE) - ln((n_c + n_d)::DOUBLE))
+        - (n_a + n_c) * (ln((n_a + n_c)::DOUBLE) - ln((n_a + n_b + n_c + n_d)::DOUBLE)),
+        6) AS llr
+    FROM tab WHERE n_c > 0
+    """,
+)
+def faers_llr(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: full FDA-LRT disproportionality (exact contingency + LLR) on
+    star-schema pairs: report=order, drug=part brand, reaction=nation."""
+    pairs = _faers_pairs(spark, sf)
+    stage1 = contingency_llr(
+        pairs, report_col="rid", drug_col="drug", reaction_col="reaction"
+    )
+    return stage1.select(
+        "drug",
+        "reaction",
+        F.col("A").alias("n_a"),
+        F.col("B").alias("n_b"),
+        F.col("C").alias("n_c"),
+        F.col("D").alias("n_d"),
+        F.round(F.col("llr"), 6).alias("llr"),
+    )
+
+
+@query("faers_significant")  # Monte Carlo is stochastic -> rows-only check
+def faers_significant(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage 2: seeded Monte-Carlo critical values + significance filter.
+
+    Not SQL-expressible (multinomial simulation) — the driver records the
+    weaker rows-only check; pytest covers determinism + invariants.
+
+    The natural star-schema pairing is null data (uniform random brand x
+    nation associations — the filter correctly returns nothing), so this
+    query plants a genuine association: for large parts the "reaction" is
+    derived from the brand itself, which the LRT + Monte Carlo filter must
+    recover while rejecting the uniform background.
+    """
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    pairs = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("l_orderkey").alias("rid"),
+            F.col("p_brand").alias("drug"),
+            F.when(
+                F.col("p_size") >= 45, F.concat(F.lit("sz-"), F.col("p_brand"))
+            )
+            .otherwise(F.col("n_name"))
+            .alias("reaction"),
+        )
+        .distinct()
+    )
+    stage1 = contingency_llr(
+        pairs, report_col="rid", drug_col="drug", reaction_col="reaction"
+    )
+    return monte_carlo_filter(
+        stage1,
+        drug_col="drug",
+        reaction_col="reaction",
+        permutations=100,
+        percentile=0.95,
+        seed=42,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family over documents
+
+_NORM_TEXT_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SHINGLES_SQL = f"""
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS token
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents) toks,
+      LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+"""
+
+
+@query(
+    "dedup_exact_groups",
+    f"""
+    SELECT md5({_NORM_TEXT_SQL}) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup — hash-groupBy on the normalized-text fingerprint."""
+    return dedup.exact_duplicate_groups(
+        load_table(spark, sf, "documents"), "text", "doc_id"
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH tok AS ({_SHINGLES_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.inter, sa.s AS size_a, sb.s AS size_b,
+      i.inter::DOUBLE / (sa.s + sb.s - i.inter) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE i.inter::DOUBLE / (sa.s + sb.s - i.inter) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup via inverted-index self-join (exact)."""
+    docs = load_table(spark, sf, "documents")
+    index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
+        "shingle", "token"
+    )
+    return dedup.jaccard_pairs(index, "doc_id", key="token", threshold=0.3)
+
+
+def _minhash_oracle_sql(bands: int = 4, rows_per_band: int = 4, seed: int = 42) -> str:
+    """Generate the DuckDB twin of the MinHash-LSH pipeline (same constants)."""
+    params = dedup.minhash_params(bands * rows_per_band, seed)
+    p = dedup.MINHASH_PRIME
+    h_expr = "('0x' || substr(md5(token), 1, 8))::BIGINT"
+    mins = ",\n      ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS mh_{i}" for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, md5({concat}) AS bucket FROM sig".format(
+            band=bnd,
+            concat=" || ',' || ".join(
+                f"mh_{bnd * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            ),
+        )
+        for bnd in range(bands)
+    )
+    return f"""
+    WITH tok AS ({_SHINGLES_SQL}),
+    h AS (SELECT doc_id, {h_expr} AS h FROM tok),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    bkt AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bkt a JOIN bkt b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b, i.i::DOUBLE / (sa.s + sb.s - i.i) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sz sa ON sa.doc_id = c.id_a
+    JOIN sz sb ON sb.doc_id = c.id_b
+    WHERE i.i::DOUBLE / (sa.s + sb.s - i.i) >= 0.3
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(16)+LSH(4x4) candidates, exact-Jaccard verified at 0.3.
+
+    Every hash constant is shared with the generated oracle SQL, so the
+    whole LSH pipeline — signatures, banding, candidate join, verify — is
+    value-checked against DuckDB, not just row-counted.
+    """
+    docs = load_table(spark, sf, "documents")
+    index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
+        "shingle", "token"
+    )
+    sigs = dedup.minhash_signatures(index, "doc_id", num_hashes=16, seed=42)
+    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    exact = dedup.jaccard_pairs(index, "doc_id", key="token", threshold=0.3)
+    return cands.join(exact, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+@query(
+    "dedup_simhash16",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t AS token
+      FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents)
+      WHERE t <> ''
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM tok),
+    bits AS (
+      SELECT doc_id, i AS pos,
+        CASE WHEN CAST(floor(h / power(2, i)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS v
+      FROM h, LATERAL (SELECT unnest(generate_series(0, 15)) AS i) g
+    ),
+    votes AS (SELECT doc_id, pos, SUM(v) AS vote FROM bits GROUP BY doc_id, pos)
+    SELECT doc_id,
+      CAST(SUM(CASE WHEN vote > 0 THEN CAST(power(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash16(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable 16-bit SimHash signature per document (oracle-checkable
+    variant; the 64-bit xxhash64 path is the Spark-only fast path)."""
+    docs = load_table(spark, sf, "documents")
+    index = dedup.distinct_tokens(docs, "text", "doc_id")
+    return dedup.simhash_portable(index, "doc_id", bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+
+
+@query(
+    "text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+      length(text) AS len_chars,
+      CAST(len(toks) AS INT) AS n_tokens,
+      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_token_len,
+      CAST(len(list_filter(toks, x -> x = 'the')) AS DOUBLE) / len(toks) AS the_ratio,
+      (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS n_punct
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + quality features (length/punct/stopword ratios)."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast(
+                "double"
+            )
+            / F.size(toks)
+        ).alias("mean_token_len"),
+        (
+            F.size(F.filter(toks, lambda x: x == F.lit("the"))).cast("double")
+            / F.size(toks)
+        ).alias("the_ratio"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+        ).alias("n_punct"),
+    )
+
+
+def _langid_sql() -> str:
+    hit_exprs = []
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        hit_exprs.append(
+            f"CAST(len(list_filter(toks, x -> x IN ({words}))) AS INT) AS {lang}_hits"
+        )
+    hits = ",\n      ".join(hit_exprs)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    h AS (SELECT doc_id, {hits} FROM t)
+    SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
+      CASE
+        WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        WHEN es_hits >= fr_hits THEN 'es'
+        ELSE 'fr'
+      END AS lang_pred
+    FROM h
+    """
+
+
+@query("text_langid", _langid_sql())
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic with deterministic argmax."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    hits = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang])))
+        for lang in sorted(STOPWORDS)
+    }
+    de, en, es, fr = hits["de"], hits["en"], hits["es"], hits["fr"]
+    lang_pred = (
+        F.when((de >= en) & (de >= es) & (de >= fr), "de")
+        .when((en >= es) & (en >= fr), "en")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        de.alias("de_hits"),
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        fr.alias("fr_hits"),
+        lang_pred.alias("lang_pred"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fp, length(text) AS len_chars FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 of collapsed text)."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fp"), F.length("text").alias("len_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+
+_COS_SQL = (
+    "round(list_dot_product(q.e, v.e)"
+    " / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e))), 6)"
+)
+
+
+@query(
+    "emb_cosine_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
+    s AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, {_COS_SQL} AS score
+      FROM q, v WHERE v.vec_id <> q.vec_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, score,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) AS INT) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for queries vec_id < 20 (broadcast the
+    query side; corpus streams — the exact-ANN baseline)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5
+    )
+
+
+@query(
+    "emb_near_dup_exact",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT q.vec_id AS id_a, v.vec_id AS id_b, {_COS_SQL} AS score
+    FROM v q JOIN v ON q.vec_id < v.vec_id
+    WHERE {_COS_SQL} >= 0.4
+    """,
+)
+def emb_near_dup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """All-pairs cosine near-dup above 0.4 (exact; the LSH variant below is
+    the linear-time scale path).  Threshold sits in the top ~0.05% of the
+    synthetic corpus's pair-similarity distribution (max ~0.51)."""
+    emb = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.toDF("id_a", "e_a")
+    b = emb.toDF("id_b", "e_b")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("score"),
+        )
+        .where(F.col("score") >= 0.4)
+    )
+
+
+@query("emb_lsh_ann")  # hyperplane projections -> rows-only check
+def emb_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 (bucketed candidates, exact re-rank).
+
+    Recall vs the exact baseline is asserted in pytest; no SQL twin (the
+    plane constants live in NumPy).
+    """
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.hyperplane_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5, n_planes=6, n_tables=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join, streaming twins, multimodal, JSON props
+
+
+@query(
+    "asof_join_events",
+    """
+    SELECT l.event_id, l.user_id,
+      r.event_id AS event_id_right, r.value AS value_right
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase gets the user's latest prior click.
+
+    Implemented with the union+window trick (one shuffle on the key, no
+    range-join explosion); DuckDB's native ASOF JOIN is the oracle.
+    """
+    ev = load_table(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        right_cols=["event_id", "value"],
+        direction="backward",
+    )
+    return joined.select("event_id", "user_id", "event_id_right", "value_right")
+
+
+@query(
+    "stream_tumbling_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type, COUNT(*) AS n_events,
+      CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window event aggregate — the batch twin of the Structured
+    Streaming query (identical code path; streaming equivalence is asserted
+    in pytest)."""
+    ev = load_table(spark, sf, "events")
+    out = tumbling_counts(ev, window="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "stream_sliding_users",
+    """
+    WITH x AS (
+      SELECT make_timestamp(
+          CAST((floor(epoch(ts) / 1800) * 1800 - o.off * 1800) * 1000000 AS BIGINT)
+        ) AS ws, user_id
+      FROM events, (SELECT unnest([0, 1]) AS off) o
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM x GROUP BY 1
+    """,
+)
+def stream_sliding_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window (1h/30m) distinct users — batch twin of the streaming
+    query (exact countDistinct in batch mode)."""
+    ev = load_table(spark, sf, "events")
+    out = sliding_user_activity(ev, window="1 hour", slide="30 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_users",
+    )
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      sha256(text) AS sha_256, 'utf8-text' AS format
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary media column + typed metadata (JVM-side encode/sha2/length)."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.attach_binary(docs, "text", "doc_id")
+    return media.select(
+        "media_id",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.sha256").alias("sha_256"),
+        F.col("meta.format").alias("format"),
+    )
+
+
+@query(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+      CAST(64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192 AS INT) AS width,
+      CAST(64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192 AS INT) AS height,
+      CAST(1 + ('0x' || substr(sha256(text), 5, 2))::INT % 4 AS INT) AS n_channels
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode (deterministic stub) — the oracle
+    recomputes the digest-derived dimensions in SQL, so the Python batch
+    plumbing itself is value-checked."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.attach_binary(docs, "text", "doc_id")
+    decoded = multimodal.decode_media(media, fake=True)
+    return decoded.select("media_id", "width", "height", "n_channels")
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT json_extract_string(props, '$.k') AS k,
+      COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def events_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured JSON prop extraction + aggregate."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").alias("k"), "user_id"
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )

@@ -189,5 +189,14 @@ def load_meddra_low_level_terms(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic star-schema table from a scale-factor directory."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one synthetic star-schema table from a scale-factor directory.
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
+    only reads as a long (``spark.sql.legacy.parquet.nanosAsLong``); we
+    convert to a proper microsecond TimestampType column at the edge.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if "ts" in df.columns and dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -51,7 +51,11 @@ def tumbling_counts(
         df.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # decimal-cast sum: exact, order-independent (a parallel double
+            # sum is nondeterministic in the last ulps) — then back to double
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

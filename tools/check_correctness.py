@@ -1,0 +1,113 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given scale factor, then compares row count, sorted column
+names, and an order-insensitive value hash (floats canonicalized via
+repr of float64, which both engines' doubles round-trip through).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        cells = []
+        for v in tup:
+            if isinstance(v, float):
+                cells.append(repr(v))
+            elif v is None or v != v:
+                cells.append("<null>")
+            else:
+                cells.append(str(v))
+        rows.append("\x1f".join(cells))
+    rows.sort()
+    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from platform_etl_openfda_faers_spark.session import get_spark
+
+    spark = get_spark("check", master="local[8]", conf={"spark.ui.enabled": "false"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            if len(sdf) == 0:
+                print(f"  WARNING: {name} returned 0 rows")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(sdf) != len(ddf):
+            problems.append(f"rows {len(sdf)} vs {len(ddf)}")
+        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, ddf.columns)):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+        if not problems:
+            hs, hd = value_hash(sdf), value_hash(ddf)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                # show a diff sample
+                key = sorted(sdf.columns)[0]
+                try:
+                    m = sdf.sort_values(list(sorted(sdf.columns))).reset_index(drop=True)
+                    d = ddf[sorted(ddf.columns)].sort_values(list(sorted(ddf.columns))).reset_index(drop=True)
+                    neq = (m.astype(str) != d.astype(str)).any(axis=1)
+                    print(m[neq].head(3))
+                    print(d[neq].head(3))
+                except Exception:
+                    pass
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failures.append(name)
+        else:
+            print(f"PASS  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -268,13 +268,13 @@ def simhash(
     positions = F.sequence(F.lit(0), F.lit(bits - 1))
     per_bit = index.select(
         F.col(id_col), h.alias("h"), F.explode(positions).alias("pos")
-    ).withColumn("bit", F.shiftrightunsigned(F.col("h"), F.col("pos")) % 2)
+    ).withColumn("bit", F.expr("shiftrightunsigned(h, pos) % 2"))
     votes = per_bit.groupBy(id_col, "pos").agg(
         (F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1))).alias("vote")
     )
     return votes.groupBy(id_col).agg(
         F.sum(
-            F.when(F.col("vote") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("pos"))).otherwise(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(1L, pos)")).otherwise(
                 F.lit(0).cast("long")
             )
         ).alias("simhash")

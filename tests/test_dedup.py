@@ -1,0 +1,80 @@
+"""Dedup operator tests: exact, Jaccard, MinHash-LSH, SimHash — on
+constructed corpora with known duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_openfda_faers_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick  brown fox jumps over the lazy dog"),  # case/ws dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (4, "completely different text about spark engines"),
+        (5, "completely different text about spark engines"),  # exact dup of 4
+        (6, "an unrelated sentence with unique words entirely"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_duplicate_groups(docs, "text", "doc_id")
+    by_keep = {r.keep_id: r.n_docs for r in groups.collect()}
+    assert by_keep[1] == 2  # doc 2 normalizes to doc 1's fingerprint
+    assert by_keep[4] == 2
+    kept = dedup.dedup_exact(docs, "text", "doc_id")
+    assert {r.doc_id for r in kept.collect()} == {1, 3, 4, 6}
+
+
+def test_jaccard_pairs_exact_values(docs):
+    index = dedup.distinct_tokens(docs, "text", "doc_id")
+    pairs = dedup.jaccard_pairs(index, "doc_id", threshold=0.0)
+    j = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert j[(1, 2)] == 1.0  # token sets identical after normalization
+    # docs 1 and 3 share 7 of 9 distinct tokens (dog vs cat): 7/(8+8-7)
+    assert abs(j[(1, 3)] - 7 / 9) < 1e-12
+    assert (4, 5) in j and j[(4, 5)] == 1.0
+    assert (1, 4) not in j  # no shared tokens -> no candidate row at all
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    got = dedup.minhash_near_duplicates(
+        docs, "text", "doc_id", bands=4, rows_per_band=4, threshold=0.5
+    )
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert (1, 2) in pairs  # identical token sets always collide
+    assert (4, 5) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_signature_stability(spark, docs):
+    index = dedup.distinct_tokens(docs, "text", "doc_id")
+    s1 = dedup.minhash_signatures(index, "doc_id", num_hashes=8, seed=42).collect()
+    s2 = dedup.minhash_signatures(
+        index.repartition(7), "doc_id", num_hashes=8, seed=42
+    ).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+
+def test_simhash_near_duplicates(docs):
+    got = dedup.simhash_near_duplicates(docs, "text", "doc_id", max_hamming=10)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in got.collect()}
+    assert pairs[(1, 2)] == 0  # identical token sets -> identical simhash
+    assert pairs[(4, 5)] == 0
+
+
+def test_prune_df_above(spark):
+    rows = [(i, "hot") for i in range(10)] + [(1, "rare"), (2, "rare2")]
+    index = spark.createDataFrame(rows, ["doc_id", "token"])
+    pruned = dedup.prune_df_above(index, "token", max_doc_freq=5)
+    assert {r.token for r in pruned.collect()} == {"rare", "rare2"}
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "only two"), (2, "a b c d")], ["doc_id", "text"])
+    sh = dedup.word_shingles(df, "text", "doc_id", n=3)
+    got = {(r.doc_id, r.shingle) for r in sh.collect()}
+    assert got == {(2, "a b c"), (2, "b c d")}  # doc 1 too short -> no rows

@@ -1,0 +1,60 @@
+"""Similarity-search tests: exact top-k values, LSH recall vs the exact
+baseline, bucket determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_openfda_faers_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [0.7, 0.7, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (5, [0.95, 0.05, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_ordering(vecs):
+    out = similarity.brute_force_topk(vecs, vecs.where(F.col("vec_id") == 0), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [5, 1, 3]
+    assert rows[0].score > rows[1].score > rows[2].score
+    assert all(r.query_id == 0 for r in rows)
+
+
+def test_lsh_recall_on_testdata(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.hyperplane_lsh_topk(
+        emb, queries, k=5, n_planes=4, n_tables=8
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_lsh_buckets_deterministic(spark, vecs):
+    b1 = similarity.add_lsh_buckets(vecs, "embedding", n_planes=4, n_tables=2, dim=4)
+    b2 = similarity.add_lsh_buckets(
+        vecs.repartition(3), "embedding", n_planes=4, n_tables=2, dim=4
+    )
+    assert sorted(
+        (r.vec_id, r.table, r.bucket) for r in b1.collect()
+    ) == sorted((r.vec_id, r.table, r.bucket) for r in b2.collect())
+
+
+def test_cosine_near_duplicates_symmetric_pairs(vecs):
+    out = similarity.cosine_near_duplicates(
+        vecs, threshold=0.99, n_planes=2, n_tables=4
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (0, 5) in pairs or (1, 5) in pairs  # the tight cluster collides
+    assert all(a < b for a, b in pairs)

@@ -32,15 +32,31 @@ def contingency_llr(
     drug_col: str = "chembl_id",
     reaction_col: str = "reaction_reactionmeddrapt",
     approx: bool = False,
+    cache_input: bool = False,
 ) -> DataFrame:
-    """pairs(report, drug, reaction) -> one row per (drug, reaction) + stats."""
+    """pairs(report, drug, reaction) -> one row per (drug, reaction) + stats.
+
+    The pair table is consumed four times (A1 total count, pair aggregate,
+    two marginals).  ``cache_input=False`` is the measured default: every
+    consumer is a distinct-count, so Catalyst prunes columns and eliminates
+    any upstream ``distinct()`` per consumer — four cheap pruned scans beat
+    materializing the full three-column pair set (2-3x faster at sf0.1).
+    Set ``cache_input=True`` only when the pair lineage is genuinely
+    expensive to recompute (e.g. a raw-JSON flatten with low selectivity)
+    and the pruned-scan shortcut can't apply.
+    """
     count = (
         F.approx_count_distinct(report_col) if approx else F.countDistinct(report_col)
     )
+    if cache_input:
+        from pyspark import StorageLevel
+
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
 
     # A1 — driver-scalar folding: total N collected once and re-injected as a
     # literal (the idiomatic alternative to a crossJoin with a 1-row agg);
-    # reference stage/OpenFdaEtl.scala:143,150.
+    # reference stage/OpenFdaEtl.scala:143,150.  This action also materializes
+    # the persist, so the three aggregates below read the cached pairs.
     total = pairs.select(report_col).distinct().count()
 
     # A per (drug, reaction): the big aggregate — shuffles once on the pair key

@@ -239,6 +239,7 @@ def minhash_near_duplicates(
     index = distinct_tokens(df, text_col, id_col)
     if max_doc_freq is not None:
         index = prune_df_above(index, "token", max_doc_freq)
+    index = index.persist()  # feeds signatures, sizes, and both verify sides
     sigs = minhash_signatures(
         index, id_col, num_hashes=bands * rows_per_band, seed=seed
     )

@@ -147,6 +147,12 @@ def monte_carlo_filter(
 
     Reference: ``stage/MonteCarloSampling.scala:40-57``.
     """
+    from pyspark import StorageLevel
+
+    # stage1 feeds both the per-drug groupBy and the pair-level join-back
+    # (J5) — persist so the (expensive) contingency lineage runs once; the
+    # reference persists here too (ETL.scala:27).
+    stage1 = stage1.persist(StorageLevel.MEMORY_AND_DISK)
     critvals = critical_values(
         stage1, drug_col, reaction_col, permutations, percentile, seed
     )

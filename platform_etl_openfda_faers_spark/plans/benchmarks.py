@@ -670,8 +670,10 @@ def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup via inverted-index self-join (exact)."""
     docs = load_table(spark, sf, "documents")
-    index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
-        "shingle", "token"
+    index = (
+        dedup.word_shingles(docs, "text", "doc_id", n=3)
+        .withColumnRenamed("shingle", "token")
+        .persist()  # scanned 3x: sizes + both self-join sides
     )
     return dedup.jaccard_pairs(index, "doc_id", key="token", threshold=0.3)
 
@@ -727,8 +729,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     value-checked against DuckDB, not just row-counted.
     """
     docs = load_table(spark, sf, "documents")
-    index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
-        "shingle", "token"
+    index = (
+        dedup.word_shingles(docs, "text", "doc_id", n=3)
+        .withColumnRenamed("shingle", "token")
+        .persist()  # scanned 4x: signatures, sizes, both verify sides
     )
     sigs = dedup.minhash_signatures(index, "doc_id", num_hashes=16, seed=42)
     cands = dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)

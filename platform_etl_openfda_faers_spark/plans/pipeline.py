@@ -42,7 +42,9 @@ def open_fda_stage1(
     pairs = explode_reports(reports)
     pairs = anti_join_blacklist(pairs, blacklist)
     pairs = map_to_chembl(pairs, drug_list)
-    stage1 = contingency_llr(pairs)
+    # cache_input=True: this pair lineage is a raw-JSON flatten (explode x2 +
+    # anti-join + synonym join) — recomputing it four times dwarfs the cache.
+    stage1 = contingency_llr(pairs, cache_input=True)
     if meddra_pt is not None and meddra_llt is not None:
         stage1 = add_meddra_codes(stage1, meddra_pt, meddra_llt)
     else:

@@ -239,7 +239,10 @@ def minhash_near_duplicates(
     index = distinct_tokens(df, text_col, id_col)
     if max_doc_freq is not None:
         index = prune_df_above(index, "token", max_doc_freq)
-    index = index.persist()  # feeds signatures, sizes, and both verify sides
+    # NOTE: deliberately NOT persisted.  The index feeds four consumers
+    # (signatures, sizes, both verify sides) but each is a pruned scan that
+    # runs in parallel; measured at sf0.1, materializing the cache serializes
+    # the stages and is ~4x slower than recomputing the cheap lineage.
     sigs = minhash_signatures(
         index, id_col, num_hashes=bands * rows_per_band, seed=seed
     )

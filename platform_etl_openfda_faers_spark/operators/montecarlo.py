@@ -141,18 +141,22 @@ def monte_carlo_filter(
     percentile: float = 0.95,
     seed: int = 42,
     meddra_col: str | None = "meddraCode",
+    cache_stage1: bool = False,
 ) -> DataFrame:
     """Full stage 2: critvals -> broadcast join back (J5) -> P8 filter ->
     final projection [chembl_id, event, count, llr, critval(, meddraCode)].
 
+    ``cache_stage1`` persists the input (the reference does, ETL.scala:27);
+    measured at sf0.1 it's a wash for parquet-backed lineages (two pruned
+    parallel scans ~= one cached pass), so it defaults off and the raw-JSON
+    pipeline opts in where recomputing the flatten genuinely hurts.
+
     Reference: ``stage/MonteCarloSampling.scala:40-57``.
     """
-    from pyspark import StorageLevel
+    if cache_stage1:
+        from pyspark import StorageLevel
 
-    # stage1 feeds both the per-drug groupBy and the pair-level join-back
-    # (J5) — persist so the (expensive) contingency lineage runs once; the
-    # reference persists here too (ETL.scala:27).
-    stage1 = stage1.persist(StorageLevel.MEMORY_AND_DISK)
+        stage1 = stage1.persist(StorageLevel.MEMORY_AND_DISK)
     critvals = critical_values(
         stage1, drug_col, reaction_col, permutations, percentile, seed
     )

@@ -32,8 +32,20 @@ from ..operators import dedup, multimodal, similarity
 from ..operators.asof import asof_join
 from ..operators.contingency import contingency_llr
 from ..operators.montecarlo import monte_carlo_filter
-from ..sources.readers import load_table
+from ..sources.readers import load_table, scale_out
+
+
 from ..streaming.events import sliding_user_activity, tumbling_counts
+
+
+def load_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """documents table, repartitioned for fan-out (tiny file = 1 split)."""
+    return scale_out(load_table(spark, sf, "documents"))
+
+
+def load_emb(spark: SparkSession, sf: str) -> DataFrame:
+    """embeddings table, repartitioned for vector-math fan-out."""
+    return scale_out(load_table(spark, sf, "embeddings"))
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 SPARK_QUERIES: dict[str, QueryFn] = {}
@@ -645,7 +657,7 @@ _SHINGLES_SQL = f"""
 def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup — hash-groupBy on the normalized-text fingerprint."""
     return dedup.exact_duplicate_groups(
-        load_table(spark, sf, "documents"), "text", "doc_id"
+        load_docs(spark, sf), "text", "doc_id"
     )
 
 
@@ -669,11 +681,11 @@ def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup via inverted-index self-join (exact)."""
-    docs = load_table(spark, sf, "documents")
-    index = (
-        dedup.word_shingles(docs, "text", "doc_id", n=3)
-        .withColumnRenamed("shingle", "token")
-        .persist()  # scanned 3x: sizes + both self-join sides
+    docs = load_docs(spark, sf)
+    # not persisted: the 3 consumers (sizes + both self-join sides) are
+    # parallel pruned scans; caching serializes them (4x slower at sf0.1)
+    index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
+        "shingle", "token"
     )
     return dedup.jaccard_pairs(index, "doc_id", key="token", threshold=0.3)
 
@@ -728,11 +740,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     whole LSH pipeline — signatures, banding, candidate join, verify — is
     value-checked against DuckDB, not just row-counted.
     """
-    docs = load_table(spark, sf, "documents")
-    index = (
-        dedup.word_shingles(docs, "text", "doc_id", n=3)
-        .withColumnRenamed("shingle", "token")
-        .persist()  # scanned 4x: signatures, sizes, both verify sides
+    docs = load_docs(spark, sf)
+    # not persisted: see dedup_ngram_jaccard — parallel pruned scans beat a
+    # serializing cache materialization at this scale
+    index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
+        "shingle", "token"
     )
     sigs = dedup.minhash_signatures(index, "doc_id", num_hashes=16, seed=42)
     cands = dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
@@ -765,7 +777,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_simhash16(spark: SparkSession, sf: str) -> DataFrame:
     """Portable 16-bit SimHash signature per document (oracle-checkable
     variant; the 64-bit xxhash64 path is the Spark-only fast path)."""
-    docs = load_table(spark, sf, "documents")
+    docs = load_docs(spark, sf)
     index = dedup.distinct_tokens(docs, "text", "doc_id")
     return dedup.simhash_portable(index, "doc_id", bits=16)
 
@@ -789,7 +801,7 @@ def dedup_simhash16(spark: SparkSession, sf: str) -> DataFrame:
 )
 def text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting + quality features (length/punct/stopword ratios)."""
-    docs = load_table(spark, sf, "documents")
+    docs = load_docs(spark, sf)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     return docs.select(
         "doc_id",
@@ -836,7 +848,7 @@ def _langid_sql() -> str:
 @query("text_langid", _langid_sql())
 def text_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-hit language-ID heuristic with deterministic argmax."""
-    docs = load_table(spark, sf, "documents")
+    docs = load_docs(spark, sf)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     hits = {
         lang: F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang])))
@@ -865,7 +877,7 @@ def text_langid(spark: SparkSession, sf: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic document fingerprint (md5 of collapsed text)."""
-    docs = load_table(spark, sf, "documents")
+    docs = load_docs(spark, sf)
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     return docs.select(
         "doc_id", F.md5(norm).alias("fp"), F.length("text").alias("len_chars")
@@ -903,7 +915,7 @@ _COS_SQL = (
 def emb_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force exact cosine top-5 for queries vec_id < 20 (broadcast the
     query side; corpus streams — the exact-ANN baseline)."""
-    emb = load_table(spark, sf, "embeddings")
+    emb = load_emb(spark, sf)
     return similarity.brute_force_topk(
         emb, emb.where(F.col("vec_id") < 20), k=5
     )
@@ -922,7 +934,7 @@ def emb_near_dup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """All-pairs cosine near-dup above 0.4 (exact; the LSH variant below is
     the linear-time scale path).  Threshold sits in the top ~0.05% of the
     synthetic corpus's pair-similarity distribution (max ~0.51)."""
-    emb = load_table(spark, sf, "embeddings").select(
+    emb = load_emb(spark, sf).select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
     )
     a = emb.toDF("id_a", "e_a")
@@ -945,7 +957,7 @@ def emb_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     Recall vs the exact baseline is asserted in pytest; no SQL twin (the
     plane constants live in NumPy).
     """
-    emb = load_table(spark, sf, "embeddings")
+    emb = load_emb(spark, sf)
     return similarity.hyperplane_lsh_topk(
         emb, emb.where(F.col("vec_id") < 20), k=5, n_planes=6, n_tables=3
     )
@@ -1044,7 +1056,7 @@ def stream_sliding_users(spark: SparkSession, sf: str) -> DataFrame:
 )
 def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Binary media column + typed metadata (JVM-side encode/sha2/length)."""
-    docs = load_table(spark, sf, "documents")
+    docs = load_docs(spark, sf)
     media = multimodal.attach_binary(docs, "text", "doc_id")
     return media.select(
         "media_id",
@@ -1068,7 +1080,7 @@ def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-batched mapInPandas decode (deterministic stub) — the oracle
     recomputes the digest-derived dimensions in SQL, so the Python batch
     plumbing itself is value-checked."""
-    docs = load_table(spark, sf, "documents")
+    docs = load_docs(spark, sf)
     media = multimodal.attach_binary(docs, "text", "doc_id")
     decoded = multimodal.decode_media(media, fake=True)
     return decoded.select("media_id", "width", "height", "n_channels")

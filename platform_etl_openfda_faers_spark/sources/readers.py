@@ -188,6 +188,22 @@ def load_meddra_low_level_terms(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a *narrow* scan so downstream fan-out
+    (explode / UDF) parallelizes.
+
+    Small files scan as a single input split (``maxPartitionBytes``), which
+    serializes every per-row transform that follows — a 32-core local run
+    executes a shingle explode on one core.  Only repartitions when the scan
+    has fewer partitions than the target (cluster-scale inputs with many
+    splits pass through untouched, so this is safe to leave in at 100 TB).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic star-schema table from a scale-factor directory.
 

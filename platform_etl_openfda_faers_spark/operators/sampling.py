@@ -13,8 +13,55 @@ death filter would drop everything); we preserve original fields.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, seed: int = 42, buckets: int = 10_000) -> Column:
+    """Deterministic bucket in [0, buckets) from a key column.
+
+    md5-derived (first 8 hex chars -> long) so the identical expression can
+    run in any engine (the DuckDB oracle replicates it verbatim) and the
+    result is independent of partition layout, task retries, and Spark
+    version — none of which hold for ``df.sample()``'s per-partition RNG.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("#", key.cast("string"), F.lit(str(seed)))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h % buckets
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int = 42,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Reproducible ~``fraction`` sample keyed on ``key_col``.
+
+    The scale-friendly replacement for A5's unseeded ``sample()``
+    (``stage/StratifiedSampling.scala:22-23``): a pure filter — no RNG
+    state, pushes down to the scan, and re-runs select identical rows.
+    Rows with equal keys are kept or dropped together (sample-by-key).
+    """
+    return df.where(hash_bucket(F.col(key_col), seed, buckets) < int(fraction * buckets))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fraction: float,
+    seed: int = 42,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic sample: the bucket is salted with the
+    stratum, so each stratum draws an independent ~``fraction`` subset."""
+    salted = F.concat_ws("|", F.col(stratum_col).cast("string"), F.col(key_col).cast("string"))
+    return df.where(hash_bucket(salted, seed, buckets) < int(fraction * buckets))
 
 
 def stratified_sample_ids(

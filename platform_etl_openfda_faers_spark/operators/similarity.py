@@ -161,6 +161,93 @@ def hyperplane_lsh_topk(
     )
 
 
+def ivf_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroid cells.
+
+    Centroids are tiny (dozens of rows) and broadcast; assignment is a
+    streamed cross join + windowed argmax — the corpus side never shuffles
+    until the per-id rank, which AQE keeps partition-local after the
+    broadcast.  Scores are rounded before ranking (ties break on cell id)
+    so the assignment is bit-stable across engines and partitionings.
+    """
+    scored = df.join(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "cell",
+        F.round(cosine(F.col(vec_col), F.col("centroid")), score_decimals).alias(
+            "cell_score"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cell_score").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= nprobe)
+        .drop("cell_rank", "cell_score")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into centroid
+    cells, probe only the query's ``nprobe`` nearest cells, exact-rerank.
+
+    The scale path next to ``brute_force_topk``: candidate generation is
+    |corpus| x 1 cell + |queries| x nprobe cells instead of |corpus| x
+    |queries|.  Centroids here are the ``n_centroids`` lowest-id corpus
+    vectors — deterministic and oracle-replicable; swap in k-means||
+    centroids in production (the plan shape is identical, recall improves).
+    """
+    cent = corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("centroid"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    c_cells = ivf_cells(c, cent, "neighbor_id", "c_vec", nprobe=1, score_decimals=score_decimals)
+    q_cells = ivf_cells(q, cent, "query_id", "q_vec", nprobe=nprobe, score_decimals=score_decimals)
+    cands = (
+        c_cells.join(F.broadcast(q_cells), ["cell"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), score_decimals).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def cosine_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -28,14 +28,18 @@ from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS
 from ..functions.vectors import cosine
-from ..operators import dedup, multimodal, similarity
+from ..operators import dedup, multimodal, sampling, similarity
 from ..operators.asof import asof_join
 from ..operators.contingency import contingency_llr
 from ..operators.montecarlo import monte_carlo_filter
 from ..sources.readers import load_table, scale_out
 
 
-from ..streaming.events import sliding_user_activity, tumbling_counts
+from ..streaming.events import (
+    session_counts,
+    sliding_user_activity,
+    tumbling_counts,
+)
 
 
 def load_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -61,8 +65,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "emb_cosine_topk",
+    "emb_ivf_topk",
     "asof_join_events",
     "stream_tumbling_counts",
+    "stream_session_windows",
 ]
 
 
@@ -418,6 +424,72 @@ def a4_collect_list(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ).alias("linenumbers_csv"),
         F.count("*").alias("n"),
+    )
+
+
+@query(
+    "a5_hash_sample",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(o_orderkey::VARCHAR || '#42'), 1, 8))::BIGINT
+          % 10000 < 1000
+    """,
+)
+def a5_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 redesigned for scale: deterministic ~10% hash sample (a pure
+    pushed-down filter — reproducible across runs, engines, and partition
+    layouts, unlike the reference's unseeded Bernoulli ``sample()``)."""
+    orders = load_table(spark, sf, "orders")
+    return sampling.hash_sample(orders, "o_orderkey", 0.10, seed=42).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+@query(
+    "a5_stratified_sample",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_sampled,
+      COUNT(DISTINCT o_custkey) AS n_custs
+    FROM orders
+    WHERE ('0x' || substr(md5(o_orderpriority || '|' || o_orderkey::VARCHAR
+          || '#42'), 1, 8))::BIGINT % 10000 < 2000
+    GROUP BY o_orderpriority
+    """,
+)
+def a5_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum deterministic ~20% sample (stratum-salted hash bucket),
+    summarized per stratum — the scale-safe StratifiedSampling shape."""
+    orders = load_table(spark, sf, "orders")
+    sampled = sampling.stratified_hash_sample(
+        orders, "o_orderkey", "o_orderpriority", 0.20, seed=42
+    )
+    return sampled.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_sampled"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+@query(
+    "l1_explode_structs",
+    "SELECT user_id, event_id, event_type, value FROM events WHERE user_id < 100",
+)
+def l1_explode_structs(spark: SparkSession, sf: str) -> DataFrame:
+    """L1 + P1 — explode an array-of-struct column and project nested paths
+    (the FAERS reaction/drug flatten shape).  Built by nesting the flat
+    events into per-user struct arrays, then exploding back: the oracle is
+    the identity projection, so the round-trip is value-checked."""
+    ev = load_table(spark, sf, "events").where(F.col("user_id") < 100)
+    nested = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("event_id", "event_type", "value"))
+        ).alias("events")
+    )
+    return nested.select("user_id", F.explode("events").alias("e")).select(
+        "user_id",
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
     )
 
 
@@ -884,6 +956,34 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "text_bpe_count",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        regexp_extract_all(lower(text), '{_BPE_PATTERN}') AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe,
+      CAST(len(list_distinct(toks)) AS INT) AS n_uniq
+    FROM t
+    """,
+)
+def text_bpe_count(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish regex token counting (letter runs / digit runs / single
+    punctuation) — the tokenizer-budget estimator shape, all JVM-side."""
+    docs = load_docs(spark, sf)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 
@@ -960,6 +1060,64 @@ def emb_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_emb(spark, sf)
     return similarity.hyperplane_lsh_topk(
         emb, emb.where(F.col("vec_id") < 20), k=5, n_planes=6, n_tables=3
+    )
+
+
+_IVF_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@query(
+    "emb_ivf_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 16),
+    q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
+    c_assign AS (
+      SELECT neighbor_id, e, cell FROM (
+        SELECT v.vec_id AS neighbor_id, v.e, cent.cell,
+          row_number() OVER (
+            PARTITION BY v.vec_id
+            ORDER BY {_IVF_COS.format(a="v.e", b="cent.c")} DESC, cent.cell
+          ) AS r
+        FROM v, cent) WHERE r = 1
+    ),
+    q_assign AS (
+      SELECT query_id, e, cell FROM (
+        SELECT q.vec_id AS query_id, q.e, cent.cell,
+          row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_IVF_COS.format(a="q.e", b="cent.c")} DESC, cent.cell
+          ) AS r
+        FROM q, cent) WHERE r <= 4
+    ),
+    s AS (
+      SELECT qa.query_id, ca.neighbor_id,
+        {_IVF_COS.format(a="qa.e", b="ca.e")} AS score
+      FROM q_assign qa JOIN c_assign ca USING (cell)
+      WHERE qa.query_id <> ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) AS INT) AS rank
+      FROM s) WHERE rank <= 5
+    """,
+)
+def emb_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-5: coarse-quantize to centroid cells, probe the 4
+    nearest cells per query, exact cosine re-rank.  Fully deterministic
+    (rounded scores, id tie-breaks) so the oracle replicates it exactly."""
+    emb = load_emb(spark, sf)
+    return similarity.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 20),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
     )
 
 
@@ -1043,6 +1201,37 @@ def stream_sliding_users(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "n_users",
     )
+
+
+@query(
+    "stream_session_windows",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS sid FROM e
+    )
+    SELECT user_id,
+      strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      COUNT(*) AS n_events,
+      CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user session windows (30-min gap) via ``F.session_window`` — the
+    custom-stateful-operator shape; batch twin of the streaming query.  The
+    oracle is the equivalent gaps-and-islands SQL."""
+    ev = load_table(spark, sf, "events")
+    return session_counts(ev, gap="30 minutes")
 
 
 @query(

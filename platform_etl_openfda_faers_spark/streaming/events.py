@@ -90,6 +90,39 @@ def sliding_user_activity(
     )
 
 
+def session_counts(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Per-user session windows (gap-merged), batch or streaming.
+
+    ``F.session_window`` merges an event into the open session while it
+    starts strictly before the previous event's ts+gap; a gap >= ``gap``
+    closes the session.  State is keyed (session, user) so it scales
+    horizontally; the watermark bounds open-session state in streaming.
+    The batch twin is the gaps-and-islands SQL the DuckDB oracle runs.
+    """
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain the stream into an in-memory table and return it (test helper)."""
     q = (

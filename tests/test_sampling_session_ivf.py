@@ -1,0 +1,130 @@
+"""Tests for the deterministic sampling operators, session windows (batch ==
+streaming), and the IVF approximate-nearest-neighbor path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_openfda_faers_spark.operators import sampling, similarity
+from platform_etl_openfda_faers_spark.sources.readers import load_table
+from platform_etl_openfda_faers_spark.streaming import events as ev
+
+
+# ---------------------------------------------------------------------------
+# hash_sample / stratified_hash_sample
+
+
+def test_hash_sample_deterministic_and_layout_independent(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    s1 = sorted(
+        r.o_orderkey
+        for r in sampling.hash_sample(orders, "o_orderkey", 0.1).collect()
+    )
+    s2 = sorted(
+        r.o_orderkey
+        for r in sampling.hash_sample(
+            orders.repartition(7), "o_orderkey", 0.1
+        ).collect()
+    )
+    assert s1 == s2
+    assert len(s1) > 0
+
+
+def test_hash_sample_fraction_close(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.count()
+    kept = sampling.hash_sample(orders, "o_orderkey", 0.2).count()
+    # md5 buckets are ~uniform; allow generous tolerance at tiny SF
+    assert 0.1 * total < kept < 0.3 * total
+
+
+def test_hash_sample_keys_move_together(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    sampled = sampling.hash_sample(li, "l_orderkey", 0.2)
+    # every orderkey is either fully in or fully out
+    per_key = (
+        li.groupBy("l_orderkey").agg(F.count("*").alias("n_all"))
+        .join(
+            sampled.groupBy("l_orderkey").agg(F.count("*").alias("n_kept")),
+            ["l_orderkey"],
+        )
+        .where(F.col("n_all") != F.col("n_kept"))
+    )
+    assert per_key.count() == 0
+
+
+def test_stratified_sample_covers_strata(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    out = sampling.stratified_hash_sample(
+        orders, "o_orderkey", "o_orderpriority", 0.3
+    )
+    n_strata = orders.select("o_orderpriority").distinct().count()
+    got = out.select("o_orderpriority").distinct().count()
+    assert got == n_strata
+
+
+# ---------------------------------------------------------------------------
+# session windows
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_sessions"))
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_session_streaming_equals_batch(spark, events_dir):
+    batch = spark.read.schema(ev.EVENT_SCHEMA).parquet(events_dir)
+    expected = sorted(map(tuple, ev.session_counts(batch).collect()))
+    stream = ev.read_event_stream(spark, events_dir)
+    got_df = ev.run_available_now(ev.session_counts(stream), "sessions_test")
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_session_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 1.0),  # same session (gap 10m < 30m)
+        (1, "2024-01-01 01:00:00", 1.0),  # new session (gap 50m)
+        (2, "2024-01-01 00:00:00", 1.0),  # separate user
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_s", "value"]).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    out = {
+        (r.user_id, r.session_start): r.n_events
+        for r in ev.session_counts(df).collect()
+    }
+    assert out == {
+        (1, "2024-01-01 00:00:00"): 2,
+        (1, "2024-01-01 01:00:00"): 1,
+        (2, "2024-01-01 00:00:00"): 1,
+    }
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+
+
+def test_ivf_recall_on_testdata(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_is_subset_of_bruteforce_scores(spark, sf_dir):
+    """Every IVF hit's score must equal the exact cosine (rerank is exact)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=10**6)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+    ex = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
+    for r in approx.collect():
+        assert ex[(r.query_id, r.neighbor_id)] == r.score

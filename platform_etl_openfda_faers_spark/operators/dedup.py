@@ -109,6 +109,24 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
+def shingle_set_sizes(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, set_size) — per-doc distinct-shingle count, computed row-local
+    (array ops, no explode/shuffle).  Semantically identical to counting the
+    exploded-distinct index but O(|docs|) instead of O(|index|)."""
+    toks = tokens(F.col(text_col))
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    distinct_nonempty = F.array_distinct(F.filter(shingles, lambda s: s != ""))
+    return df.select(F.col(id_col), F.size(distinct_nonempty).alias("set_size"))
+
+
 def prune_df_above(index: DataFrame, key: str, max_doc_freq: int) -> DataFrame:
     """Drop inverted-index keys whose document frequency exceeds the cap.
 
@@ -125,15 +143,26 @@ def prune_df_above(index: DataFrame, key: str, max_doc_freq: int) -> DataFrame:
 
 
 def jaccard_pairs(
-    index: DataFrame, id_col: str, key: str = "token", threshold: float = 0.5
+    index: DataFrame,
+    id_col: str,
+    key: str = "token",
+    threshold: float = 0.5,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over an inverted index (id, key).
 
     Candidates = pairs sharing >=1 key (inverted-index self-join — never an
     all-pairs cross join); |A∩B| from the join, |A|,|B| from per-doc sizes.
     Output: (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
+
+    ``sizes`` (``(id, set_size)``) can be supplied by the caller when the
+    per-doc set size is computable upstream without a shuffle (e.g.
+    ``size(array_distinct(shingles))`` straight off the document row —
+    see ``shingle_set_sizes``); the default derives it from the index with
+    one extra aggregation.
     """
-    sizes = index.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    if sizes is None:
+        sizes = index.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = index.toDF("id_a", key)
     b = index.toDF("id_b", key)
     shared = (

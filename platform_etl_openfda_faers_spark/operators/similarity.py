@@ -228,10 +228,12 @@ def ivf_topk(
     )
     c_cells = ivf_cells(c, cent, "neighbor_id", "c_vec", nprobe=1, score_decimals=score_decimals)
     q_cells = ivf_cells(q, cent, "query_id", "q_vec", nprobe=nprobe, score_decimals=score_decimals)
-    cands = (
-        c_cells.join(F.broadcast(q_cells), ["cell"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    # no pair-dedup needed: each corpus vector lives in exactly one cell
+    # (nprobe=1 on the corpus side), so a (query, neighbor) pair appears at
+    # most once — and skipping dropDuplicates avoids a SortAggregate over
+    # the embedded array columns.
+    cands = c_cells.join(F.broadcast(q_cells), ["cell"]).where(
+        F.col("query_id") != F.col("neighbor_id")
     )
     scored = cands.select(
         "query_id",

@@ -754,12 +754,16 @@ def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup via inverted-index self-join (exact)."""
     docs = load_docs(spark, sf)
-    # not persisted: the 3 consumers (sizes + both self-join sides) are
-    # parallel pruned scans; caching serializes them (4x slower at sf0.1)
+    # not persisted: the consumers are parallel pruned scans; caching
+    # serializes them (4x slower at sf0.1).  Sizes come row-local off the
+    # document (no second index build + shuffle).
     index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
         "shingle", "token"
     )
-    return dedup.jaccard_pairs(index, "doc_id", key="token", threshold=0.3)
+    sizes = dedup.shingle_set_sizes(docs, "text", "doc_id", n=3)
+    return dedup.jaccard_pairs(
+        index, "doc_id", key="token", threshold=0.3, sizes=sizes
+    )
 
 
 def _minhash_oracle_sql(bands: int = 4, rows_per_band: int = 4, seed: int = 42) -> str:
@@ -818,9 +822,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
         "shingle", "token"
     )
+    sizes = dedup.shingle_set_sizes(docs, "text", "doc_id", n=3)
     sigs = dedup.minhash_signatures(index, "doc_id", num_hashes=16, seed=42)
     cands = dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
-    exact = dedup.jaccard_pairs(index, "doc_id", key="token", threshold=0.3)
+    exact = dedup.jaccard_pairs(
+        index, "doc_id", key="token", threshold=0.3, sizes=sizes
+    )
     return cands.join(exact, ["id_a", "id_b"], "inner").select(
         "id_a", "id_b", "jaccard"
     )

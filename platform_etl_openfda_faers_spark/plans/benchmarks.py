@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS
 from ..functions.vectors import cosine
-from ..operators import dedup, multimodal, sampling, similarity
+from ..operators import dedup, multimodal, sampling, similarity, skew
 from ..operators.asof import asof_join
 from ..operators.contingency import contingency_llr
 from ..operators.montecarlo import monte_carlo_filter
@@ -425,6 +425,48 @@ def a4_collect_list(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("linenumbers_csv"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "j_salted_skew",
+    """
+    SELECT p.p_brand, COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def j_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key-resilient salted join (semantics-preserving, so the oracle is
+    the PLAIN join — the salt must be invisible in the result).  The
+    explicit tool for skew beyond AQE's reach (e.g. broadcast-ineligible
+    dimension with one blockbuster key)."""
+    li = load_table(spark, sf, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    joined = skew.salted_join(li, part, on="p_partkey", salt=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@query(
+    "a_salted_distinct",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_distinct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_salted_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-phase salted distinct count — hot-group state splits across
+    (key, value-hash-bucket) shuffle partitions; oracle is the plain
+    COUNT(DISTINCT)."""
+    li = load_table(spark, sf, "lineitem")
+    return skew.salted_count_distinct(li, "l_returnflag", "l_orderkey", salt=8)
 
 
 @query(

@@ -123,6 +123,50 @@ def session_counts(
     )
 
 
+def running_user_totals(df: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (n_events, sum_value).
+
+    The ``applyInPandasWithState`` shape for stateful logic Spark's built-in
+    aggregates can't express (arbitrary per-key state machines).  State is
+    one (long, double) tuple per user — O(|users|) total, partitioned by the
+    grouping key so it scales horizontally.  Each micro-batch emits the
+    updated running totals for the users it touched (update semantics).
+
+    Batch-mode fallback: a plain groupBy with the same output schema (the
+    equivalence of the two is the pytest check).
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    if not df.isStreaming:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain the stream into an in-memory table and return it (test helper)."""
     q = (

@@ -49,3 +49,35 @@ def test_sliding_batch_window_membership(spark, events_dir):
     # each event belongs to exactly two 1h/30m sliding windows
     memberships = batch.select(F.window("ts", "1 hour", "30 minutes")).count()
     assert memberships == 2 * batch.count()
+
+
+def test_stateful_running_totals_converge_to_batch(spark, events_dir):
+    """applyInPandasWithState: after draining all micro-batches, each user's
+    last emitted running total equals the batch aggregate."""
+    batch = spark.read.schema(ev.EVENT_SCHEMA).parquet(events_dir)
+    expected = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in ev.running_user_totals(batch).collect()
+    }
+    stream = ev.read_event_stream(spark, events_dir)
+    out = ev.running_user_totals(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.table("stateful_totals")
+    # update mode appends one row per touched user per micro-batch; the
+    # running count is monotone, so max(n_events) is the final state
+    final = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in updates.orderBy("n_events").collect()
+    }
+    assert final == expected
+    # multiple micro-batches actually happened (maxFilesPerTrigger) or at
+    # least one emission per user
+    assert updates.count() >= len(expected)

@@ -44,6 +44,13 @@ def contingency_llr(
     Set ``cache_input=True`` only when the pair lineage is genuinely
     expensive to recompute (e.g. a raw-JSON flatten with low selectivity)
     and the pruned-scan shortcut can't apply.
+
+    Alternative formulation measured and rejected (for now): distinct the
+    (report, drug, reaction) set first, then derive A as a plain count and
+    the marginals from the distinct set — identical results, equal time at
+    sf0.1; revisit if profiles at larger SF show the pair lineage dominating
+    (the distinct-first shape computes it once per job instead of three
+    times).
     """
     count = (
         F.approx_count_distinct(report_col) if approx else F.countDistinct(report_col)

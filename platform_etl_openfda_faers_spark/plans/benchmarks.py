@@ -360,6 +360,24 @@ def w_distinct_windows(spark: SparkSession, sf: str) -> DataFrame:
     ).distinct()
 
 
+@query("w_approx_distinct")  # HLL++ sketch values differ per engine -> rows-only
+def w_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """W1-W3 with the reference's ORIGINAL approx semantics (HLL++, rsd 5%,
+    ``stage/OpenFdaEtl.scala:120-125``) — the cheap opt-in for when ~5%
+    error on marginals is acceptable; sketches are engine-specific, so the
+    driver records the rows-only check (pytest asserts the approx counts
+    stay within rsd of the exact ones)."""
+    li = load_table(spark, sf, "lineitem").where(F.col("l_partkey") <= 500)
+    by_part = Window.partitionBy("l_partkey")
+    by_pair = Window.partitionBy("l_partkey", "l_suppkey")
+    return li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.approx_count_distinct("l_orderkey").over(by_part).alias("n_orders_by_part"),
+        F.approx_count_distinct("l_orderkey").over(by_pair).alias("n_orders_by_pair"),
+    ).distinct()
+
+
 @query(
     "a1_distinct_count",
     """

@@ -54,3 +54,20 @@ def test_salted_count_distinct_exact(spark, sf_dir):
         skew.salted_count_distinct(li, "l_returnflag", "l_orderkey", salt=4)
     )
     assert got == expected
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """HLL++ approx counts stay within ~3 rsd of exact (default rsd 0.05)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 500)
+    w = Window.partitionBy("l_partkey")
+    both = li.select(
+        "l_partkey",
+        F.approx_count_distinct("l_orderkey").over(w).alias("approx"),
+        F.size(F.collect_set("l_orderkey").over(w)).alias("exact"),
+    ).distinct()
+    bad = both.where(
+        F.abs(F.col("approx") - F.col("exact")) > 0.15 * F.col("exact") + 1
+    )
+    assert bad.count() == 0

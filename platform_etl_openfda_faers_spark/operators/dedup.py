@@ -209,6 +209,55 @@ def minhash_signatures(
     return index.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_local(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, mh_0..mh_{K-1}) computed row-local off the shingle ARRAY.
+
+    Same signatures as ``minhash_signatures`` (identical hash constants and
+    min-over-tokens semantics) but as a map-only stage: no explode, no
+    inverted index, no shuffle — ``array_min(transform(shingles, ...))`` per
+    hash.  The scale path for signature computation: at 100 TB the
+    inverted-index route shuffles |docs| x |shingles| rows; this shuffles
+    nothing.  The index is then only needed for the verify step.
+    """
+    params = minhash_params(num_hashes, seed)
+    toks = tokens(F.col(text_col))
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingles = F.array_distinct(F.filter(shingles, lambda s: s != ""))
+
+    # materialize the md5-derived token hashes ONCE as a column, then take K
+    # cheap arithmetic mins over it — inlining the hash into each min would
+    # recompute |shingles| md5s per hash function (measured 3x slower)
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(shingles, lambda s: token_hash32(s)).alias("_h"),
+    )
+    return hashed.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_h"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME),
+                )
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
@@ -266,15 +315,22 @@ def minhash_near_duplicates(
     Output: (id_a, id_b, jaccard) for verified pairs above ``threshold``.
     """
     index = distinct_tokens(df, text_col, id_col)
+    # NOTE: the index is deliberately NOT persisted — it feeds the verify
+    # sides as parallel pruned scans; measured at sf0.1, materializing the
+    # cache serializes the stages and is ~4x slower than recomputing it.
     if max_doc_freq is not None:
+        # signatures must see the SAME token sets as the verify step, so
+        # with df-pruning on they derive from the pruned index
         index = prune_df_above(index, "token", max_doc_freq)
-    # NOTE: deliberately NOT persisted.  The index feeds four consumers
-    # (signatures, sizes, both verify sides) but each is a pruned scan that
-    # runs in parallel; measured at sf0.1, materializing the cache serializes
-    # the stages and is ~4x slower than recomputing the cheap lineage.
-    sigs = minhash_signatures(
-        index, id_col, num_hashes=bands * rows_per_band, seed=seed
-    )
+        sigs = minhash_signatures(
+            index, id_col, num_hashes=bands * rows_per_band, seed=seed
+        )
+    else:
+        # row-local signatures (1-gram shingles == tokens): map-only, no
+        # explode/shuffle — the scale path for signature computation
+        sigs = minhash_signatures_local(
+            df, text_col, id_col, n=1, num_hashes=bands * rows_per_band, seed=seed
+        )
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     exact = jaccard_pairs(index, id_col, threshold=threshold)
     return cands.join(exact, ["id_a", "id_b"], "inner").select(

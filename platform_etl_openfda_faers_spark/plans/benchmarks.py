@@ -883,7 +883,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         "shingle", "token"
     )
     sizes = dedup.shingle_set_sizes(docs, "text", "doc_id", n=3)
-    sigs = dedup.minhash_signatures(index, "doc_id", num_hashes=16, seed=42)
+    # signatures computed row-local off the shingle array (map-only, zero
+    # shuffles) — the index is only needed for the exact-Jaccard verify
+    sigs = dedup.minhash_signatures_local(
+        docs, "text", "doc_id", n=3, num_hashes=16, seed=42
+    )
     cands = dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
     exact = dedup.jaccard_pairs(
         index, "doc_id", key="token", threshold=0.3, sizes=sizes

@@ -78,3 +78,17 @@ def test_word_shingles_short_doc(spark):
     sh = dedup.word_shingles(df, "text", "doc_id", n=3)
     got = {(r.doc_id, r.shingle) for r in sh.collect()}
     assert got == {(2, "a b c"), (2, "b c d")}  # doc 1 too short -> no rows
+
+
+def test_minhash_local_equals_index_route(spark, sf_dir):
+    """Row-local (map-only) signatures must be bit-identical to the
+    inverted-index route for the same shingle sets."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
+        "shingle", "token"
+    )
+    a = dedup.minhash_signatures(index, "doc_id", num_hashes=8, seed=7)
+    b = dedup.minhash_signatures_local(
+        docs, "text", "doc_id", n=3, num_hashes=8, seed=7
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

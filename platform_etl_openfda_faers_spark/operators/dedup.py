@@ -392,6 +392,52 @@ def simhash_portable(
     )
 
 
+def simhash_local(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16
+) -> DataFrame:
+    """(id, simhash) computed row-local — no explode, no shuffle.
+
+    Same semantics as ``simhash_portable`` (md5-based 32-bit token hash,
+    per-bit ±1 majority vote) but as a map-only stage: hash the distinct
+    token array once, then fold votes per bit position with nested
+    higher-order functions.  The scale path next to the exploded variant
+    (which shuffles |docs| x |tokens| x bits rows).
+    """
+    assert bits <= 32
+    toks = F.array_distinct(
+        F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    )
+    hashed = df.select(
+        F.col(id_col), F.transform(toks, lambda t: token_hash32(t)).alias("_h")
+    )
+
+    def vote(pos):
+        return F.aggregate(
+            F.transform(
+                F.col("_h"),
+                lambda h: F.when(
+                    F.floor(h / F.pow(F.lit(2), pos).cast("long")) % 2 == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    sig = F.aggregate(
+        F.transform(
+            positions,
+            lambda pos: F.when(
+                vote(pos) > 0, F.pow(F.lit(2), pos).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str,

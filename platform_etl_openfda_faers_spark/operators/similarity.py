@@ -68,11 +68,19 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def _bucket_key(vec_col, planes: np.ndarray):
-    """Sign-bit bucket id: sum(2^i * (dot(v, plane_i) >= 0))."""
+    """Sign-bit bucket id: sum(2^i * (round(dot(v, plane_i), 6) >= 0)).
+
+    The projection is rounded before the sign test so bucket assignment is
+    replicable bit-for-bit by the DuckDB oracle (same float-discipline as
+    ranking scores; a flip would need |dot| within an ulp of a 5e-7
+    boundary).
+    """
     key = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         plane_lit = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(vec_col, plane_lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(
+            F.round(dot(vec_col, plane_lit), 6) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
         key = key + bit.cast("long")
     return key
 

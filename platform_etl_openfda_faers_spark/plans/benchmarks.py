@@ -918,11 +918,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_simhash16(spark: SparkSession, sf: str) -> DataFrame:
-    """Portable 16-bit SimHash signature per document (oracle-checkable
-    variant; the 64-bit xxhash64 path is the Spark-only fast path)."""
+    """Portable 16-bit SimHash signature per document, computed row-local
+    (map-only — no explode/shuffle; bit-identical to the exploded
+    ``simhash_portable``, asserted in pytest).  The 64-bit xxhash64 path is
+    the Spark-only fast variant."""
     docs = load_docs(spark, sf)
-    index = dedup.distinct_tokens(docs, "text", "doc_id")
-    return dedup.simhash_portable(index, "doc_id", bits=16)
+    return dedup.simhash_local(docs, "text", "doc_id", bits=16)
 
 
 # ---------------------------------------------------------------------------
@@ -1121,12 +1122,67 @@ def emb_near_dup_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("emb_lsh_ann")  # hyperplane projections -> rows-only check
+def _lsh_oracle_sql(
+    dim: int = 64, n_planes: int = 6, n_tables: int = 3, seed: int = 42
+) -> str:
+    """DuckDB twin of hyperplane_lsh_topk — same plane constants, same
+    rounded-projection sign bits, same exact-cosine re-rank."""
+
+    def bucket_expr(var: str, table: int) -> str:
+        planes = similarity.random_hyperplanes(dim, n_planes, seed + table)
+        bits = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN round(list_dot_product({var}, {lit}), 6) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    def bucket_cte(src: str, var: str) -> str:
+        return "\n      UNION ALL ".join(
+            f"SELECT vec_id, {t} AS tbl, {bucket_expr(var, t)} AS bucket FROM {src}"
+            for t in range(n_tables)
+        )
+
+    cos = (
+        "round(list_dot_product(qv.e, nv.e)"
+        " / (sqrt(list_dot_product(qv.e, qv.e))"
+        " * sqrt(list_dot_product(nv.e, nv.e))), 6)"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
+    cb AS ({bucket_cte("v", "e")}),
+    qb AS ({bucket_cte("q", "e")}),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+      WHERE qb.vec_id <> cb.vec_id
+    ),
+    s AS (
+      SELECT c.query_id, c.neighbor_id, {cos} AS score
+      FROM cand c
+      JOIN v qv ON qv.vec_id = c.query_id
+      JOIN v nv ON nv.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) AS INT) AS rank
+      FROM s) WHERE rank <= 5
+    """
+
+
+@query("emb_lsh_ann", _lsh_oracle_sql())
 def emb_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (bucketed candidates, exact re-rank).
 
-    Recall vs the exact baseline is asserted in pytest; no SQL twin (the
-    plane constants live in NumPy).
+    The plane constants are generated into the oracle SQL (like the MinHash
+    oracle), so the full LSH pipeline — rounded-projection sign buckets,
+    candidate join, re-rank — is value-checked; pytest additionally asserts
+    recall vs the exact baseline.
     """
     emb = load_emb(spark, sf)
     return similarity.hyperplane_lsh_topk(

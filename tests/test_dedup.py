@@ -92,3 +92,11 @@ def test_minhash_local_equals_index_route(spark, sf_dir):
         docs, "text", "doc_id", n=3, num_hashes=8, seed=7
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_simhash_local_equals_exploded(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = dedup.distinct_tokens(docs, "text", "doc_id")
+    a = dedup.simhash_portable(index, "doc_id", bits=16)
+    b = dedup.simhash_local(docs, "text", "doc_id", bits=16)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -81,14 +81,21 @@ FAERS_SCHEMA = T.StructType(
 
 
 def load_fda_reports(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
     """Raw FAERS JSONL -> narrow report projection.
 
     Reference: ``utils/Loaders.scala:34-46`` (S1 + P1): schema-inferred JSON
     read, then ``selectExpr`` pulling nested paths with renames.
+
+    ``mode``: ``PERMISSIVE`` (default — malformed lines become null-field
+    rows, filtered downstream by the P6 null guards, so one bad record never
+    kills a 100 TB ingest), ``DROPMALFORMED``, or ``FAILFAST``.
     """
-    reader = spark.read
+    reader = spark.read.option("mode", mode)
     if schema is not None:
         reader = reader.schema(schema)
     raw = reader.json(path)

@@ -2,6 +2,7 @@
 ConfigurationTest, SURVEY §5)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from platform_etl_openfda_faers_spark.config import (
     FdaConfig,
@@ -56,3 +57,63 @@ def test_config_validation():
     with pytest.raises(ValueError):
         FdaConfig(outputs=("parquet", "xml"))
     assert FdaConfig(outputs=("parquet", "json", "csv")).montecarlo.permutations == 100
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join without an Exchange (the pay-shuffle-once-at-ingest pattern)."""
+    import contextlib
+    import io
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}/warehouse'"
+    )
+    # disable auto-broadcast so the planner actually uses the bucketed
+    # layout (broadcast would bypass it — fine at this size, but the test
+    # proves the at-scale sort-merge path is shuffle-free)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = readers.load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = readers.load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+        )
+        writers.write_bucketed(li, "bucketdb.li_b", "l_orderkey", num_buckets=8)
+        writers.write_bucketed(orders, "bucketdb.ord_b", "l_orderkey", num_buckets=8)
+        joined = spark.table("bucketdb.li_b").join(
+            spark.table("bucketdb.ord_b"), ["l_orderkey"]
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_fda_reader_survives_malformed_lines(spark, tmp_path):
+    """One corrupt line must not kill the ingest: PERMISSIVE yields a
+    null-field row (dropped by the P6 guards); DROPMALFORMED drops it."""
+    p = tmp_path / "reports.jsonl"
+    good = (
+        '{"safetyreportid": "SR1", "serious": "1", "receivedate": "20200101",'
+        ' "primarysource": {"qualification": "1"},'
+        ' "patient": {"reaction": [{"reactionmeddrapt": "headache"}],'
+        ' "drug": [{"medicinalproduct": "aspirin", "drugcharacterization": "1"}]}}'
+    )
+    p.write_text(good + "\n{this is not json\n" + good + "\n")
+    permissive = readers.load_fda_reports(
+        spark, str(p), schema=readers.FAERS_SCHEMA
+    )
+    assert permissive.count() == 3
+    assert permissive.where(F.col("safetyreportid").isNotNull()).count() == 2
+    dropped = readers.load_fda_reports(
+        spark, str(p), schema=readers.FAERS_SCHEMA, mode="DROPMALFORMED"
+    )
+    assert dropped.count() == 2

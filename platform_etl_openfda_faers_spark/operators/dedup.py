@@ -185,6 +185,47 @@ def jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    key: str = "token",
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard for a GIVEN candidate-pair set (id_a, id_b).
+
+    Intersections are computed only for the candidates — pairs ⋈ index(a)
+    ⋈ index(b) on the key — so verify cost is O(|candidates| x set size)
+    instead of O(sum df²) over the whole corpus.  This is the verify half of
+    the LSH scale story: candidate generation is linear, and verification
+    touches only what candidates reference.
+    Output: (id_a, id_b, inter, size_a, size_b, jaccard) — same columns as
+    ``jaccard_pairs``.
+    """
+    if sizes is None:
+        sizes = index.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = index.toDF("id_a", key)
+    b = index.toDF("id_b", key)
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(a, ["id_a"])
+        .join(b, ["id_b", key])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.toDF("id_a", "size_a")
+    sz_b = sizes.toDF("id_b", "size_b")
+    return (
+        inter.join(F.broadcast(sz_a), ["id_a"])
+        .join(F.broadcast(sz_b), ["id_b"])
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
@@ -332,8 +373,8 @@ def minhash_near_duplicates(
             df, text_col, id_col, n=1, num_hashes=bands * rows_per_band, seed=seed
         )
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    exact = jaccard_pairs(index, id_col, threshold=threshold)
-    return cands.join(exact, ["id_a", "id_b"], "inner").select(
+    verified = jaccard_for_pairs(cands, index, id_col)
+    return verified.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
 

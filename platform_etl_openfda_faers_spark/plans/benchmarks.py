@@ -933,15 +933,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
     sizes = dedup.shingle_set_sizes(docs, "text", "doc_id", n=3)
     # signatures computed row-local off the shingle array (map-only, zero
-    # shuffles) — the index is only needed for the exact-Jaccard verify
+    # shuffles); verify touches ONLY candidate pairs, so its cost tracks
+    # |candidates|, not corpus pair volume
     sigs = dedup.minhash_signatures_local(
         docs, "text", "doc_id", n=3, num_hashes=16, seed=42
     )
     cands = dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
-    exact = dedup.jaccard_pairs(
-        index, "doc_id", key="token", threshold=0.3, sizes=sizes
-    )
-    return cands.join(exact, ["id_a", "id_b"], "inner").select(
+    verified = dedup.jaccard_for_pairs(cands, index, "doc_id", sizes=sizes)
+    return verified.where(F.col("jaccard") >= 0.3).select(
         "id_a", "id_b", "jaccard"
     )
 
@@ -1329,6 +1328,89 @@ def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
         direction="backward",
     )
     return joined.select("event_id", "user_id", "event_id_right", "value_right")
+
+
+@query(
+    "asof_forward_events",
+    """
+    SELECT l.event_id, l.user_id,
+      r.event_id AS event_id_right, r.value AS value_right
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def asof_forward_events(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join, FORWARD direction: each purchase gets the user's next
+    click at-or-after it (same union+window single-shuffle plan)."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        right_cols=["event_id", "value"],
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", "event_id_right", "value_right")
+
+
+@query(
+    "w_ranking_suite",
+    """
+    SELECT event_id, user_id,
+      CAST(row_number() OVER w AS INT) AS rn,
+      CAST(rank() OVER w2 AS INT) AS rnk,
+      CAST(dense_rank() OVER w2 AS INT) AS drnk,
+      lag(event_id) OVER w AS prev_event,
+      lead(event_id) OVER w AS next_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w2 AS (PARTITION BY user_id ORDER BY event_type)
+    """,
+)
+def w_ranking_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking/analytic window functions (row_number, rank, dense_rank,
+    lag, lead) — absent from the reference but table stakes for an
+    analytics engine; deterministic order keys throughout."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w2).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+@query(
+    "set_ops_suite",
+    """
+    (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct set semantics) — customers with both an
+    open and a finished order, minus any with an urgent one.  The reference
+    emulates key-set unions with full-outer joins (J6); these are the
+    first-class set operators."""
+    orders = load_table(spark, sf, "orders")
+    open_k = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_k = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return open_k.intersect(done_k).subtract(urgent)
 
 
 @query(

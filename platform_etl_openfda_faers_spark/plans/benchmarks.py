@@ -603,6 +603,39 @@ def l1_explode_structs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "a_rollup_totals",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP hierarchy aggregate (subtotals + grand total) — not in the
+    reference (SURVEY §2.5 'not present') but first-class in this engine;
+    null grouping slots coalesced to 'ALL' for a stable cross-engine key."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("l_linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@query(
     "o1_global_topk",
     """
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders

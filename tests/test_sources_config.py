@@ -117,3 +117,18 @@ def test_fda_reader_survives_malformed_lines(spark, tmp_path):
         spark, str(p), schema=readers.FAERS_SCHEMA, mode="DROPMALFORMED"
     )
     assert dropped.count() == 2
+
+
+def test_write_outputs_roundtrip(spark, sf_dir, tmp_path):
+    """S5/S6/S7 dispatch: parquet and json round-trip the rows; csv lands as
+    one gzip part with header."""
+    df = readers.load_table(spark, sf_dir, "nation")
+    writers.write_outputs(df, ["parquet", "json", "csv"], str(tmp_path / "out"))
+    pq = spark.read.parquet(str(tmp_path / "out" / "parquet"))
+    js = spark.read.json(str(tmp_path / "out" / "json"))
+    assert sorted(map(tuple, pq.select(*df.columns).collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    assert js.count() == df.count()
+    csv_parts = list((tmp_path / "out" / "csv").glob("part-*.csv.gz"))
+    assert len(csv_parts) == 1

@@ -58,6 +58,7 @@ ORACLE_SQL: dict[str, str] = {}
 # headline queries bench.py times at sf0.1
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "faers_llr",
     "faers_significant",
     "j1_blacklist_anti",
@@ -600,6 +601,52 @@ def l1_explode_structs(spark: SparkSession, sf: str) -> DataFrame:
         F.col("e.event_type").alias("event_type"),
         F.col("e.value").alias("value"),
     )
+
+
+@query(
+    "a_pivot_counts",
+    """
+    SELECT user_id,
+      COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+      COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def a_pivot_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (wide conditional aggregation) — explicit value list so the
+    plan is a single hash aggregate (no value-discovery pre-pass) and the
+    output schema is stable; oracle is the FILTER-clause formulation."""
+    ev = load_table(spark, sf, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "view", "purchase", "error")],
+    )
+
+
+@query(
+    "multimodal_frames",
+    """
+    SELECT doc_id AS media_id,
+      unnest(range(0, greatest(octet_length(encode(text)) // 64, 1), 10))
+        AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling shape: every 10th frame index from the payload's
+    deterministic frame count (1 frame / 64 bytes — the codec itself is the
+    stubbed step, the explode plumbing is what's value-checked)."""
+    docs = load_docs(spark, sf)
+    media = multimodal.attach_binary(docs, "text", "doc_id")
+    return multimodal.frame_sample(media, every_n=10)
 
 
 @query(

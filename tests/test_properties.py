@@ -1,0 +1,140 @@
+"""Property-based invariants (hypothesis) for operators whose correctness
+is a *law*, not an example: join salting must be invisible, as-of must equal
+the naive per-row definition, sampling must be a key-deterministic filter,
+the LLR column expression must match independent float math.
+
+Spark-facing properties share the session fixture; hypothesis drives the
+data shapes, not the scale, so each example is a tiny job.
+"""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from platform_etl_openfda_faers_spark.functions import stats
+from platform_etl_openfda_faers_spark.functions.normalize import normalize_term
+from platform_etl_openfda_faers_spark.operators import sampling, skew
+from platform_etl_openfda_faers_spark.operators.asof import asof_join
+
+SPARK_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=4)
+
+
+@SPARK_SETTINGS
+@given(
+    big=st.lists(st.tuples(keys, st.integers(0, 100)), min_size=1, max_size=20),
+    small=st.lists(st.tuples(keys, st.integers(0, 100)), min_size=1, max_size=8),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_invisible(spark, big, small, how):
+    """salted_join(big, small) == plain join, for any multiplicities."""
+    b = spark.createDataFrame(big, ["k", "v"])
+    s = spark.createDataFrame(small, ["k", "w"])
+    plain = sorted(
+        map(tuple, b.join(s, ["k"], how).select("k", "v", "w").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            skew.salted_join(b, s, on="k", how=how, salt=3)
+            .select("k", "v", "w")
+            .collect(),
+        )
+    )
+    assert salted == plain
+
+
+@SPARK_SETTINGS
+@given(
+    left=st.lists(st.tuples(keys, st.integers(0, 30)), min_size=1, max_size=12),
+    right=st.lists(st.tuples(keys, st.integers(0, 30)), min_size=1, max_size=12),
+)
+def test_asof_matches_naive_definition(spark, left, right):
+    """asof backward == max over {r.ts <= l.ts} per key, computed naively."""
+    left = sorted(set(left))  # one left row per (key, ts) — dups are idempotent
+    r_rows = [(k, t, k * 1000 + t) for k, t in sorted(set(right))]
+    l_df = spark.createDataFrame(left, ["user_id", "ts"])
+    r_df = spark.createDataFrame(r_rows, ["user_id", "ts", "payload"])
+    got = {
+        (r.user_id, r.ts): r.payload_right
+        for r in asof_join(
+            l_df, r_df, on="ts", by="user_id", right_cols=["payload"]
+        ).collect()
+    }
+    assert len(got) == len(left)
+    for k, t in left:
+        cands = [(rt, p) for rk, rt, p in r_rows if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[(k, t)] == want, (k, t, cands)
+
+
+@SPARK_SETTINGS
+@given(
+    ks=st.lists(st.integers(0, 1000), min_size=1, max_size=30, unique=True),
+    fraction=st.sampled_from([0.0, 0.2, 0.5, 1.0]),
+)
+def test_hash_sample_is_deterministic_filter(spark, ks, fraction):
+    """Same keys + fraction -> same sample; subset; 1.0 keeps all, 0 none."""
+    df = spark.createDataFrame([(k,) for k in ks], ["k"])
+    s1 = sorted(r.k for r in sampling.hash_sample(df, "k", fraction).collect())
+    s2 = sorted(r.k for r in sampling.hash_sample(df, "k", fraction).collect())
+    assert s1 == s2
+    assert set(s1) <= set(ks)
+    if fraction == 1.0:
+        assert len(s1) == len(ks)
+    if fraction == 0.0:
+        assert s1 == []
+
+
+@SPARK_SETTINGS
+@given(
+    tables=st.lists(
+        st.tuples(
+            st.integers(1, 500),
+            st.integers(0, 500),
+            st.integers(0, 500),
+            st.integers(0, 500),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_llr_expression_matches_float_math(spark, tables):
+    """The codegen'd LLR column == independent Python float formula
+    (A>0, C>0 non-degenerate cells; degenerate cells are P7-filtered)."""
+    tables = [t for t in tables if t[2] > 0] or [(1, 0, 1, 0)]
+    df = spark.createDataFrame(tables, ["a", "b", "c", "d"])
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    got = df.select(
+        "a", "b", "c", "d", stats.llr(a, b, c, d).alias("llr")
+    ).collect()
+    for r in got:
+        aterm = r.a * (math.log(r.a) - math.log(r.a + r.b))
+        cterm = r.c * (math.log(r.c) - math.log(r.c + r.d))
+        ac = r.a + r.c
+        acterm = ac * (math.log(ac) - math.log(r.a + r.b + r.c + r.d))
+        want = aterm + cterm - acterm
+        assert abs(r.llr - want) < 1e-9 * max(1.0, abs(want))
+
+
+@SPARK_SETTINGS
+@given(
+    terms=st.lists(
+        st.text(alphabet="abcXYZ^' \t", min_size=0, max_size=8),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_normalize_term_idempotent(spark, terms):
+    """normalize(normalize(x)) == normalize(x)."""
+    df = spark.createDataFrame([(t,) for t in terms], ["t"])
+    once = df.select(normalize_term(F.col("t")).alias("n"))
+    twice = once.select(normalize_term(F.col("n")).alias("n"))
+    assert [r.n for r in once.collect()] == [r.n for r in twice.collect()]

@@ -496,6 +496,38 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "sql_q6_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+           AS DOUBLE) AS revenue,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_q6_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL front end (TPC-H Q6 shape): identical text runs on a temp
+    view via ``spark.sql`` — same Catalyst plan as the DataFrame API, same
+    pushdown, proving the engine's SQL surface end-to-end."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+               AS DOUBLE) AS revenue,
+          COUNT(*) AS n_rows
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@query(
     "j_salted_skew",
     """
     SELECT p.p_brand, COUNT(*) AS n_rows,

@@ -1,0 +1,67 @@
+"""Range (interval) join — match right rows whose timestamp falls in a
+window around each left row's timestamp (beyond-reference surface; the
+reference has only equi-joins, SURVEY §2.4).
+
+Spark-first implementation: the **time-bin bucketing trick**.  A naive
+``l.ts - tol <= r.ts <= l.ts`` condition on top of an equi-key gives Spark a
+join with a non-equi conjunct; the equi part still hash-partitions, but
+every (key) group degenerates to a per-group nested loop — O(n*m) per key,
+which dies on hot keys at 100 TB.  Instead:
+
+1. pick the bin width = the window span, in integer microseconds;
+2. each RIGHT row maps to exactly one ``(key, bin)``;
+3. each LEFT row's window ``[ts+lower, ts+upper]`` overlaps at most two
+   adjacent bins -> explode left to those bins (constant factor <= 2);
+4. equi-join on ``(key, bin)`` — a plain hash join Catalyst/AQE can
+   partition, broadcast, or skew-split like any other;
+5. re-check the exact range predicate on the survivors.
+
+Each (left, right) match is produced exactly once because the right row
+lives in a single bin.  All arithmetic is integer microseconds
+(``unix_micros``), so bin assignment is exact — no float-boundary drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+) -> DataFrame:
+    """Inner-join rows with ``right_ts in [left_ts + lower_s, left_ts + upper_s]``
+    (bounds in seconds, inclusive) and equal ``key``.
+
+    Returns all left columns plus the right columns (right's key column is
+    dropped; its ts column must be distinctly named).
+    """
+    if upper_s <= lower_s:
+        raise ValueError("upper_s must exceed lower_s")
+    width = int(round((upper_s - lower_s) * 1_000_000))
+    lo_us = int(round(lower_s * 1_000_000))
+    hi_us = int(round(upper_s * 1_000_000))
+
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+
+    # left window spans exactly `width` us -> overlaps at most 2 bins
+    lo_bin = F.expr(f"(unix_micros({left_ts}) + {lo_us}) DIV {width}")
+    hi_bin = F.expr(f"(unix_micros({left_ts}) + {hi_us}) DIV {width}")
+    l = left.withColumn("_bin", F.explode(F.sequence(lo_bin, hi_bin)))
+    r = right.withColumnRenamed(key, "_rkey").withColumn(
+        "_bin", F.expr(f"unix_micros({right_ts}) DIV {width}")
+    )
+
+    joined = l.join(
+        r, (F.col(key) == F.col("_rkey")) & (l["_bin"] == r["_bin"])
+    )
+    return joined.where(
+        (r_us >= l_us + F.lit(lo_us)) & (r_us <= l_us + F.lit(hi_us))
+    ).drop("_bin", "_rkey")

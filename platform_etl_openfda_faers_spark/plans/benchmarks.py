@@ -1663,3 +1663,250 @@ def events_json_props(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Window frames / range joins / grouping sets / percentiles / clusters
+# (beyond-reference analytics surface, round-1 widening)
+
+
+@query(
+    "w_frames_suite",
+    """
+    SELECT event_id, user_id,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+        / COUNT(*) OVER w3 AS moving_avg3,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wr AS DOUBLE) AS last10m_value,
+      COUNT(*) OVER wr AS last10m_n
+    FROM events
+    WINDOW
+      w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w_frames_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Window FRAMES — running total (ROWS UNBOUNDED PRECEDING), 3-row
+    moving average, and a time-RANGE frame (last 10 minutes by event time).
+
+    The range frame orders by integer microseconds (``unix_micros``) so the
+    frame boundary is exact on both engines — no float-epoch drift.  Sums
+    accumulate in DECIMAL inside the frame (order-exact), cast back to
+    double at the edge.  One shuffle on user_id serves all three windows.
+    """
+    ev = load_table(spark, sf, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w3 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec).over(w1).cast("double").alias("running_value"),
+        (F.sum(dec).over(w3).cast("double") / F.count("*").over(w3)).alias(
+            "moving_avg3"
+        ),
+        F.sum(dec).over(wr).cast("double").alias("last10m_value"),
+        F.count("*").over(wr).alias("last10m_n"),
+    )
+
+
+@query(
+    "j_range_join",
+    """
+    WITH err AS (SELECT * FROM events WHERE event_type = 'error'),
+    clk AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT e.event_id, COUNT(c.event_id) AS n_clicks,
+      CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM err e
+    LEFT JOIN clk c
+      ON c.user_id = e.user_id
+     AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 600000000 AND epoch_us(e.ts)
+    GROUP BY e.event_id
+    """,
+)
+def j_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval join via time-bin bucketing: for each error event, the
+    clicks by the same user in the preceding 10 minutes.
+
+    The bin trick (operators/rangejoin.py) turns the range condition into a
+    plain equi-join on (user, time_bin) — hash-partitionable, AQE-skew-
+    splittable — instead of a per-key nested loop; the exact range predicate
+    re-filters survivors.  Left-join semantics are restored by joining the
+    pair aggregate back onto the error side.
+    """
+    from ..operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    pairs = interval_join(
+        err, clk, key="user_id", left_ts="ts", right_ts="c_ts",
+        lower_s=-600.0, upper_s=0.0,
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(F.col("c_value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("click_value"),
+    )
+    return (
+        err.select("event_id")
+        .join(agg, ["event_id"], "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            "click_value",
+        )
+    )
+
+
+@query(
+    "a_cube_grouping",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a_cube_grouping(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (status, priority) with GROUPING() markers — all four
+    grouping sets in one pass (Catalyst expands to a single Expand +
+    hash-aggregate; one shuffle total, not one per grouping set)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@query(
+    "a_percentiles",
+    """
+    SELECT event_type,
+      round(quantile_cont(value, 0.25), 6) AS p25,
+      round(quantile_cont(value, 0.50), 6) AS p50,
+      round(quantile_cont(value, 0.75), 6) AS p75,
+      round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def a_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous percentiles (linear interpolation) per group — one
+    ``percentile(value, array(...))`` aggregate computes all four cut
+    points in a single pass/shuffle.  (``approx_percentile`` is the sketch
+    path for 100 TB; exact is the oracle-checkable default.)"""
+    ev = load_table(spark, sf, "events")
+    pct = F.percentile("value", F.lit([0.25, 0.50, 0.75, 0.95]))
+    return ev.groupBy("event_type").agg(
+        F.round(pct.getItem(0), 6).alias("p25"),
+        F.round(pct.getItem(1), 6).alias("p50"),
+        F.round(pct.getItem(2), 6).alias("p75"),
+        F.round(pct.getItem(3), 6).alias("p95"),
+    )
+
+
+@query(
+    "f_datetime_suite",
+    """
+    SELECT event_id,
+      strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_ts,
+      CAST(extract(hour FROM ts) AS INT) AS hr,
+      CAST(extract(dow FROM ts) AS INT) AS dow,
+      strftime(ts + INTERVAL 7 DAY, '%Y-%m-%d') AS plus7,
+      CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS INT) AS days_since
+    FROM events WHERE event_id < 1000
+    """,
+)
+def f_datetime_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time function coverage (absent from the reference, which never
+    parses ``receivedate``): truncation, field extraction, interval
+    arithmetic, day diffs.  Day-of-week normalized to DuckDB's Sunday=0."""
+    ev = load_table(spark, sf, "events").where(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "day_ts"
+        ),
+        F.hour("ts").alias("hr"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.date_format(
+            F.col("ts") + F.expr("INTERVAL 7 DAYS"), "yyyy-MM-dd"
+        ).alias("plus7"),
+        F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).alias("days_since"),
+    )
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS id_a, v.vec_id AS id_b
+      FROM v q JOIN v ON q.vec_id < v.vec_id
+      WHERE {_COS_SQL} >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS t FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT w.id, e.t FROM walk w JOIN edges e ON e.s = w.reach
+    )
+    SELECT id AS vec_id, MIN(reach) AS component FROM walk GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components (iterative
+    min-label propagation, operators/graph.py) over the embedding
+    near-dup pair graph — pairs in, one component id per node out.  The
+    oracle computes the same fixpoint with a recursive CTE."""
+    from ..operators.graph import connected_components
+
+    emb = load_emb(spark, sf).select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.toDF("id_a", "e_a")
+    b = emb.toDF("id_b", "e_b")
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(F.col("e_a"), F.col("e_b")), 6) >= 0.4)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("id").alias("vec_id"), F.col("comp").alias("component"))

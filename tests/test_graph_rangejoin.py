@@ -1,0 +1,65 @@
+"""Unit tests: connected components (min-label fixpoint) and the binned
+interval join (exact parity with a naive range-condition join)."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from platform_etl_openfda_faers_spark.operators.graph import connected_components
+from platform_etl_openfda_faers_spark.operators.rangejoin import interval_join
+
+
+def test_connected_components_basic(spark):
+    # two chains and an isolated edge: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        ["src", "dst"],
+    )
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 12-node path needs multiple propagation rounds; all must collapse to 0
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["src", "dst"]
+    )
+    comp = connected_components(edges, "src", "dst")
+    assert comp.select(F.collect_set("comp")).first()[0] == [0]
+    assert comp.count() == 12
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, i % 3, base + timedelta(seconds=37 * i)) for i in range(40)],
+        ["l_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(j, j % 3, base + timedelta(seconds=11 * j)) for j in range(120)],
+        ["r_id", "k", "r_ts"],
+    )
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in interval_join(
+            left, right, key="k", left_ts="ts", right_ts="r_ts",
+            lower_s=-100.0, upper_s=50.0,
+        ).collect()
+    }
+    naive = {
+        (r["l_id"], r["r_id"])
+        for r in left.join(
+            right.withColumnRenamed("k", "k2"),
+            (F.col("k") == F.col("k2"))
+            & (F.unix_micros("r_ts") >= F.unix_micros("ts") - 100_000_000)
+            & (F.unix_micros("r_ts") <= F.unix_micros("ts") + 50_000_000),
+        ).collect()
+    }
+    assert got == naive and len(got) > 0

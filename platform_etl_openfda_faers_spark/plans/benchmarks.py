@@ -1910,3 +1910,214 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(F.col("id").alias("vec_id"), F.col("comp").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# Analytic extras / unpivot / string suite / null-safe + subquery joins
+
+
+@query(
+    "w_analytic_extras",
+    """
+    SELECT event_id, user_id,
+      CAST(ntile(4) OVER w AS INT) AS quartile,
+      percent_rank() OVER w AS prank,
+      cume_dist() OVER w AS cdist,
+      first_value(event_id) OVER wf AS first_ev,
+      last_value(event_id) OVER wf AS last_ev,
+      nth_value(event_id, 2) OVER wf AS second_ev
+    FROM events
+    WINDOW
+      w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      wf AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w_analytic_extras(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution + value analytic windows: ntile, percent_rank,
+    cume_dist, first/last/nth_value (whole-partition frame so last/nth are
+    well-defined).  percent_rank/cume_dist are single IEEE divisions of
+    exact ints — deterministic cross-engine, no rounding needed."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("event_id").over(wf).alias("first_ev"),
+        F.last("event_id").over(wf).alias("last_ev"),
+        F.nth_value("event_id", 2).over(wf).alias("second_ev"),
+    )
+
+
+@query(
+    "a_unpivot_measures",
+    """
+    SELECT measure,
+      CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean
+    FROM (UNPIVOT lineitem
+          ON l_quantity, l_extendedprice, l_discount, l_tax
+          INTO NAME measure VALUE val)
+    GROUP BY measure
+    """,
+)
+def a_unpivot_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (wide->long melt) + aggregate per measure.  Spark's
+    ``unpivot`` is a zero-shuffle Expand (4x row fan-out, no exchange);
+    the only shuffle is the 4-group aggregate."""
+    li = load_table(spark, sf, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    dec = F.col("val").cast("decimal(18,2)")
+    return long.groupBy("measure").agg(
+        F.sum(dec).cast("double").alias("total"),
+        (F.sum(dec).cast("double") / F.count("*")).alias("mean"),
+    )
+
+
+@query(
+    "f_string_suite",
+    """
+    SELECT p_partkey,
+      levenshtein(p_name, p_type) AS lev,
+      CAST(strpos(p_name, 'red') AS INT) AS pos,
+      lpad(p_brand, 12, '*') AS padded,
+      split_part(p_name, ' ', 1) AS first_word,
+      regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      reverse(p_name) AS rev,
+      substr(p_name, 2, 5) AS mid
+    FROM part WHERE p_partkey < 2000
+    """,
+)
+def f_string_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """String-function coverage beyond the reference's F1-F3:
+    edit distance (levenshtein — the classic fuzzy-match primitive for
+    name/drug matching), locate, padding, token split, regexp extraction,
+    reverse, substring.  All JVM-side codegen — no UDFs."""
+    p = load_table(spark, sf, "part").where(F.col("p_partkey") < 2000)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("lev"),
+        F.instr("p_name", "red").alias("pos"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.reverse("p_name").alias("rev"),
+        F.substring("p_name", 2, 5).alias("mid"),
+    )
+
+
+@query(
+    "j_nullsafe",
+    """
+    WITH a AS (
+      SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k,
+        COUNT(*) AS na
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k,
+        COUNT(DISTINCT o_custkey) AS nb
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    )
+    SELECT a.k, a.na, b.nb FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def j_nullsafe(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM) — NULL keys
+    match each other instead of vanishing; still a plain hash join (Spark
+    treats null-safe equality as an equi-key, no nested loop)."""
+    orders = load_table(spark, sf, "orders")
+    k = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    a = orders.groupBy(k.alias("k")).agg(F.count("*").alias("na"))
+    b = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(k.alias("k"))
+        .agg(F.countDistinct("o_custkey").alias("nb"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"], "na", "nb")
+
+
+@query(
+    "j_exists_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def j_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL front end — Catalyst
+    decorrelates both into a left-semi and a left-anti hash join (no
+    per-row subquery execution)."""
+    load_table(spark, sf, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        """
+    )
+
+
+@query(
+    "f_array_suite",
+    """
+    SELECT doc_id,
+      CAST(len(list_distinct(string_split(trim(lower(text)), ' '))) AS INT)
+        AS n_distinct,
+      array_to_string(
+        list_sort(list_distinct(string_split(trim(lower(text)), ' ')))[1:5],
+        '|') AS first5,
+      array_to_string(
+        list_sort(
+          list_filter(list_distinct(string_split(trim(lower(text)), ' ')),
+                      t -> len(t) > 4)),
+        '|') AS long_tokens
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def f_array_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Array/lambda function coverage: distinct, sort, slice, filter over
+    token arrays — all higher-order functions stay in codegen (no Python).
+    Arrays are joined to strings so the cross-engine hash compares values,
+    not engine-specific array renderings.
+
+    Uses a plain single-space split (not the regex tokenizer) so the
+    filter lambda semantics — not tokenization — are what's under test.
+    """
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 200)
+    toks = F.array_distinct(
+        F.split(F.trim(F.lower(F.col("text"))), " ")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_distinct"),
+        F.concat_ws("|", F.slice(F.sort_array(toks), 1, 5)).alias("first5"),
+        F.concat_ws(
+            "|", F.sort_array(F.filter(toks, lambda t: F.length(t) > 4))
+        ).alias("long_tokens"),
+    )

@@ -521,3 +521,63 @@ def simhash_near_duplicates(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def shingle_array(text, n: int = 3):
+    """Column expr: distinct nonempty word n-gram array, row-local."""
+    toks = tokens(text)
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.filter(shingles, lambda s: s != ""))
+
+
+def jaccard_verify_arrays(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via ROW-LOCAL array intersection —
+    no inverted index at all.
+
+    Each doc's shingle set is computed as an array in the map stage; the
+    candidate list (small — the whole point of LSH) broadcasts onto the doc
+    table twice to attach both sides' arrays, and ``array_intersect`` sizes
+    the overlap per row.  Zero shuffles beyond the broadcasts, and the doc
+    table is scanned exactly twice — versus the index route's
+    explode+distinct (a |docs|x|shingles| shuffle) executed per join side.
+    If candidates ever outgrow the broadcast threshold, drop to
+    ``jaccard_for_pairs`` (index route) or remove the hints and let AQE
+    choose shuffle joins.
+
+    Output: (id_a, id_b, inter, size_a, size_b, jaccard) — same columns as
+    ``jaccard_pairs`` / ``jaccard_for_pairs``.
+    """
+    arr = docs.select(
+        F.col(id_col), shingle_array(F.col(text_col), n).alias("_arr")
+    )
+    a = arr.toDF("id_a", "_arr_a")
+    b = arr.toDF("id_b", "_arr_b")
+    with_a = a.join(F.broadcast(pairs.select("id_a", "id_b")), ["id_a"])
+    both = b.join(F.broadcast(with_a), ["id_b"])
+    inter = F.size(F.array_intersect("_arr_a", "_arr_b"))
+    return (
+        both.select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            F.size("_arr_a").alias("size_a"),
+            F.size("_arr_b").alias("size_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+    )

@@ -1038,20 +1038,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     value-checked against DuckDB, not just row-counted.
     """
     docs = load_docs(spark, sf)
-    # not persisted: see dedup_ngram_jaccard — parallel pruned scans beat a
-    # serializing cache materialization at this scale
-    index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
-        "shingle", "token"
-    )
-    sizes = dedup.shingle_set_sizes(docs, "text", "doc_id", n=3)
     # signatures computed row-local off the shingle array (map-only, zero
-    # shuffles); verify touches ONLY candidate pairs, so its cost tracks
-    # |candidates|, not corpus pair volume
+    # shuffles); verify is ALSO row-local (array_intersect over per-doc
+    # shingle arrays, candidates broadcast) — the only shuffle in the whole
+    # pipeline is the LSH bucket self-join
     sigs = dedup.minhash_signatures_local(
         docs, "text", "doc_id", n=3, num_hashes=16, seed=42
     )
     cands = dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
-    verified = dedup.jaccard_for_pairs(cands, index, "doc_id", sizes=sizes)
+    verified = dedup.jaccard_verify_arrays(cands, docs, "text", "doc_id", n=3)
     return verified.where(F.col("jaccard") >= 0.3).select(
         "id_a", "id_b", "jaccard"
     )

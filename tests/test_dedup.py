@@ -100,3 +100,34 @@ def test_simhash_local_equals_exploded(spark, sf_dir):
     a = dedup.simhash_portable(index, "doc_id", bits=16)
     b = dedup.simhash_local(docs, "text", "doc_id", bits=16)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_array_verify_matches_index_verify(spark, docs):
+    """Row-local array_intersect verify must agree exactly with the
+    inverted-index verify on the same candidate set."""
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (1, 6)], ["id_a", "id_b"]
+    )
+    index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
+        "shingle", "token"
+    )
+    sizes = dedup.shingle_set_sizes(docs, "text", "doc_id", n=3)
+    via_index = {
+        (r.id_a, r.id_b): (r.inter, r.size_a, r.size_b, r.jaccard)
+        for r in dedup.jaccard_for_pairs(
+            cands, index, "doc_id", sizes=sizes
+        ).collect()
+    }
+    via_arrays = {
+        (r.id_a, r.id_b): (r.inter, r.size_a, r.size_b, r.jaccard)
+        for r in dedup.jaccard_verify_arrays(
+            cands, docs, "text", "doc_id", n=3
+        ).collect()
+    }
+    # the index route drops zero-intersection pairs (no join rows); the
+    # array route keeps them with inter=0 — compare on the index route's
+    # domain, and check the extra pairs really are zero-overlap
+    for k, v in via_index.items():
+        assert via_arrays[k] == v, (k, v, via_arrays[k])
+    for k in set(via_arrays) - set(via_index):
+        assert via_arrays[k][0] == 0

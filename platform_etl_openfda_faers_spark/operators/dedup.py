@@ -581,3 +581,66 @@ def jaccard_verify_arrays(
             / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
         )
     )
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-join with PREFIX FILTERING (AllPairs/PPJoin family) —
+    the scale path for high thresholds.
+
+    Plain inverted-index joins generate a candidate for every token two
+    docs share; prefix filtering exploits the threshold: order each doc's
+    tokens by ascending global document frequency (rarest first) and index
+    only the first ``|d| - ceil(t*|d|) + 1`` tokens.  Two sets with
+    Jaccard >= t MUST share at least one prefix token, so candidates
+    generated from prefixes alone are complete — and the indexed volume
+    (hence the self-join's pair volume) shrinks by ~(1-t)^2.  At t=0.8
+    that's ~25x fewer candidate pairs; at 100 TB it is the difference
+    between a feasible join and an O(sum df^2) blowup.  Verification is the
+    row-local array_intersect path (no second index build).
+
+    Exactness: candidates are a superset of true matches (prefix sharing is
+    necessary, not sufficient), and every candidate is verified with the
+    full sets — the result equals the naive ``jaccard_pairs`` at the same
+    threshold.  Ties in document frequency are broken by the token string,
+    so prefixes are deterministic.
+
+    Output: (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    # set_size rides along row-locally through the explode — no join back
+    # to a per-doc table (which would not broadcast at corpus scale)
+    arr = docs.select(F.col(id_col), shingle_array(F.col(text_col), n).alias("_arr"))
+    index = arr.select(
+        F.col(id_col),
+        F.size("_arr").alias("set_size"),
+        F.explode("_arr").alias("token"),
+    )
+    doc_freq = index.groupBy("token").agg(F.count("*").alias("df"))
+    # rank tokens rarest-first within each doc; keep the prefix
+    w = Window.partitionBy(id_col).orderBy("df", "token")
+    prefix = (
+        index.join(doc_freq, ["token"])
+        .withColumn("_pos", F.row_number().over(w))
+        .where(
+            F.col("_pos")
+            <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+        )
+        .select(F.col(id_col), "token")
+    )
+    a = prefix.toDF("id_a", "token")
+    b = prefix.toDF("id_b", "token")
+    cands = (
+        a.join(b, ["token"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = jaccard_verify_arrays(cands, docs, text_col, id_col, n=n)
+    return verified.where(F.col("jaccard") >= threshold)

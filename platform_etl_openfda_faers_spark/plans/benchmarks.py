@@ -2116,3 +2116,33 @@ def f_array_suite(spark: SparkSession, sf: str) -> DataFrame:
             "|", F.sort_array(F.filter(toks, lambda t: F.length(t) > 4))
         ).alias("long_tokens"),
     )
+
+
+@query(
+    "dedup_jaccard_prefix",
+    f"""
+    WITH tok AS ({_SHINGLES_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.inter, sa.s AS size_a, sb.s AS size_b,
+      i.inter::DOUBLE / (sa.s + sb.s - i.inter) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE i.inter::DOUBLE / (sa.s + sb.s - i.inter) >= 0.7
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join at t=0.7 (AllPairs/PPJoin-style).
+    Indexes only each doc's rarest ~30% of shingles; candidates generated
+    from prefixes are provably complete at the threshold, then verified
+    row-locally.  The oracle is the NAIVE full inverted-index join — same
+    result, so the pruning's exactness is value-checked."""
+    docs = load_docs(spark, sf)
+    return dedup.jaccard_pairs_prefix(
+        docs, "text", "doc_id", n=3, threshold=0.7
+    )

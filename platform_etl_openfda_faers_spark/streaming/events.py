@@ -178,3 +178,22 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def dedup_events(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming-safe exact dedup on a key set (default: event_id).
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — the seen-key state is
+    evicted once the watermark passes, so memory is bounded by the
+    watermark horizon (a plain ``dropDuplicates`` on a stream would keep
+    every key forever).  Batch: ordinary ``dropDuplicates``.  This is the
+    streaming half of the dedup family in ``operators/dedup.py``.
+    """
+    keys = keys or ["event_id"]
+    if df.isStreaming:
+        return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)

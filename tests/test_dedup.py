@@ -131,3 +131,26 @@ def test_array_verify_matches_index_verify(spark, docs):
         assert via_arrays[k] == v, (k, v, via_arrays[k])
     for k in set(via_arrays) - set(via_index):
         assert via_arrays[k][0] == 0
+
+
+def test_prefix_filter_equals_naive_jaccard(spark, docs):
+    """Prefix-filtered join must return exactly the naive join's result
+    at the same threshold (pruning is lossless)."""
+    for t in (0.5, 0.8):
+        index = dedup.word_shingles(docs, "text", "doc_id", n=2).withColumnRenamed(
+            "shingle", "token"
+        )
+        sizes = dedup.shingle_set_sizes(docs, "text", "doc_id", n=2)
+        naive = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_pairs(
+                index, "doc_id", threshold=t, sizes=sizes
+            ).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_pairs_prefix(
+                docs, "text", "doc_id", n=2, threshold=t
+            ).collect()
+        }
+        assert naive == pref, (t, naive, pref)

@@ -81,3 +81,95 @@ def test_stateful_running_totals_converge_to_batch(spark, events_dir):
     # multiple micro-batches actually happened (maxFilesPerTrigger) or at
     # least one emission per user
     assert updates.count() >= len(expected)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids arriving in different micro-batches within the
+    watermark horizon must emit exactly once."""
+    from datetime import datetime
+
+    d = str(tmp_path / "dedup_src")
+    rows1 = [(1, datetime(2024, 1, 1, 7, 0), 1, "click", 1.0, "{}"),
+             (2, datetime(2024, 1, 1, 7, 5), 1, "click", 2.0, "{}")]
+    rows2 = [(1, datetime(2024, 1, 1, 7, 1), 1, "click", 1.0, "{}"),  # dup id 1
+             (3, datetime(2024, 1, 1, 7, 9), 1, "click", 3.0, "{}")]
+    spark.createDataFrame(rows1, ev.EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame(rows2, ev.EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = (
+        spark.readStream.schema(ev.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = ev.dedup_events(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream_test").select("event_id").collect()
+    ids = sorted(r.event_id for r in got)
+    assert ids == [1, 2, 3], ids
+
+    # batch twin: same keys survive
+    batch = spark.read.schema(ev.EVENT_SCHEMA).parquet(d)
+    assert ev.dedup_events(batch).count() == 3
+
+
+def test_watermark_drops_late_event_across_restarts(spark, tmp_path):
+    """Append-mode tumbling aggregate with a 2h watermark, state carried
+    across availableNow runs via the checkpoint: an event older than the
+    current watermark must NOT change its (already finalized) window."""
+    from datetime import datetime
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    sink = str(tmp_path / "late_sink")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, ev.EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(ev.EVENT_SCHEMA).parquet(src)
+        agg = ev.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: watermark ends at 10:30 - 2h = 08:30
+    write_batch([(1, datetime(2024, 1, 1, 7, 30), 1, "click", 1.0, "{}"),
+                 (2, datetime(2024, 1, 1, 10, 30), 1, "click", 1.0, "{}")])
+    run()
+
+    # batch 2: 07:45 is older than the 08:30 watermark -> dropped;
+    # its window [07:00,08:00) finalizes with n_events=1
+    write_batch([(3, datetime(2024, 1, 1, 7, 45), 1, "click", 9.0, "{}"),
+                 (4, datetime(2024, 1, 1, 13, 30), 1, "click", 1.0, "{}")])
+    run()
+
+    # batch 3: advances the watermark so [10:00,11:00) finalizes too
+    write_batch([(5, datetime(2024, 1, 1, 16, 0), 1, "click", 1.0, "{}")])
+    run()
+
+    emitted = {
+        (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # late row (value 9.0) excluded from the finalized 07:00 window
+    assert emitted[("2024-01-01 07:00:00", "click")] == (1, 1.0)
+    assert emitted[("2024-01-01 10:00:00", "click")] == (1, 1.0)

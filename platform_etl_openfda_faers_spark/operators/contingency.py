@@ -52,6 +52,15 @@ def contingency_llr(
     (the distinct-first shape computes it once per job instead of three
     times).
     """
+    # NULL-semantics guard: countDistinct (and DuckDB's COUNT(DISTINCT))
+    # EXCLUDE a NULL report id, while the reference's
+    # pairs.select(...).distinct().count() (OpenFdaEtl.scala:143) counts NULL
+    # as one extra value — total N would diverge by one if a null report id
+    # ever reached this operator.  Dropping null ids here makes every count
+    # (A, marginals, total) see the same population, so the deliberate
+    # divergence from the reference is "null reports contribute nothing"
+    # rather than an off-by-one only in N.
+    pairs = pairs.where(F.col(report_col).isNotNull())
     count = (
         F.approx_count_distinct(report_col) if approx else F.countDistinct(report_col)
     )

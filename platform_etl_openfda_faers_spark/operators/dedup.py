@@ -546,15 +546,18 @@ def jaccard_verify_arrays(
     """Exact Jaccard for candidate pairs via ROW-LOCAL array intersection —
     no inverted index at all.
 
-    Each doc's shingle set is computed as an array in the map stage; the
-    candidate list (small — the whole point of LSH) broadcasts onto the doc
-    table twice to attach both sides' arrays, and ``array_intersect`` sizes
-    the overlap per row.  Zero shuffles beyond the broadcasts, and the doc
-    table is scanned exactly twice — versus the index route's
-    explode+distinct (a |docs|x|shingles| shuffle) executed per join side.
-    If candidates ever outgrow the broadcast threshold, drop to
-    ``jaccard_for_pairs`` (index route) or remove the hints and let AQE
-    choose shuffle joins.
+    Each doc's shingle set is computed as an array in the map stage; only
+    the bare (id_a, id_b) pair list (small — the whole point of LSH)
+    broadcasts, once onto each side of the doc table, to pre-filter the
+    docs that participate.  The two filtered sides — candidate-bounded, but
+    carrying full shingle arrays — then meet in a hash join keyed on the
+    pair, so the array payload rides the (bounded) shuffle instead of a
+    broadcast whose size would scale with |candidates| x doc length.
+    ``array_intersect`` sizes the overlap per row.  The doc table is
+    scanned exactly twice — versus the index route's explode+distinct (a
+    |docs|x|shingles| shuffle) executed per join side.  If the pair *list*
+    ever outgrows the broadcast threshold, drop to ``jaccard_for_pairs``
+    (index route) or remove the hints and let AQE choose shuffle joins.
 
     Output: (id_a, id_b, inter, size_a, size_b, jaccard) — same columns as
     ``jaccard_pairs`` / ``jaccard_for_pairs``.
@@ -564,8 +567,12 @@ def jaccard_verify_arrays(
     )
     a = arr.toDF("id_a", "_arr_a")
     b = arr.toDF("id_b", "_arr_b")
-    with_a = a.join(F.broadcast(pairs.select("id_a", "id_b")), ["id_a"])
-    both = b.join(F.broadcast(with_a), ["id_b"])
+    # broadcast ONLY the id-pair list (both times); the arrays stay on the
+    # big side of each broadcast join and meet in a candidate-sized shuffle
+    p = pairs.select("id_a", "id_b")
+    with_a = a.join(F.broadcast(p), ["id_a"])
+    with_b = b.join(F.broadcast(p), ["id_b"])
+    both = with_a.join(with_b, ["id_a", "id_b"])
     inter = F.size(F.array_intersect("_arr_a", "_arr_b"))
     return (
         both.select(
@@ -629,8 +636,16 @@ def jaccard_pairs_prefix(
         index.join(doc_freq, ["token"])
         .withColumn("_pos", F.row_number().over(w))
         .where(
+            # prefix length |d| - ceil(t*|d|) + 1.  The 1e-9 nudge keeps the
+            # binary-float product from rounding JUST ABOVE an exact integer
+            # t*|d| (ceil would then overshoot and the prefix come out one
+            # token SHORT — silently dropping true matches exactly at the
+            # threshold).  The nudge can only lengthen the prefix, never
+            # shorten it, so candidates stay a superset of true matches.
             F.col("_pos")
-            <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+            <= F.col("set_size")
+            - F.ceil(F.lit(threshold) * F.col("set_size") - F.lit(1e-9))
+            + 1
         )
         .select(F.col(id_col), "token")
     )

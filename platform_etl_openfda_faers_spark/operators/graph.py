@@ -47,6 +47,7 @@ def connected_components(
         sym.select("id").distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iterations):
         nbr_comp = labels.select(
             F.col("id").alias("nbr"), F.col("comp").alias("nbr_comp")
@@ -69,6 +70,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # Min-label propagation advances one hop per round; a chain longer
+        # than max_iterations would otherwise return silently WRONG labels
+        # (nodes not yet reached by their component's min id).  The `changed`
+        # probe above already detects the fixpoint, so non-convergence here
+        # is definitive, not a heuristic.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds the round budget); raise "
+            "max_iterations or switch to a large-star/small-star variant"
+        )
     return labels

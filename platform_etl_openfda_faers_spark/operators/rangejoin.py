@@ -45,6 +45,13 @@ def interval_join(
     if upper_s <= lower_s:
         raise ValueError("upper_s must exceed lower_s")
     width = int(round((upper_s - lower_s) * 1_000_000))
+    if width < 1:
+        # sub-microsecond window: bin width rounds to 0 and the DIV-based
+        # bin assignment would yield NULL bins (silently empty join)
+        raise ValueError(
+            "window span must be at least 1 microsecond "
+            f"(got {upper_s - lower_s} s)"
+        )
     lo_us = int(round(lower_s * 1_000_000))
     hi_us = int(round(upper_s * 1_000_000))
 

@@ -154,3 +154,17 @@ def test_prefix_filter_equals_naive_jaccard(spark, docs):
             ).collect()
         }
         assert naive == pref, (t, naive, pref)
+
+
+def test_prefix_filter_keeps_exact_threshold_match(spark):
+    """t*|d| an exact integer (the classic PPJoin float-ceil pitfall): a pair
+    sitting exactly AT the threshold must survive prefix pruning."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b")], ["doc_id", "text"]
+    )
+    # n=1 shingles -> sets {a,b,c,d} and {a,b}; jaccard = 2/4 = 0.5 exactly,
+    # and threshold*|{a,b,c,d}| = 2.0 is an exact integer
+    got = dedup.jaccard_pairs_prefix(
+        docs, "text", "doc_id", n=1, threshold=0.5
+    ).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 0.5)]

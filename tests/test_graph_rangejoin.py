@@ -63,3 +63,28 @@ def test_interval_join_matches_naive_range_join(spark):
         ).collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    # 12-node path has diameter 11; 3 rounds cannot reach the fixpoint and
+    # returning the partial labels would be silently wrong (ADVICE r1)
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, "src", "dst", max_iterations=3)
+
+
+def test_interval_join_rejects_submicrosecond_window(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1))], ["l_id", "k", "ts"]
+    )
+    with pytest.raises(ValueError, match="microsecond"):
+        interval_join(
+            df, df.toDF("r_id", "k", "r_ts"), key="k",
+            left_ts="ts", right_ts="r_ts", lower_s=0.0, upper_s=4e-7,
+        )

@@ -134,3 +134,22 @@ def test_monte_carlo_deterministic_and_significant(spark, loaded):
     for _, _, llr, critval in rows1:
         assert llr > critval > 0
     assert out1.columns == ["chembl_id", "event", "count", "llr", "critval", "meddraCode"]
+
+
+def test_contingency_ignores_null_report_ids(spark):
+    """A NULL report id must contribute to NO count (A, marginals, or total
+    N) — countDistinct excludes NULLs, and the operator now drops them
+    upstream so the reference's distinct().count() off-by-one (which WOULD
+    count NULL as a value, OpenFdaEtl.scala:143) cannot surface (ADVICE r1)."""
+    rows = [
+        ("r1", "d1", "x1"), ("r2", "d1", "x1"), ("r2", "d2", "x2"),
+        ("r3", "d2", "x1"),
+    ]
+    cols = ["safetyreportid", "chembl_id", "reaction_reactionmeddrapt"]
+    clean = spark.createDataFrame(rows, cols)
+    dirty = spark.createDataFrame(rows + [(None, "d1", "x1")], cols)
+    key = ["chembl_id", "reaction_reactionmeddrapt"]
+    a = {tuple(r) for r in contingency_llr(clean).select(*key, "A", "B", "C", "D").collect()}
+    b = {tuple(r) for r in contingency_llr(dirty).select(*key, "A", "B", "C", "D").collect()}
+    assert a == b
+    assert {r["uniq_reports_total"] for r in contingency_llr(dirty).select("uniq_reports_total").collect()} == {3}

@@ -267,23 +267,33 @@ def minhash_signatures_local(
     inverted-index route shuffles |docs| x |shingles| rows; this shuffles
     nothing.  The index is then only needed for the verify step.
     """
-    params = minhash_params(num_hashes, seed)
-    toks = tokens(F.col(text_col))
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    shingles = F.array_distinct(F.filter(shingles, lambda s: s != ""))
+    arr = df.select(
+        F.col(id_col), shingle_array(F.col(text_col), n).alias("_arr")
+    )
+    return minhash_signatures_from_arrays(
+        arr, id_col, "_arr", num_hashes=num_hashes, seed=seed
+    )
 
-    # materialize the md5-derived token hashes ONCE as a column, then take K
-    # cheap arithmetic mins over it — inlining the hash into each min would
-    # recompute |shingles| md5s per hash function (measured 3x slower)
-    hashed = df.select(
+
+def minhash_signatures_from_arrays(
+    arrays: DataFrame,
+    id_col: str,
+    arr_col: str = "_arr",
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, mh_0..mh_{K-1}) from a precomputed shingle-array table.
+
+    Same constants/semantics as ``minhash_signatures_local`` but starting
+    from ``(id, array<string>)`` — lets the caller compute (and persist) the
+    tokenized arrays ONCE and feed both this and the verify stage, instead
+    of re-tokenizing per consumer.  The md5-derived token hashes are
+    materialized once as a column, then K cheap arithmetic mins run over it.
+    """
+    params = minhash_params(num_hashes, seed)
+    hashed = arrays.select(
         F.col(id_col),
-        F.transform(shingles, lambda s: token_hash32(s)).alias("_h"),
+        F.transform(F.col(arr_col), lambda s: token_hash32(s)).alias("_h"),
     )
     return hashed.select(
         F.col(id_col),
@@ -374,6 +384,57 @@ def minhash_near_duplicates(
         )
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     verified = jaccard_for_pairs(cands, index, id_col)
+    return verified.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def minhash_near_duplicates_shared(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup with the shingle arrays computed EXACTLY ONCE.
+
+    Tokenize + n-gram + per-shingle hashing is the dominant CPU of the whole
+    pipeline; the naive composition runs it three times (signatures + each
+    verify side).  Here the ``(id, _arr)`` table is persisted MEMORY_AND_DISK
+    and feeds all three consumers, so the document table is scanned — and the
+    shingles built — once.  At 100 TB the persisted table is |docs| rows of
+    string arrays (spills to disk if needed), which is far cheaper than three
+    full re-tokenization passes over the raw text.
+
+    Output: (id_a, id_b, jaccard) for verified pairs above ``threshold``.
+    """
+    from pyspark import StorageLevel
+
+    params = minhash_params(bands * rows_per_band, seed)
+    base = (
+        docs.select(F.col(id_col), shingle_array(F.col(text_col), n).alias("_arr"))
+        .withColumn("_h", F.transform(F.col("_arr"), lambda s: token_hash32(s)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs = base.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_h"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME),
+                )
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    verified = jaccard_verify_arrays(
+        cands, docs, text_col, id_col, n=n, arrays=base
+    )
     return verified.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
@@ -542,6 +603,7 @@ def jaccard_verify_arrays(
     text_col: str,
     id_col: str,
     n: int = 3,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via ROW-LOCAL array intersection —
     no inverted index at all.
@@ -559,17 +621,27 @@ def jaccard_verify_arrays(
     ever outgrows the broadcast threshold, drop to ``jaccard_for_pairs``
     (index route) or remove the hints and let AQE choose shuffle joins.
 
+    ``arrays`` — an optional precomputed ``(id_col, _arr)`` table (typically
+    persisted by the caller so tokenization happens once across the
+    signature AND verify stages — see ``minhash_near_duplicates_shared``).
+    When omitted the shingle arrays are derived from ``docs`` here.
+
     Output: (id_a, id_b, inter, size_a, size_b, jaccard) — same columns as
     ``jaccard_pairs`` / ``jaccard_for_pairs``.
     """
-    arr = docs.select(
-        F.col(id_col), shingle_array(F.col(text_col), n).alias("_arr")
-    )
+    if arrays is None:
+        arrays = docs.select(
+            F.col(id_col), shingle_array(F.col(text_col), n).alias("_arr")
+        )
+    arr = arrays.select(F.col(id_col), F.col("_arr"))
     a = arr.toDF("id_a", "_arr_a")
     b = arr.toDF("id_b", "_arr_b")
     # broadcast ONLY the id-pair list (both times); the arrays stay on the
-    # big side of each broadcast join and meet in a candidate-sized shuffle
-    p = pairs.select("id_a", "id_b")
+    # big side of each broadcast join and meet in a candidate-sized shuffle.
+    # distinct() guards the contract: k duplicate (id_a, id_b) rows would
+    # otherwise fan out to k^2 output rows through the two-sided join — the
+    # pair list is small by assumption, so the dedup is cheap.
+    p = pairs.select("id_a", "id_b").distinct()
     with_a = a.join(F.broadcast(p), ["id_a"])
     with_b = b.join(F.broadcast(p), ["id_b"])
     both = with_a.join(with_b, ["id_a", "id_b"])

@@ -1041,14 +1041,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # signatures computed row-local off the shingle array (map-only, zero
     # shuffles); verify is ALSO row-local (array_intersect over per-doc
     # shingle arrays, candidates broadcast) — the only shuffle in the whole
-    # pipeline is the LSH bucket self-join
-    sigs = dedup.minhash_signatures_local(
-        docs, "text", "doc_id", n=3, num_hashes=16, seed=42
-    )
-    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
-    verified = dedup.jaccard_verify_arrays(cands, docs, "text", "doc_id", n=3)
-    return verified.where(F.col("jaccard") >= 0.3).select(
-        "id_a", "id_b", "jaccard"
+    # pipeline is the LSH bucket self-join.  The shingle-array table is
+    # persisted and shared between the signature and both verify sides, so
+    # tokenize + 3-gram + md5-per-shingle runs once, not three times.
+    return dedup.minhash_near_duplicates_shared(
+        docs, "text", "doc_id", n=3, bands=4, rows_per_band=4,
+        threshold=0.3, seed=42,
     )
 
 

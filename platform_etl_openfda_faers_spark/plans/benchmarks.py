@@ -918,6 +918,9 @@ def faers_significant(spark: SparkSession, sf: str) -> DataFrame:
     stage1 = contingency_llr(
         pairs, report_col="rid", drug_col="drug", reaction_col="reaction"
     )
+    # cache_stage1: the 4-aggregate contingency lineage feeds both the
+    # critval groupBy and the join-back; uncached it computes twice
+    # (r2 bench measured the uncached path 16% slower)
     return monte_carlo_filter(
         stage1,
         drug_col="drug",
@@ -925,6 +928,7 @@ def faers_significant(spark: SparkSession, sf: str) -> DataFrame:
         permutations=100,
         percentile=0.95,
         seed=42,
+        cache_stage1=True,
     )
 
 

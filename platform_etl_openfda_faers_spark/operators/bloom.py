@@ -84,7 +84,18 @@ def bloom_prefilter_join(
     pre-filter on the probe side.  Result is exactly the plain inner join
     (false positives die in the final join); the win is that the probe
     side's shuffle only carries rows that pass the bitmap.
+
+    Both sides are aliased before the join so shared lineage (self-joins)
+    can't make the key references ambiguous; when the two key columns share
+    a name the build-side copy is dropped from the result.
     """
     bitmap = build_bloom_bitmap(build, build_key, m_bits, seeds)
-    pre = probe.where(might_contain(F.col(probe_key), bitmap, m_bits, seeds))
-    return pre.join(build, pre[probe_key] == build[build_key])
+    p = probe.alias("__bloom_p")
+    b = build.alias("__bloom_b")
+    pre = p.where(might_contain(F.col(probe_key), bitmap, m_bits, seeds))
+    out = pre.join(
+        b, F.col(f"__bloom_p.{probe_key}") == F.col(f"__bloom_b.{build_key}")
+    )
+    if probe_key == build_key:
+        out = out.drop(F.col(f"__bloom_b.{build_key}"))
+    return out

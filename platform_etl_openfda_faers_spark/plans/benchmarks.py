@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS
 from ..functions.vectors import cosine
-from ..operators import dedup, multimodal, sampling, similarity, skew
+from ..operators import bloom, dedup, multimodal, sampling, similarity, skew
 from ..operators.asof import asof_join
 from ..operators.contingency import contingency_llr
 from ..operators.montecarlo import monte_carlo_filter
@@ -551,6 +551,39 @@ def j_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
         .cast("double")
         .alias("sum_qty"),
+    )
+
+
+@query(
+    "j_bloom_prefilter",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_acctbal
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+    """,
+)
+def j_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered equi-join against a selective dimension subset.
+
+    The oracle is the PLAIN inner join — Bloom false positives must die in
+    the final join, so the prefilter is invisible in the result.  At 100 TB
+    the bitmap probe (map-only getbit predicate, a few KB of broadcast
+    state) drops the ~99% of fact rows that can never match BEFORE they
+    reach the join's shuffle.
+    """
+    cust = (
+        load_table(spark, sf, "customer")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    joined = bloom.bloom_prefilter_join(
+        orders, cust, probe_key="o_custkey", build_key="c_custkey"
+    )
+    return joined.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"
     )
 
 

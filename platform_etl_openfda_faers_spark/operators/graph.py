@@ -72,6 +72,27 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    if not converged:
+        # The fixpoint may land EXACTLY in the last round (that round still
+        # reports changed>0 because it did change labels); run one final
+        # confirming probe before declaring failure.
+        nbr_comp = labels.select(
+            F.col("id").alias("nbr"), F.col("comp").alias("nbr_comp")
+        )
+        msgs = sym.join(nbr_comp, "nbr").select(
+            "id", F.col("nbr_comp").alias("comp")
+        )
+        still_changing = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        converged = still_changing == 0
     sym.unpersist()
     if not converged:
         # Min-label propagation advances one hop per round; a chain longer
@@ -82,6 +103,101 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
             "iterations (graph diameter exceeds the round budget); raise "
-            "max_iterations or switch to a large-star/small-star variant"
+            "max_iterations or switch to connected_components_twophase"
         )
     return labels
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(u, v) with u > v, self-loops dropped, deduped."""
+    u = F.greatest(F.col(src), F.col(dst)).alias("u")
+    v = F.least(F.col(src), F.col(dst)).alias("v")
+    return (
+        edges.select(u, v).where(F.col("u") != F.col("v")).distinct()
+    )
+
+
+def connected_components_twophase(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(id, component) via alternating large-star / small-star rewrites —
+    the Kiveris et al. two-phase algorithm, converging in O(log^2 n) rounds
+    worst case (O(log n) in practice) versus min-label propagation's
+    O(diameter).  The scale path for 100 TB similarity graphs: long chains
+    cost a handful of rounds instead of one round per hop, and each round
+    is two groupBy-join passes over the edge list.
+
+    - large-star: per node u, attach every STRICTLY LARGER neighbor to
+      m = min(N(u) ∪ {u}) — emit (v, m) for v ∈ N(u), v > u.
+    - small-star: canonicalize edges larger→smaller, then per node u attach
+      every (≤) neighbor and u itself to m = min(N(u) ∪ {u}).
+
+    At the fixpoint the graph is a disjoint union of stars centered at each
+    component's min id, so the final label is min(id, min neighbor).
+    Deterministic; output matches ``connected_components`` exactly.
+    """
+    cur = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    nodes = (
+        cur.select(F.col("u").alias("id"))
+        .union(cur.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    converged = False
+    for _ in range(max_iterations):
+        # ---- large-star: symmetric adjacency, min per node, link v>u to m
+        sym = cur.select("u", "v").union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # ---- small-star on the canonical (larger→smaller) direction
+        canon = (
+            large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins2 = canon.groupBy("u").agg(F.min("v").alias("m"))
+        linked = canon.join(mins2, "u")
+        small = (
+            # attach each smaller neighbor v (v != m) ...
+            linked.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            # ... and u itself to m
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        nxt = small.localCheckpoint(eager=True)
+        # exact convergence probe: the edge set is stable when nothing was
+        # added or removed (both sets are distinct, so count + one-sided
+        # anti-join suffices)
+        changed = (
+            nxt.join(cur, ["u", "v"], "left_anti").limit(1).count() > 0
+            or nxt.count() != cur.count()
+        )
+        cur = nxt
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_twophase did not converge within "
+            f"{max_iterations} rounds"
+        )
+    # stars: every non-min node points directly at its component min
+    direct = cur.groupBy("u").agg(F.min("v").alias("comp"))
+    return nodes.join(
+        direct.select(F.col("u").alias("id"), "comp"), "id", "left"
+    ).select("id", F.coalesce("comp", F.col("id")).alias("comp"))

@@ -1922,11 +1922,11 @@ def f_datetime_suite(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Duplicate-CLUSTER resolution: connected components (iterative
-    min-label propagation, operators/graph.py) over the embedding
-    near-dup pair graph — pairs in, one component id per node out.  The
-    oracle computes the same fixpoint with a recursive CTE."""
-    from ..operators.graph import connected_components
+    """Duplicate-CLUSTER resolution: connected components (large-star /
+    small-star two-phase rewrites, O(log n) rounds — operators/graph.py)
+    over the embedding near-dup pair graph — pairs in, one component id per
+    node out.  The oracle computes the same fixpoint with a recursive CTE."""
+    from ..operators.graph import connected_components_twophase
 
     emb = load_emb(spark, sf).select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
@@ -1938,7 +1938,7 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.round(cosine(F.col("e_a"), F.col("e_b")), 6) >= 0.4)
         .select("id_a", "id_b")
     )
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components_twophase(pairs, "id_a", "id_b")
     return comp.select(F.col("id").alias("vec_id"), F.col("comp").alias("component"))
 
 

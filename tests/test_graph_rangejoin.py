@@ -5,7 +5,10 @@ from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
 
-from platform_etl_openfda_faers_spark.operators.graph import connected_components
+from platform_etl_openfda_faers_spark.operators.graph import (
+    connected_components,
+    connected_components_twophase,
+)
 from platform_etl_openfda_faers_spark.operators.rangejoin import interval_join
 
 
@@ -34,6 +37,44 @@ def test_connected_components_long_path_converges(spark):
     comp = connected_components(edges, "src", "dst")
     assert comp.select(F.collect_set("comp")).first()[0] == [0]
     assert comp.count() == 12
+
+
+def test_twophase_matches_min_label_on_mixed_graph(spark):
+    # chains, a clique, an isolated edge — both algorithms must agree exactly
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22),
+             (30, 31), (31, 32), (30, 32), (40, 41)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(map(tuple, connected_components(df, "src", "dst").collect()))
+    b = sorted(
+        map(tuple, connected_components_twophase(df, "src", "dst").collect())
+    )
+    assert a == b
+
+
+def test_twophase_long_path_converges_in_few_rounds(spark):
+    # a 64-node path has diameter 63: min-label would need 63 rounds, the
+    # two-phase rewrite must finish within its default 30-round budget
+    # (O(log n) in practice)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["src", "dst"]
+    )
+    comp = connected_components_twophase(edges, "src", "dst")
+    assert comp.select(F.collect_set("comp")).first()[0] == [0]
+    assert comp.count() == 64
+
+
+def test_twophase_random_graph_matches_min_label(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(map(tuple, connected_components(df, "src", "dst").collect()))
+    b = sorted(
+        map(tuple, connected_components_twophase(df, "src", "dst").collect())
+    )
+    assert a == b
 
 
 def test_interval_join_matches_naive_range_join(spark):

@@ -153,3 +153,79 @@ def test_contingency_ignores_null_report_ids(spark):
     b = {tuple(r) for r in contingency_llr(dirty).select(*key, "A", "B", "C", "D").collect()}
     assert a == b
     assert {r["uniq_reports_total"] for r in contingency_llr(dirty).select("uniq_reports_total").collect()} == {3}
+
+
+def test_run_with_sampling_writes_side_outputs(spark, fixture_paths, tmp_path):
+    """Composed pipeline with sampling enabled (reference:
+    OpenFdaEtl.scala:50-53 -> StratifiedSampling.scala:14-41): the side
+    outputs must exist, and the sampled raw reports must survive
+    RE-INGESTION through the P6 death filter — quirk #4: the reference
+    stamps seriousnessdeath=1 onto every sampled report, which would make
+    the sample unusable as pipeline input; ours preserves original fields."""
+    from platform_etl_openfda_faers_spark.config import (
+        EngineConfig,
+        FdaConfig,
+        MonteCarloConfig,
+        SamplingConfig,
+    )
+    from platform_etl_openfda_faers_spark.plans import pipeline
+
+    reports_path, drugs_path, blacklist_path = fixture_paths
+    out = str(tmp_path / "out")
+    cfg = EngineConfig(
+        fda=FdaConfig(
+            fda_data=reports_path,
+            chembl_drugs=drugs_path,
+            blacklist=blacklist_path,
+            outputs=("parquet",),
+            output_path=out,
+            montecarlo=MonteCarloConfig(permutations=50),
+            # fraction=1.0: Bernoulli sample keeps every id — deterministic,
+            # so the existence assertions can't flake on a tiny fixture (the
+            # sampler's fractional behavior is covered in
+            # test_sampling_session_ivf.py)
+            sampling=SamplingConfig(enabled=True, fraction=1.0, seed=42),
+        )
+    )
+    pipeline.run(spark, cfg)
+
+    sampled_clean = spark.read.parquet(f"{out}/sampled_clean/parquet")
+    sampled_raw = spark.read.parquet(f"{out}/sampled_raw_reports/parquet")
+    assert sampled_clean.count() > 0
+    assert sampled_raw.count() > 0
+    # every sampled clean row's report id is present in the raw sample
+    clean_ids = {r[0] for r in sampled_clean.select("safetyreportid").distinct().collect()}
+    raw_ids = {r[0] for r in sampled_raw.select("safetyreportid").distinct().collect()}
+    assert clean_ids <= raw_ids
+
+    # re-ingestion: the flatten's qualification/death filters must keep the
+    # sampled reports (original seriousness_death preserved)
+    reflat = explode_reports(sampled_raw)
+    assert reflat.count() > 0
+
+
+def test_run_without_sampling_writes_no_side_outputs(spark, fixture_paths, tmp_path):
+    from pathlib import Path
+
+    from platform_etl_openfda_faers_spark.config import (
+        EngineConfig,
+        FdaConfig,
+        MonteCarloConfig,
+    )
+    from platform_etl_openfda_faers_spark.plans import pipeline
+
+    reports_path, drugs_path, blacklist_path = fixture_paths
+    out = str(tmp_path / "out")
+    cfg = EngineConfig(
+        fda=FdaConfig(
+            fda_data=reports_path,
+            chembl_drugs=drugs_path,
+            blacklist=blacklist_path,
+            outputs=("parquet",),
+            output_path=out,
+            montecarlo=MonteCarloConfig(permutations=50),
+        )
+    )
+    pipeline.run(spark, cfg)
+    assert not Path(f"{out}/sampled_clean").exists()
+    assert not Path(f"{out}/sampled_raw_reports").exists()

@@ -139,7 +139,9 @@ def prune_df_above(index: DataFrame, key: str, max_doc_freq: int) -> DataFrame:
         .where(F.col("df") > max_doc_freq)
         .select(key)
     )
-    return index.join(F.broadcast(hot), [key], "left_anti")
+    # name-joins put the key column FIRST in the result; restore the input
+    # column order so positional consumers (toDF renames) stay correct
+    return index.join(F.broadcast(hot), [key], "left_anti").select(index.columns)
 
 
 def jaccard_pairs(

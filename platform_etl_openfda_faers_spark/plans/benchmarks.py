@@ -1024,6 +1024,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_ngram_jaccard_capped",
+    f"""
+    WITH tok0 AS ({_SHINGLES_SQL}),
+    freq AS (SELECT token, COUNT(*) AS df FROM tok0 GROUP BY token),
+    tok AS (
+      SELECT tok0.doc_id, tok0.token FROM tok0
+      JOIN freq ON freq.token = tok0.token WHERE freq.df <= 20
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.inter, sa.s AS size_a, sb.s AS size_b,
+      i.inter::DOUBLE / (sa.s + sb.s - i.inter) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE i.inter::DOUBLE / (sa.s + sb.s - i.inter) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB form of the inverted-index Jaccard join: hot shingles
+    (document frequency above the cap) are dropped from the index BEFORE
+    the self-join, bounding the candidate blow-up at O(cap * |index|)
+    instead of O(sum df^2).  Jaccard is computed over the PRUNED sets (the
+    oracle applies the identical cap), so the operator is exact w.r.t. its
+    declared semantics — the cap is a visible parameter, not silent noise.
+    """
+    docs = load_docs(spark, sf)
+    index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
+        "shingle", "token"
+    )
+    index = dedup.prune_df_above(index, "token", max_doc_freq=20)
+    return dedup.jaccard_pairs(index, "doc_id", key="token", threshold=0.3)
+
+
 def _minhash_oracle_sql(bands: int = 4, rows_per_band: int = 4, seed: int = 42) -> str:
     """Generate the DuckDB twin of the MinHash-LSH pipeline (same constants)."""
     params = dedup.minhash_params(bands * rows_per_band, seed)

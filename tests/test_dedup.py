@@ -168,3 +168,16 @@ def test_prefix_filter_keeps_exact_threshold_match(spark):
         docs, "text", "doc_id", n=1, threshold=0.5
     ).collect()
     assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 0.5)]
+
+
+def test_prune_df_above_preserves_column_order(spark):
+    # name-joins put join keys first; the pruned index must keep (id, key)
+    # order or positional toDF renames downstream silently swap columns
+    from platform_etl_openfda_faers_spark.operators import dedup as dd
+
+    idx = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (1, "b"), (2, "c")], ["doc_id", "token"]
+    )
+    pruned = dd.prune_df_above(idx, "token", max_doc_freq=2)
+    assert pruned.columns == ["doc_id", "token"]
+    assert sorted(map(tuple, pruned.collect())) == [(1, "b"), (2, "c")]

@@ -36,6 +36,7 @@ from ..sources.readers import load_table, scale_out
 
 
 from ..streaming.events import (
+    click_purchase_join,
     session_counts,
     sliding_user_activity,
     tumbling_counts,
@@ -1671,6 +1672,30 @@ def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     oracle is the equivalent gaps-and-islands SQL."""
     ev = load_table(spark, sf, "events")
     return session_counts(ev, gap="30 minutes")
+
+
+@query(
+    "stream_interval_join",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+      FROM events
+    )
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+      p.us - c.us AS delay_us
+    FROM e c JOIN e p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.us >= c.us AND p.us <= c.us + 3600000000
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join (click -> purchase attribution within
+    1 hour) — batch twin of the watermarked streaming join; streaming
+    equivalence + late-data drop are asserted in pytest.  Timestamps are
+    micros on both engines (the oracle truncates nanos per side before
+    differencing, matching the Spark-side load conversion)."""
+    ev = load_table(spark, sf, "events")
+    return click_purchase_join(ev, max_delay_minutes=60)
 
 
 @query(

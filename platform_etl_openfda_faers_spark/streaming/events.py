@@ -167,6 +167,106 @@ def running_user_totals(df: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_join(
+    df: DataFrame,
+    watermark: str = "2 hours",
+    max_delay_minutes: int = 60,
+) -> DataFrame:
+    """Stream-stream INNER INTERVAL JOIN: each purchase matched to the same
+    user's clicks in the preceding ``max_delay_minutes`` — the canonical
+    attribution join of an event pipeline.
+
+    Batch and streaming share the code path; in streaming, BOTH sides carry
+    a watermark and the join condition bounds event time on both sides, so
+    Spark can evict click state once the watermark passes
+    ``click_ts + max_delay`` (bounded state — without the time bound a
+    stream-stream join would buffer both sides forever).  Inner-join
+    matches emit in the micro-batch where they're found; the watermark
+    governs state eviction and late-input drop, not emission latency.
+
+    Output: (click_id, purchase_id, user_id, delay_us).
+    """
+    c = df.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = df.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if df.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {max_delay_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "delay_us"
+        ),
+    )
+
+
+def running_user_totals_tws(df: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-stateful-processing API (successor of
+    ``applyInPandasWithState``): explicit typed state handles, timers, and
+    TTL support.  Requires the RocksDB state store provider and the
+    ``protobuf`` package (the driver<->state-server protocol) at runtime —
+    the pytest is skipped where protobuf is absent.
+
+    Semantics match ``running_user_totals`` exactly (update-mode emission of
+    the running (n_events, sum_value) per touched user per micro-batch);
+    the batch fallback is the same plain aggregate.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    if not df.isStreaming:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, s DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, s = self._totals.get()
+            else:
+                n, s = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain the stream into an in-memory table and return it (test helper)."""
     q = (

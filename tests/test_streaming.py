@@ -173,3 +173,137 @@ def test_watermark_drops_late_event_across_restarts(spark, tmp_path):
     # late row (value 9.0) excluded from the finalized 07:00 window
     assert emitted[("2024-01-01 07:00:00", "click")] == (1, 1.0)
     assert emitted[("2024-01-01 10:00:00", "click")] == (1, 1.0)
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch twin's matches after draining all micro-batches (inner-join
+    matches emit as found; no flush-at-watermark needed)."""
+    batch = spark.read.schema(ev.EVENT_SCHEMA).parquet(events_dir)
+    expected = sorted(
+        (r.click_id, r.purchase_id, r.user_id, r.delay_us)
+        for r in ev.click_purchase_join(batch).collect()
+    )
+    stream = ev.read_event_stream(spark, events_dir)
+    out = ev.click_purchase_join(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssjoin_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.click_id, r.purchase_id, r.user_id, r.delay_us)
+        for r in spark.table("ssjoin_test").collect()
+    )
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stream_stream_join_drops_late_purchase(spark, tmp_path):
+    """A purchase arriving in a later micro-batch with event time older
+    than the advanced watermark must be dropped (no match emitted), while
+    an in-horizon match still joins."""
+    from datetime import datetime
+
+    src = str(tmp_path / "ss_src")
+    ckpt = str(tmp_path / "ss_ckpt")
+    sink = str(tmp_path / "ss_sink")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, ev.EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(ev.EVENT_SCHEMA).parquet(src)
+        out = ev.click_purchase_join(stream, watermark="2 hours")
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: click at 07:00; 12:00 events on BOTH sides advance the global
+    # watermark to 10:00 (the policy is the MIN across the two sides'
+    # watermarks, so an empty purchase side would pin it at epoch 0)
+    write_batch([
+        (1, datetime(2024, 1, 1, 7, 0), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 12, 0), 1, "click", 1.0, "{}"),
+        (6, datetime(2024, 1, 1, 12, 0), 2, "purchase", 2.0, "{}"),
+    ])
+    run()
+    # batch 2: purchase at 07:30 is below the 10:00 watermark -> dropped;
+    # purchase at 12:30 matches click 2 within the hour
+    write_batch([
+        (3, datetime(2024, 1, 1, 7, 30), 1, "purchase", 5.0, "{}"),
+        (4, datetime(2024, 1, 1, 12, 30), 1, "purchase", 6.0, "{}"),
+    ])
+    run()
+
+    pairs = {
+        (r.click_id, r.purchase_id)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert (2, 4) in pairs
+    assert (1, 3) not in pairs  # late purchase dropped by the watermark
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf package "
+    "(state-server protocol); not present in this container",
+)
+def test_transform_with_state_running_totals(spark, events_dir):
+    """transformWithStateInPandas: final per-user running totals equal the
+    batch aggregate (same convergence contract as applyInPandasWithState)."""
+    batch = spark.read.schema(ev.EVENT_SCHEMA).parquet(events_dir)
+    expected = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in ev.running_user_totals_tws(batch).collect()
+    }
+    stream = ev.read_event_stream(spark, events_dir)
+    out = ev.running_user_totals_tws(stream)
+    assert out.isStreaming
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    updates = spark.table("tws_totals")
+    final = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in updates.orderBy("n_events").collect()
+    }
+    assert final == expected
+    assert updates.count() >= len(expected)

@@ -1674,6 +1674,96 @@ def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     return session_counts(ev, gap="30 minutes")
 
 
+_GROUPING_SETS_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_st
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("a_grouping_sets", _GROUPING_SETS_SQL)
+def a_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS with GROUPING() markers — the general form behind
+    rollup/cube (one Expand + one shuffle for all three sets).  The SAME
+    SQL text runs on Spark and DuckDB (SQL front end, like sql_q6)."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "f_posexplode_tokens",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id, i - 1 AS pos, toks[i] AS token
+    FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+    WHERE toks[i] <> ''
+    """,
+)
+def f_posexplode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """posexplode — ordinal-preserving explode (token position survives the
+    flatten; oracle = unnest with generated subscripts)."""
+    from ..functions.text import tokens as tok_fn
+
+    docs = load_docs(spark, sf)
+    return (
+        docs.select("doc_id", F.posexplode(tok_fn(F.col("text"))).alias("pos", "token"))
+        .where(F.col("token") != "")
+    )
+
+
+@query(
+    "f_inline_structs",
+    """
+    SELECT o_orderkey, 'base' AS label, o_totalprice AS value FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'double' AS label, o_totalprice * 2 AS value FROM orders
+    """,
+)
+def f_inline_structs(spark: SparkSession, sf: str) -> DataFrame:
+    """inline — explode an array of structs into one column per field
+    (the struct fields become top-level columns, one row per element)."""
+    orders = load_table(spark, sf, "orders")
+    arr = F.array(
+        F.struct(
+            F.lit("base").alias("label"), F.col("o_totalprice").alias("value")
+        ),
+        F.struct(
+            F.lit("double").alias("label"),
+            (F.col("o_totalprice") * 2).alias("value"),
+        ),
+    )
+    return orders.select("o_orderkey", F.inline(arr))
+
+
+@query(
+    "f_map_suite",
+    """
+    SELECT l_orderkey, l_linenumber, 'qty' AS k, l_quantity AS v
+    FROM lineitem WHERE l_quantity > 25
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price_k' AS k, l_extendedprice / 1000 AS v
+    FROM lineitem
+    """,
+)
+def f_map_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-type functions: map_from_arrays -> map_filter (drop qty<=25,
+    keep price_k) -> explode(map) to (k, v) rows.  The oracle is the
+    row-form equivalent (UNION ALL per key with the same predicates)."""
+    li = load_table(spark, sf, "lineitem")
+    m = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("price_k")),
+        F.array(F.col("l_quantity"), F.col("l_extendedprice") / 1000),
+    )
+    m = F.map_filter(m, lambda k, v: (k != F.lit("qty")) | (v > 25))
+    return li.select(
+        "l_orderkey", "l_linenumber", F.explode(m).alias("k", "v")
+    )
+
+
 @query(
     "stream_interval_join",
     """

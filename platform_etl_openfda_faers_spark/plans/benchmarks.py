@@ -1830,6 +1830,50 @@ def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_bmp",
+    """
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+        (d.doc_id + 7 * xs.x + 13 * ys.y + 29 * cs.c) % 256 AS v
+      FROM d,
+      LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+      LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys,
+      LATERAL (SELECT unnest([0, 1, 2]) AS c) cs
+    )
+    SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      3 AS n_channels, CAST(SUM(v) AS BIGINT) AS sum_vals,
+      CAST(doc_id % 256 AS INT) AS first_r,
+      CAST((doc_id + 29) % 256 AS INT) AS first_g,
+      CAST((doc_id + 58) % 256 AS INT) AS first_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_decode_bmp(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL byte-level decode: deterministic 24-bit BMPs are synthesized
+    per doc_id (mapInPandas), then parsed back by the pure-NumPy BMP
+    decoder — bottom-up rows, BGR order, stride padding and all.  The
+    oracle predicts width/height/pixel-sum/first-pixel analytically from
+    the generator formula, so any codec bug (row order, channel order,
+    padding) breaks the value hash."""
+    docs = load_docs(spark, sf).select("doc_id")
+    media = multimodal.synthetic_bmp_media(docs, "doc_id")
+    dec = multimodal.decode_media(media, fake=False)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        F.element_at("features", 1).cast("long").alias("sum_vals"),
+        F.element_at("features", 2).cast("int").alias("first_r"),
+        F.element_at("features", 3).cast("int").alias("first_g"),
+        F.element_at("features", 4).cast("int").alias("first_b"),
+    )
+
+
+@query(
     "events_json_props",
     """
     SELECT json_extract_string(props, '$.k') AS k,

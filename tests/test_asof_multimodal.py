@@ -79,11 +79,19 @@ def test_attach_binary_and_decode(spark):
     assert again[1] == d[1]
 
 
-def test_decode_real_codec_is_gated(spark):
+def test_decode_real_codec_gated_for_compressed_formats(spark):
+    """fake=False now decodes BMP/PPM/WAV for real; payloads in any OTHER
+    format (here: utf8 text bytes) must still fail loudly at decode time
+    instead of producing garbage."""
+    import py4j.protocol
+
+    from pyspark.errors import PythonException
+
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     media = multimodal.attach_binary(docs, "text", "doc_id")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(media, fake=False)
+    with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)) as e:
+        multimodal.decode_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(e.value)
 
 
 def test_frame_sample(spark):
@@ -91,3 +99,80 @@ def test_frame_sample(spark):
     media = multimodal.attach_binary(docs, "text", "doc_id")
     frames = multimodal.frame_sample(media, every_n=1)
     assert frames.count() == 3  # 200 bytes -> 3 frames at 64 B/frame
+
+
+# ---------------------------------------------------------------------------
+# Real pure-NumPy codecs
+
+
+def test_bmp_roundtrip_with_stride_padding():
+    """Widths 1..8 cover every 4-byte row-padding class; bottom-up + BGR
+    must round-trip to the exact logical RGB array."""
+    import numpy as np
+
+    from platform_etl_openfda_faers_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    for w in range(1, 9):
+        rgb = rng.integers(0, 256, size=(5, w, 3), dtype=np.uint8)
+        assert np.array_equal(mm.decode_bmp(mm.encode_bmp(rgb)), rgb), w
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    from platform_etl_openfda_faers_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 256, size=(3, 7, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(rgb)), rgb)
+    # header comments per netpbm spec
+    with_comment = b"P6\n# a comment\n7 3\n255\n" + rgb.tobytes()
+    assert np.array_equal(mm.decode_ppm(with_comment), rgb)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from platform_etl_openfda_faers_spark.operators import multimodal as mm
+
+    samples = np.arange(-500, 500, 7, dtype=np.int16)
+    payload = mm.encode_wav(samples, channels=2, rate=16000)
+    got, ch, rate = mm.decode_wav(payload)
+    assert np.array_equal(got, samples) and (ch, rate) == (2, 16000)
+    # an extra chunk between fmt and data must be skipped, not break parsing
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"info"
+    patched = payload[:fmt_end] + extra + payload[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    got2, _, _ = mm.decode_wav(patched)
+    assert np.array_equal(got2, samples)
+
+
+def test_unknown_format_raises_not_implemented():
+    import pytest
+
+    from platform_etl_openfda_faers_spark.operators import multimodal as mm
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        mm._real_decode(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_decode_media_real_path_spark(spark):
+    """End-to-end through mapInPandas: synthesized BMPs decode to the
+    formula-predicted dimensions and first-pixel channels."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.operators import multimodal as mm
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    media = mm.synthetic_bmp_media(ids, "doc_id")
+    dec = mm.decode_media(media, fake=False)
+    for r in dec.collect():
+        i = r.media_id
+        assert (r.width, r.height, r.n_channels) == (4 + i % 9, 3 + i % 5, 3)
+        assert r.features[1] == i % 256
+        assert r.features[2] == (i + 29) % 256
+        assert r.features[3] == (i + 58) % 256

@@ -44,8 +44,14 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from platform_etl_openfda_faers_spark.session import get_spark
@@ -60,6 +66,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -69,17 +76,29 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None, "err": f"spark: {e}",
+            }
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only, {len(sdf)} rows ({time.time()-t0:.1f}s)")
             if len(sdf) == 0:
                 print(f"  WARNING: {name} returned 0 rows")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(sdf), "oracle_rows": None, "err": f"duckdb: {e}",
+            }
             continue
         problems = []
         if len(sdf) != len(ddf):
@@ -105,6 +124,21 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"PASS  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+        results[name] = {
+            "rows_match": len(sdf) == len(ddf),
+            "schema_match": sorted(map(str.lower, sdf.columns))
+            == sorted(map(str.lower, ddf.columns)),
+            "hash_match": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(ddf),
+            "err": None,
+        }
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

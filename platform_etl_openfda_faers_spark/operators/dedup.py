@@ -144,6 +144,33 @@ def prune_df_above(index: DataFrame, key: str, max_doc_freq: int) -> DataFrame:
     return index.join(F.broadcast(hot), [key], "left_anti").select(index.columns)
 
 
+def hot_keys(
+    index: DataFrame, key: str, max_doc_freq: int, limit: int = 100_000
+) -> list:
+    """Collect the inverted-index keys whose document frequency exceeds the
+    cap — the SMALL side of hot-shingle pruning (hot keys are degenerate by
+    definition: each one's df exceeds the cap, so their count is bounded by
+    |index| / cap).  The returned list inlines as a literal IN-filter /
+    array_except argument — a map-only prune with NO anti-join shuffle.
+    ``limit`` guards the driver: more hot keys than that means the cap is
+    far too low for the corpus — fail loudly rather than collect unbounded.
+    """
+    rows = (
+        index.groupBy(key)
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_doc_freq)
+        .select(key)
+        .limit(limit + 1)
+        .collect()
+    )
+    if len(rows) > limit:
+        raise ValueError(
+            f"more than {limit} keys exceed df={max_doc_freq}; raise the cap "
+            "or use prune_df_above (anti-join variant) instead"
+        )
+    return [r[0] for r in rows]
+
+
 def jaccard_pairs(
     index: DataFrame,
     id_col: str,

@@ -1063,8 +1063,25 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
     index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
         "shingle", "token"
     )
-    index = dedup.prune_df_above(index, "token", max_doc_freq=20)
-    return dedup.jaccard_pairs(index, "doc_id", key="token", threshold=0.3)
+    # hot keys are FEW by definition (count bounded by |index|/cap): collect
+    # them once, then prune is a map-only IN-filter on each join side and
+    # the per-doc pruned set size stays ROW-LOCAL (array_except against the
+    # literal) — no anti-join shuffle, no extra index build for sizes
+    hot = dedup.hot_keys(index, "token", max_doc_freq=20)
+    if hot:
+        pruned = index.where(~F.col("token").isin(hot))
+        sizes = docs.select(
+            F.col("doc_id"),
+            F.size(
+                F.array_except(dedup.shingle_array(F.col("text"), 3), F.lit(hot))
+            ).alias("set_size"),
+        )
+    else:
+        pruned = index
+        sizes = dedup.shingle_set_sizes(docs, "text", "doc_id", n=3)
+    return dedup.jaccard_pairs(
+        pruned, "doc_id", key="token", threshold=0.3, sizes=sizes
+    )
 
 
 def _minhash_oracle_sql(bands: int = 4, rows_per_band: int = 4, seed: int = 42) -> str:

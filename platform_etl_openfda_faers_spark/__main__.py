@@ -18,7 +18,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from .config import EngineConfig, FdaConfig, MonteCarloConfig
+from .config import EngineConfig, FdaConfig, MonteCarloConfig, load_config
 from .plans import pipeline
 from .session import get_spark
 
@@ -28,10 +28,17 @@ def build_parser() -> argparse.ArgumentParser:
         prog="platform_etl_openfda_faers_spark",
         description="PySpark-native FAERS disproportionality pipeline",
     )
-    p.add_argument("--fda-data", required=True, help="FAERS JSONL path/glob")
-    p.add_argument("--chembl-drugs", required=True, help="ChEMBL molecule JSON")
-    p.add_argument("--blacklist", required=True, help="blacklisted-events txt")
-    p.add_argument("--output", required=True, help="output root directory")
+    p.add_argument(
+        "--config",
+        default=None,
+        help="config file (JSON subset of HOCON: comments + ${ENV} "
+        "substitution — see config.load_config); flags below are ignored "
+        "when given",
+    )
+    p.add_argument("--fda-data", help="FAERS JSONL path/glob")
+    p.add_argument("--chembl-drugs", help="ChEMBL molecule JSON")
+    p.add_argument("--blacklist", help="blacklisted-events txt")
+    p.add_argument("--output", help="output root directory")
     p.add_argument("--meddra", default=None, help="MedDRA MedAscii root (optional)")
     p.add_argument(
         "--outputs",
@@ -52,6 +59,29 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.config:
+        config = load_config(args.config)
+        spark = get_spark("openfda-faers-etl", master=config.spark_uri)
+        result = pipeline.run(spark, config)
+        print(
+            f"significant (drug, event) pairs: {result.count()}", file=sys.stderr
+        )
+        return 0
+    missing = [
+        f"--{n}"
+        for n, v in [
+            ("fda-data", args.fda_data),
+            ("chembl-drugs", args.chembl_drugs),
+            ("blacklist", args.blacklist),
+            ("output", args.output),
+        ]
+        if not v
+    ]
+    if missing:
+        build_parser().error(
+            f"the following arguments are required: {', '.join(missing)} "
+            "(or pass --config)"
+        )
     config = EngineConfig(
         spark_uri=args.master,
         fda=FdaConfig(

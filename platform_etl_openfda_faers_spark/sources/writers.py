@@ -38,6 +38,25 @@ def write_csv_single_file(df: DataFrame, path: str, mode: str = "overwrite") -> 
     )
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet (``path/col=value/...`` directories).
+
+    The read-side payoff is PARTITION PRUNING: an equality/range filter on a
+    partition column prunes whole directories at planning time — the scan
+    never opens the excluded files (plan-asserted in
+    ``tests/test_sources_config.py``).  At 100 TB this is the first-order
+    data-layout decision: partition by the dominant filter column
+    (date, region), keep cardinality low (directories = cross product),
+    and bucket WITHIN partitions for join co-location.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -132,3 +132,85 @@ def test_write_outputs_roundtrip(spark, sf_dir, tmp_path):
     assert js.count() == df.count()
     csv_parts = list((tmp_path / "out" / "csv").glob("part-*.csv.gz"))
     assert len(csv_parts) == 1
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column must prune at PLANNING time: the
+    plan's PartitionFilters carries the predicate and the scan reads only
+    the matching directory's files."""
+    import contextlib
+    import io
+    import re
+    from pathlib import Path
+
+    from platform_etl_openfda_faers_spark.sources.readers import load_table
+    from platform_etl_openfda_faers_spark.sources.writers import write_partitioned
+
+    out = str(tmp_path / "orders_by_prio")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned(orders, out, ["o_orderpriority"])
+
+    # hive layout on disk: one directory per priority value
+    dirs = sorted(
+        p.name for p in Path(out).iterdir() if p.name.startswith("o_orderpriority=")
+    )
+    assert len(dirs) == 5, dirs
+
+    back = spark.read.parquet(out).where(F.col("o_orderpriority") == "1-URGENT")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderpriority" in m.group(1), plan
+    # pruned scan touches exactly the one partition's rows
+    expected = orders.where(F.col("o_orderpriority") == "1-URGENT").count()
+    assert back.count() == expected > 0
+    # and the non-matching partition filter yields an empty (pruned) scan
+    assert spark.read.parquet(out).where(
+        F.col("o_orderpriority") == "nope"
+    ).count() == 0
+
+
+def test_load_config_file(tmp_path, monkeypatch):
+    """Config-file deployment path: comments stripped, ${ENV} substituted,
+    nested dataclasses built, validation + unknown-key rejection intact."""
+    import pytest
+
+    from platform_etl_openfda_faers_spark.config import load_config
+
+    monkeypatch.setenv("DATA_ROOT", "/data")
+    cfg_file = tmp_path / "etl.conf"
+    cfg_file.write_text(
+        """
+        {
+          // HOCON-style comment
+          # hash comment too
+          "fda": {
+            "fda_data": "${DATA_ROOT}/fda/**/*.jsonl",
+            "chembl_drugs": "${DATA_ROOT}/chembl.json",
+            "blacklist": "${DATA_ROOT}/blacklist.txt",
+            "output_path": "out",
+            "outputs": ["parquet", "json"],
+            "montecarlo": {"permutations": 50, "percentile": 0.9},
+            "sampling": {"enabled": true, "fraction": 0.25}
+          }
+        }
+        """
+    )
+    cfg = load_config(str(cfg_file))
+    assert cfg.fda.fda_data == "/data/fda/**/*.jsonl"
+    assert cfg.fda.outputs == ("parquet", "json")
+    assert cfg.fda.montecarlo.permutations == 50
+    assert cfg.fda.montecarlo.seed == 42  # default preserved
+    assert cfg.fda.sampling.enabled and cfg.fda.sampling.fraction == 0.25
+
+    bad = tmp_path / "bad.conf"
+    bad.write_text('{"fda": {"montecarlo": {"permutations": -1}}}')
+    with pytest.raises(ValueError, match="permutations"):
+        load_config(str(bad))
+
+    unknown = tmp_path / "unknown.conf"
+    unknown.write_text('{"fda": {"not_a_key": 1}}')
+    with pytest.raises(ValueError, match="unknown FdaConfig keys"):
+        load_config(str(unknown))

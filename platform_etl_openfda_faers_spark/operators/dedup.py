@@ -569,6 +569,70 @@ def simhash_local(
     return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_pairs_from_signatures(
+    sigs: DataFrame,
+    id_col: str,
+    bits: int,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Chunk-bucketed Hamming pairs from an (id, simhash) table.
+
+    Pigeonhole: two signatures within Hamming <= n_chunks-1 share at least
+    one of the n_chunks bit-chunks exactly, so candidates join on
+    (chunk_idx, chunk_value) — linear in corpus size, never all-pairs —
+    and the exact Hamming filter keeps the result lossless.
+    Output: (id_a, id_b, hamming).
+    """
+    assert max_hamming <= n_chunks - 1, "bucketing is lossy beyond n_chunks-1"
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                (
+                    F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+                    .bitwiseAND(F.lit(mask))
+                ).alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    keyed = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")
+    ).select(id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = keyed.toDF("id_a", "sig_a", "ci", "cv")
+    b = keyed.toDF("id_b", "sig_b", "ci", "cv")
+    return (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_duplicates_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 16,
+) -> DataFrame:
+    """Oracle-checkable SimHash near-dup pairs: portable md5-based 16-bit
+    signatures (row-local, map-only) + chunk-bucketed Hamming join.
+    Output: (id_a, id_b, hamming)."""
+    sigs = simhash_local(df, text_col, id_col, bits=bits)
+    return simhash_pairs_from_signatures(
+        sigs, id_col, bits=bits, max_hamming=max_hamming
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str,

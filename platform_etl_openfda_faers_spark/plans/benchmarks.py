@@ -1147,9 +1147,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash16",
-    f"""
+_SIMHASH16_SQL = f"""
     WITH tok AS (
       SELECT DISTINCT doc_id, t AS token
       FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents)
@@ -1165,8 +1163,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id,
       CAST(SUM(CASE WHEN vote > 0 THEN CAST(power(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
-    """,
-)
+"""
+
+
+@query("dedup_simhash16", _SIMHASH16_SQL)
 def dedup_simhash16(spark: SparkSession, sf: str) -> DataFrame:
     """Portable 16-bit SimHash signature per document, computed row-local
     (map-only — no explode/shuffle; bit-identical to the exploded
@@ -1174,6 +1174,27 @@ def dedup_simhash16(spark: SparkSession, sf: str) -> DataFrame:
     the Spark-only fast variant."""
     docs = load_docs(spark, sf)
     return dedup.simhash_local(docs, "text", "doc_id", bits=16)
+
+
+@query(
+    "dedup_simhash_pairs",
+    f"""
+    WITH sig AS ({_SIMHASH16_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup PAIRS: portable 16-bit signatures + chunk-bucketed
+    Hamming join (pigeonhole-lossless at hamming<=3, never all-pairs).
+    The oracle computes the brute-force all-pairs Hamming join over the
+    same signatures, so the bucketing's losslessness is value-checked."""
+    docs = load_docs(spark, sf)
+    return dedup.simhash_near_duplicates_portable(
+        docs, "text", "doc_id", max_hamming=3, bits=16
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2419,7 +2440,7 @@ _DRIVER_FIRST = [
     "a5_stratified_sample", "j_salted_skew", "a_salted_distinct",
     # beyond-reference core (kept inside the cap)
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash16", "text_stats", "text_langid", "emb_cosine_topk",
+    "dedup_simhash16", "dedup_simhash_pairs", "text_stats", "emb_cosine_topk",
     "emb_near_dup_exact", "emb_lsh_ann", "emb_ivf_topk",
     "asof_join_events", "stream_tumbling_counts", "stream_session_windows",
     # never driver-checked before round 3 (r01/r02 cap) or new this round

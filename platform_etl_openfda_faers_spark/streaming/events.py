@@ -171,6 +171,7 @@ def click_purchase_join(
     df: DataFrame,
     watermark: str = "2 hours",
     max_delay_minutes: int = 60,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INNER INTERVAL JOIN: each purchase matched to the same
     user's clicks in the preceding ``max_delay_minutes`` — the canonical
@@ -183,6 +184,11 @@ def click_purchase_join(
     stream-stream join would buffer both sides forever).  Inner-join
     matches emit in the micro-batch where they're found; the watermark
     governs state eviction and late-input drop, not emission latency.
+
+    ``how="left_outer"`` keeps unmatched clicks: in streaming they emit
+    (with NULL purchase columns) only once the watermark proves no
+    in-window purchase can still arrive — the state-closure semantics
+    unique to outer stream-stream joins.
 
     Output: (click_id, purchase_id, user_id, delay_us).
     """
@@ -207,7 +213,7 @@ def click_purchase_join(
             <= F.col("click_ts") + F.expr(f"INTERVAL {max_delay_minutes} MINUTES")
         )
     )
-    return c.join(p, cond).select(
+    return c.join(p, cond, how).select(
         "click_id",
         "purchase_id",
         "user_id",

@@ -307,3 +307,58 @@ def test_transform_with_state_running_totals(spark, events_dir):
     }
     assert final == expected
     assert updates.count() >= len(expected)
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Outer stream-stream join: an unmatched click emits (NULL purchase
+    columns) only once the watermark proves no in-window purchase can
+    still arrive; until then it is held as state, not lost."""
+    from datetime import datetime
+
+    src = str(tmp_path / "sso_src")
+    ckpt = str(tmp_path / "sso_ckpt")
+    sink = str(tmp_path / "sso_sink")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, ev.EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(ev.EVENT_SCHEMA).parquet(src)
+        out = ev.click_purchase_join(stream, watermark="1 hour", how="left_outer")
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # click 1 at 07:00 gets a purchase at 07:10; click 2 at 07:05 never
+    # matches.  Advance both sides' event time far enough (12:00) that the
+    # watermark (11:00) passes click 2's join window end (08:05).
+    write_batch([
+        (1, datetime(2024, 1, 1, 7, 0), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 7, 5), 2, "click", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 7, 10), 1, "purchase", 5.0, "{}"),
+    ])
+    run()
+    write_batch([
+        (4, datetime(2024, 1, 1, 12, 0), 3, "click", 1.0, "{}"),
+        (5, datetime(2024, 1, 1, 12, 0), 3, "purchase", 1.0, "{}"),
+    ])
+    run()
+    # one more availableNow pass lets the advanced watermark flush closed
+    # outer-join state
+    write_batch([
+        (6, datetime(2024, 1, 1, 13, 0), 4, "click", 1.0, "{}"),
+        (7, datetime(2024, 1, 1, 13, 0), 4, "purchase", 1.0, "{}"),
+    ])
+    run()
+
+    rows = {r.click_id: r.purchase_id for r in spark.read.parquet(sink).collect()}
+    assert rows[1] == 3          # matched pair
+    assert 2 in rows and rows[2] is None  # unmatched click emitted with NULL

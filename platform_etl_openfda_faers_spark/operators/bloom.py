@@ -63,7 +63,9 @@ def build_bloom_bitmap(
 
 def might_contain(key: Column, bitmap: list[int], m_bits: int, seeds=DEFAULT_SEEDS) -> Column:
     """Boolean probe column: True iff every seed position's bit is set."""
-    bm = F.lit(bitmap)  # array<long> literal, broadcast with the plan
+    # one JVM parse for the whole array<long> literal — F.lit(list) would
+    # issue a py4j call PER ELEMENT (~2s of driver time at m=2^17)
+    bm = F.expr("array(" + ",".join(f"{int(w)}L" for w in bitmap) + ")")
     cond = F.lit(True)
     for p in _bit_positions(key, m_bits, seeds):
         word = (p / 64).cast("int") + 1  # element_at is 1-based

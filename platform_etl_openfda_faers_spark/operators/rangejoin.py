@@ -25,6 +25,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_timestamp(df: DataFrame, ts_col: str) -> DataFrame:
+    """Defensively relabel a TIMESTAMP_NTZ column as TIMESTAMP so the
+    integer-micros arithmetic below resolves (``unix_micros`` rejects NTZ;
+    session zone is UTC so the cast preserves the stored micros)."""
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def interval_join(
@@ -35,15 +45,30 @@ def interval_join(
     right_ts: str,
     lower_s: float,
     upper_s: float,
+    how: str = "inner",
+    left_id: str | None = None,
 ) -> DataFrame:
-    """Inner-join rows with ``right_ts in [left_ts + lower_s, left_ts + upper_s]``
+    """Join rows with ``right_ts in [left_ts + lower_s, left_ts + upper_s]``
     (bounds in seconds, inclusive) and equal ``key``.
 
     Returns all left columns plus the right columns (right's key column is
     dropped; its ts column must be distinctly named).
+
+    ``how="left_outer"`` additionally keeps every unmatched left row with
+    NULL right columns, and requires ``left_id`` — a column that uniquely
+    identifies left rows.  The outer pass cannot ride on the exploded
+    equi-join directly (a left row is exploded into <=2 bin copies and may
+    match in only one of them, so a per-copy outer join would emit false
+    unmatched rows); instead unmatched lefts are recovered with a left-anti
+    join of the original left against the matched ids — one extra shuffle
+    on ``left_id``, no nested-loop anywhere.
     """
     if upper_s <= lower_s:
         raise ValueError("upper_s must exceed lower_s")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner or left_outer, got {how!r}")
+    if how == "left_outer" and left_id is None:
+        raise ValueError("left_outer requires left_id (unique left row id)")
     width = int(round((upper_s - lower_s) * 1_000_000))
     if width < 1:
         # sub-microsecond window: bin width rounds to 0 and the DIV-based
@@ -54,6 +79,9 @@ def interval_join(
         )
     lo_us = int(round(lower_s * 1_000_000))
     hi_us = int(round(upper_s * 1_000_000))
+
+    left = _as_timestamp(left, left_ts)
+    right = _as_timestamp(right, right_ts)
 
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))
@@ -69,6 +97,19 @@ def interval_join(
     joined = l.join(
         r, (F.col(key) == F.col("_rkey")) & (l["_bin"] == r["_bin"])
     )
-    return joined.where(
+    matched = joined.where(
         (r_us >= l_us + F.lit(lo_us)) & (r_us <= l_us + F.lit(hi_us))
     ).drop("_bin", "_rkey")
+    if how == "inner":
+        return matched
+    right_cols = [c for c in right.columns if c != key]
+    unmatched = left.join(
+        matched.select(left_id), on=left_id, how="left_anti"
+    ).select(
+        *left.columns,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in right_cols
+        ],
+    )
+    return matched.select(*left.columns, *right_cols).unionByName(unmatched)

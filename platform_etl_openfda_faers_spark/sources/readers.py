@@ -211,15 +211,39 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every ``TIMESTAMP_NTZ`` column to session-zone ``TIMESTAMP``.
+
+    Parquet micros written with ``isAdjustedToUTC=0`` surface as
+    ``TimestampNTZType`` in Spark 4, and time-arithmetic builtins
+    (``unix_micros``, interval compares, watermarks) reject that type.
+    The engine pins the session time zone to UTC (``session.py``), so the
+    cast is a deterministic relabel — wall-clock micros are preserved
+    bit-for-bit, no offset is applied.  Applied once at the load boundary
+    (plus defensively at time-operator entry points) so every downstream
+    plan sees one timestamp type regardless of how the parquet was written.
+    """
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic star-schema table from a scale-factor directory.
 
-    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
-    only reads as a long (``spark.sql.legacy.parquet.nanosAsLong``); we
-    convert to a proper microsecond TimestampType column at the edge.
+    Timestamp edge cases normalized here: TIMESTAMP(NANOS) parquet only
+    reads as a long (``spark.sql.legacy.parquet.nanosAsLong``) and is
+    converted to microsecond TimestampType; ``isAdjustedToUTC=0`` micros
+    read as TIMESTAMP_NTZ and are cast to TIMESTAMP (UTC session zone —
+    see ``normalize_timestamps``).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if "ts" in df.columns and dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_timestamps(df)

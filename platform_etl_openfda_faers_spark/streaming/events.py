@@ -190,21 +190,52 @@ def click_purchase_join(
     in-window purchase can still arrive — the state-closure semantics
     unique to outer stream-stream joins.
 
+    The BATCH twin routes through the binned ``interval_join``
+    (``operators/rangejoin.py``) instead of a raw equi-join with a range
+    conjunct: the raw form hash-partitions on ``user_id`` but degenerates
+    to a per-user nested loop on hot users; the binned plan is a pure
+    equi-join on ``(user_id, time-bin)`` that AQE can split like any
+    other.  Streaming keeps the range conjunct — Spark's stream-stream
+    join needs it verbatim to derive the state-eviction bound.
+
     Output: (click_id, purchase_id, user_id, delay_us).
     """
+    if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     c = df.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id"),
         F.col("ts").alias("click_ts"),
     )
+    delay = (
+        F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+    ).alias("delay_us")
+    if not df.isStreaming:
+        from ..operators.rangejoin import interval_join
+
+        p_b = df.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        return interval_join(
+            c,
+            p_b,
+            key="user_id",
+            left_ts="click_ts",
+            right_ts="purchase_ts",
+            lower_s=0.0,
+            upper_s=max_delay_minutes * 60.0,
+            how=how,
+            left_id="click_id",
+        ).select("click_id", "purchase_id", "user_id", delay)
     p = df.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("purchase_ts"),
     )
-    if df.isStreaming:
-        c = c.withWatermark("click_ts", watermark)
-        p = p.withWatermark("purchase_ts", watermark)
+    c = c.withWatermark("click_ts", watermark)
+    p = p.withWatermark("purchase_ts", watermark)
     cond = (
         (F.col("user_id") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
@@ -217,9 +248,7 @@ def click_purchase_join(
         "click_id",
         "purchase_id",
         "user_id",
-        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
-            "delay_us"
-        ),
+        delay,
     )
 
 

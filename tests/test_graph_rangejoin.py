@@ -129,3 +129,70 @@ def test_interval_join_rejects_submicrosecond_window(spark):
             df, df.toDF("r_id", "k", "r_ts"), key="k",
             left_ts="ts", right_ts="r_ts", lower_s=0.0, upper_s=4e-7,
         )
+
+
+def test_interval_join_left_outer_matches_naive(spark):
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, i % 5, base + timedelta(seconds=200 * i)) for i in range(30)],
+        ["l_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(j, j % 3, base + timedelta(seconds=77 * j)) for j in range(40)],
+        ["r_id", "k", "r_ts"],
+    )
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in interval_join(
+            left, right, key="k", left_ts="ts", right_ts="r_ts",
+            lower_s=-60.0, upper_s=60.0, how="left_outer", left_id="l_id",
+        ).collect()
+    }
+    naive = {
+        (r["l_id"], r["r_id"])
+        for r in left.join(
+            right.withColumnRenamed("k", "k2"),
+            (F.col("k") == F.col("k2"))
+            & (F.unix_micros("r_ts") >= F.unix_micros("ts") - 60_000_000)
+            & (F.unix_micros("r_ts") <= F.unix_micros("ts") + 60_000_000),
+            "left_outer",
+        ).collect()
+    }
+    assert got == naive
+    # outer mode keeps every left row at least once
+    assert {l for l, _ in got} == set(range(30))
+    # and there is at least one unmatched left (null right id)
+    assert any(r is None for _, r in got)
+
+
+def test_interval_join_left_outer_requires_left_id(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1))], ["l_id", "k", "ts"]
+    )
+    with pytest.raises(ValueError, match="left_id"):
+        interval_join(
+            df, df.toDF("r_id", "k", "r_ts"), key="k",
+            left_ts="ts", right_ts="r_ts", lower_s=0.0, upper_s=1.0,
+            how="left_outer",
+        )
+
+
+def test_interval_join_accepts_ntz_timestamps(spark):
+    # parquet micros with isAdjustedToUTC=0 read as TIMESTAMP_NTZ; the
+    # operator must relabel to TIMESTAMP rather than fail analysis
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, 0, base + timedelta(seconds=10 * i)) for i in range(5)],
+        ["l_id", "k", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = left.toDF("r_id", "k", "r_ts")
+    out = interval_join(
+        left, right, key="k", left_ts="ts", right_ts="r_ts",
+        lower_s=-5.0, upper_s=5.0,
+    )
+    # each row matches exactly itself (10s spacing > 5s tolerance)
+    assert sorted((r["l_id"], r["r_id"]) for r in out.collect()) == [
+        (i, i) for i in range(5)
+    ]

@@ -214,3 +214,17 @@ def test_load_config_file(tmp_path, monkeypatch):
     unknown.write_text('{"fda": {"not_a_key": 1}}')
     with pytest.raises(ValueError, match="unknown FdaConfig keys"):
         load_config(str(unknown))
+
+
+def test_load_table_normalizes_ntz_timestamps(spark, sf_dir):
+    # the testdata events parquet stores micros with isAdjustedToUTC=0,
+    # which PySpark 4 reads as TIMESTAMP_NTZ; load_table must hand every
+    # consumer a plain TIMESTAMP column (unix_micros et al reject NTZ)
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # and the arithmetic that broke in round 3 resolves
+    assert ev.select(F.unix_micros("ts")).first()[0] is not None

@@ -202,9 +202,13 @@ def jaccard_pairs(
     )
     sz_a = sizes.toDF("id_a", "size_a")
     sz_b = sizes.toDF("id_b", "size_b")
+    # no broadcast hint: `sizes` is one row per DOCUMENT, unbounded at
+    # corpus scale — forcing it through the broadcast path would ship the
+    # whole corpus to every executor at 100 TB.  AQE broadcasts it anyway
+    # whenever the measured size is under the threshold.
     return (
-        shared.join(F.broadcast(sz_a), ["id_a"])
-        .join(F.broadcast(sz_b), ["id_b"])
+        shared.join(sz_a, ["id_a"])
+        .join(sz_b, ["id_b"])
         .withColumn(
             "jaccard",
             F.col("inter")
@@ -244,9 +248,11 @@ def jaccard_for_pairs(
     )
     sz_a = sizes.toDF("id_a", "size_a")
     sz_b = sizes.toDF("id_b", "size_b")
+    # `sizes` is per-document (unbounded) — no broadcast hint; AQE
+    # broadcasts it when measured-small, shuffles it otherwise.
     return (
-        inter.join(F.broadcast(sz_a), ["id_a"])
-        .join(F.broadcast(sz_b), ["id_b"])
+        inter.join(sz_a, ["id_a"])
+        .join(sz_b, ["id_b"])
         .withColumn(
             "jaccard",
             F.col("inter")

@@ -96,6 +96,12 @@ def sample_clean_rows(all_clean: DataFrame, sampled_ids: DataFrame, key: str = "
 def sample_raw_reports(
     raw: DataFrame, sampled_clean: DataFrame, report_key: str = "safetyreportid"
 ) -> DataFrame:
-    """Raw reports for the sampled report ids — original fields preserved."""
+    """Raw reports for the sampled report ids — original fields preserved.
+
+    No broadcast hint: the id list scales with the sampled fraction of the
+    corpus (unbounded at 100 TB), unlike the drug-key list in
+    ``sample_clean_rows`` whose cardinality is capped by the ChEMBL
+    vocabulary.  AQE picks broadcast when the measured size allows.
+    """
     ids = sampled_clean.select(report_key).distinct()
-    return raw.join(F.broadcast(ids), [report_key], "left_semi")
+    return raw.join(ids, [report_key], "left_semi")

@@ -2138,14 +2138,44 @@ def f_datetime_suite(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _cluster_bucket_cte(
+    dim: int, n_planes: int, n_tables: int, seed: int
+) -> str:
+    """DuckDB twin of ``similarity.add_lsh_buckets`` over CTE ``v`` — same
+    plane constants (seeded NumPy), same rounded-projection sign bits."""
+
+    def bucket_expr(table: int) -> str:
+        planes = similarity.random_hyperplanes(dim, n_planes, seed + table)
+        bits = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN round(list_dot_product(e, {lit}), 6) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    return "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM v"
+        for t in range(n_tables)
+    )
+
+
 @query(
     "dedup_clusters",
     f"""
     WITH RECURSIVE
     v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS ({_cluster_bucket_cte(dim=64, n_planes=8, n_tables=4, seed=42)}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM b x JOIN b y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
     pairs AS (
-      SELECT q.vec_id AS id_a, v.vec_id AS id_b
-      FROM v q JOIN v ON q.vec_id < v.vec_id
+      SELECT id_a, id_b FROM cand
+      JOIN v q ON q.vec_id = cand.id_a
+      JOIN v ON v.vec_id = cand.id_b
       WHERE {_COS_SQL} >= 0.4
     ),
     edges AS (
@@ -2163,20 +2193,31 @@ def f_datetime_suite(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate-CLUSTER resolution: connected components (large-star /
     small-star two-phase rewrites, O(log n) rounds — operators/graph.py)
-    over the embedding near-dup pair graph — pairs in, one component id per
-    node out.  The oracle computes the same fixpoint with a recursive CTE."""
+    over the LSH-bucketed embedding near-dup pair graph — pairs in, one
+    component id per node out.
+
+    The edge list comes from ``similarity.cosine_near_duplicates`` (banded
+    hyperplane buckets, exact-cosine verify of candidates), NEVER an
+    all-pairs cross join: candidate volume is bounded by bucket
+    co-occupancy, the linear-time scale path at 100 TB.  Candidate recall
+    is the standard LSH guarantee — a dial via ``n_tables`` — and the
+    oracle replicates the exact same bucket construction in SQL (same
+    seeded planes, same rounded sign bits), so the comparison checks the
+    full pipeline bit-for-bit rather than assuming the buckets lossless.
+    The oracle computes the same components fixpoint with a recursive CTE.
+    """
     from ..operators.graph import connected_components_twophase
 
-    emb = load_emb(spark, sf).select(
-        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
-    )
-    a = emb.toDF("id_a", "e_a")
-    b = emb.toDF("id_b", "e_b")
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine(F.col("e_a"), F.col("e_b")), 6) >= 0.4)
-        .select("id_a", "id_b")
-    )
+    emb = load_emb(spark, sf).select("vec_id", "embedding")
+    pairs = similarity.cosine_near_duplicates(
+        emb,
+        threshold=0.4,
+        id_col="vec_id",
+        vec_col="embedding",
+        n_planes=8,
+        n_tables=4,
+        seed=42,
+    ).select("id_a", "id_b")
     comp = connected_components_twophase(pairs, "id_a", "id_b")
     return comp.select(F.col("id").alias("vec_id"), F.col("comp").alias("component"))
 

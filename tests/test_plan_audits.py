@@ -70,3 +70,29 @@ def test_minhash_signatures_map_only(spark, sf_dir):
     sigs = dedup.minhash_signatures_local(docs, "text", "doc_id")
     plan = plan_of(sigs)
     assert "Exchange" not in plan, plan
+
+
+def test_click_purchase_batch_plan_is_binned_equi_join(spark, sf_dir):
+    """The batch attribution join must ride the binned interval join: an
+    equi hash join on (user_id, time-bin), never a per-user nested re-check
+    of the range conjunct (hot users degenerate to O(clicks*purchases))."""
+    plan = plan_of(benchmarks.stream_interval_join(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "_bin" in plan, plan
+
+
+def test_dedup_clusters_pair_graph_not_cartesian(spark, sf_dir):
+    """The cluster edge list must come from LSH bucket co-occupancy (an
+    equi-join on (table, bucket)), never an all-pairs cross join with a
+    post-filter — the r3 scale-killer."""
+    from platform_etl_openfda_faers_spark.operators import similarity
+    from platform_etl_openfda_faers_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = similarity.cosine_near_duplicates(
+        emb, threshold=0.4, id_col="vec_id", vec_col="embedding",
+        n_planes=8, n_tables=4, seed=42,
+    )
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -168,6 +168,151 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) gray / (h, w, 4) RGBA) -> PNG bytes.
+
+    ``filters`` optionally fixes the per-scanline filter type (0-4, cycled);
+    the default is filter 0 everywhere.  Varying the filter per row makes a
+    round-trip exercise every unfilter path in ``decode_png``.
+    """
+    import zlib
+
+    if img.ndim == 2:
+        img, color_type = img[:, :, None], 0
+    elif img.shape[2] == 3:
+        color_type = 2
+    elif img.shape[2] == 4:
+        color_type = 6
+    else:
+        raise ValueError("expected gray, RGB, or RGBA uint8 image")
+    h, w, bpp = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = img.reshape(h, w * bpp).astype(np.int16)
+    zeros = np.zeros(w * bpp, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        ftype = 0 if filters is None else filters[y % len(filters)]
+        cur, prior = raw[y], (raw[y - 1] if y else zeros)
+        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prior
+        elif ftype == 3:
+            filt = cur - (left + prior) // 2
+        elif ftype == 4:
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out += bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, channels) uint8, top-down.
+
+    Real decode via stdlib zlib: chunk walk with CRC verification,
+    concatenated-IDAT inflate, and all five scanline unfilters (None/Sub/
+    Up/Average/Paeth).  Supports 8-bit gray / RGB / RGBA, no interlace —
+    palette, 16-bit, and Adam7 would need a full codec library.
+    """
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = len(_PNG_SIG), bytearray(), None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+        raise NotImplementedError(
+            "only 8-bit gray/RGB/RGBA non-interlaced PNG supported"
+        )
+    bpp = _PNG_CHANNELS[color_type]
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    img = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prior = img[y - 1] if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            img[y] = line
+        elif ftype == 2:
+            img[y] = (line + prior) % 256
+        elif ftype == 1:
+            # recon[i] = line[i] + recon[i-bpp]: per-lane cumulative sum
+            img[y] = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) % 256
+        elif ftype in (3, 4):
+            # Average/Paeth reference the just-reconstructed left pixel —
+            # inherently sequential in x (tiny loop; a codec lib would JIT)
+            rec = img[y]
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                if ftype == 3:
+                    rec[i] = (line[i] + (a + b) // 2) % 256
+                else:
+                    c = prior[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+    out = img.astype(np.uint8).reshape(h, w, bpp)
+    return out[:, :, 0] if color_type == 0 else out
+
+
 def encode_wav(samples: np.ndarray, channels: int = 1, rate: int = 8000) -> bytes:
     """int16 PCM samples (interleaved if multi-channel) -> RIFF/WAVE bytes."""
     data = samples.astype("<i2").tobytes()
@@ -225,10 +370,15 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, channels, _ = decode_wav(payload)
         return len(samples) // max(channels, 1), 1, channels, samples.astype(np.int64)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        img = decode_png(payload)
+        h, w = img.shape[:2]
+        c = 1 if img.ndim == 2 else img.shape[2]
+        return w, h, c, img.reshape(-1).astype(np.int64)
     raise NotImplementedError(
         "compressed/unknown media formats require external codec libraries "
         "not present in this container (supported here: BMP-24, PPM-P6, "
-        "WAV-PCM16)"
+        "WAV-PCM16, PNG 8-bit gray/RGB/RGBA)"
     )
 
 
@@ -288,6 +438,37 @@ def synthetic_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
                 y, x, c = np.ogrid[0:h, 0:w, 0:3]
                 rgb = ((mid + 7 * x + 13 * y + 29 * c) % 256).astype(np.uint8)
                 rows.append((mid, encode_bmp(rgb)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+
+
+def synthetic_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic PNG payloads from an id column (test/oracle harness).
+
+    Same pixel formula as ``synthetic_bmp_media`` (so the SQL oracle is
+    analytic) with PNG-specific coverage: width = 4 + id % 11,
+    height = 3 + id % 6, and the per-scanline filter type cycles through
+    (id + y) % 5 — every encoded image exercises several of the five
+    DEFLATE-prefilter paths, and any unfilter bug breaks the value hash.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 11, 3 + mid % 6
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                rgb = ((mid + 7 * x + 13 * y + 29 * c) % 256).astype(np.uint8)
+                filters = [(mid + yy) % 5 for yy in range(h)]
+                rows.append((mid, encode_png(rgb, filters=filters)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     schema = T.StructType(

@@ -1915,6 +1915,51 @@ def multimodal_decode_bmp(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_png",
+    """
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 11 AS w, 3 + doc_id % 6 AS h FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+        (d.doc_id + 7 * xs.x + 13 * ys.y + 29 * cs.c) % 256 AS v
+      FROM d,
+      LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+      LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys,
+      LATERAL (SELECT unnest([0, 1, 2]) AS c) cs
+    )
+    SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      3 AS n_channels, CAST(SUM(v) AS BIGINT) AS sum_vals,
+      CAST(doc_id % 256 AS INT) AS first_r,
+      CAST((doc_id + 29) % 256 AS INT) AS first_g,
+      CAST((doc_id + 58) % 256 AS INT) AS first_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL compressed-codec decode: deterministic PNGs (stdlib-zlib
+    DEFLATE, per-scanline filter cycling through all five types) are
+    synthesized per doc_id, then parsed back by the pure-NumPy PNG decoder
+    — chunk walk with CRC checks, concatenated-IDAT inflate, Sub/Up/
+    Average/Paeth unfilters.  The oracle predicts width/height/pixel-sum/
+    first-pixel analytically from the generator formula, so an unfilter or
+    inflate bug breaks the value hash."""
+    docs = load_docs(spark, sf).select("doc_id")
+    media = multimodal.synthetic_png_media(docs, "doc_id")
+    dec = multimodal.decode_media(media, fake=False)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        F.element_at("features", 1).cast("long").alias("sum_vals"),
+        F.element_at("features", 2).cast("int").alias("first_r"),
+        F.element_at("features", 3).cast("int").alias("first_g"),
+        F.element_at("features", 4).cast("int").alias("first_b"),
+    )
+
+
+@query(
     "events_json_props",
     """
     SELECT json_extract_string(props, '$.k') AS k,
@@ -2473,25 +2518,30 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
 # full-registry result is committed as CORRECTNESS_LOCAL_r{N}.json).
 
 _DRIVER_FIRST = [
-    # flagship + §2 reference-core surface (kept inside the cap)
+    # r3 hard-errors (TIMESTAMP_NTZ root cause, fixed this round) + the two
+    # queries whose plans were rebuilt this round — re-certify these first
+    "stream_interval_join", "w_frames_suite", "j_range_join",
+    "dedup_clusters", "multimodal_decode_png",
+    # rotated OUT of the driver's 50 in r3 (green in r02 + judge-reverified;
+    # bring them back so every query has a recent driver-green row)
+    "p5_filter_inlist", "p6_null_guards", "w_approx_distinct",
+    "a1_distinct_count", "a2_distinct_rows", "a3_dedup_subset",
+    "a4_collect_list", "sql_q6_revenue", "a5_hash_sample",
+    "a_pivot_counts", "multimodal_frames", "a_rollup_totals",
+    "o1_global_topk", "f_scalar_suite", "text_langid",
+    "text_fingerprint", "text_bpe_count", "asof_forward_events",
+    "w_ranking_suite", "set_ops_suite", "stream_sliding_users",
+    "multimodal_meta", "multimodal_decode",
+    # operators whose code changed this round (broadcast-hint removal)
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_minhash_lsh",
+    "dedup_jaccard_prefix", "a5_stratified_sample", "j7_semi_join",
+    # flagship + headline surface (always inside the cap)
     "q1_pricing_summary", "q3_shipping_priority", "faers_llr",
-    "faers_significant", "f_meddra_parse", "l1_explode_structs",
-    "j1_blacklist_anti", "j2_dimension_join", "j3_left_outer",
-    "j6_full_outer", "j7_semi_join", "w_distinct_windows",
-    "a5_stratified_sample", "j_salted_skew", "a_salted_distinct",
-    # beyond-reference core (kept inside the cap)
-    "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash16", "dedup_simhash_pairs", "text_stats", "emb_cosine_topk",
-    "emb_near_dup_exact", "emb_lsh_ann", "emb_ivf_topk",
-    "asof_join_events", "stream_tumbling_counts", "stream_session_windows",
-    # never driver-checked before round 3 (r01/r02 cap) or new this round
-    "j_bloom_prefilter", "dedup_ngram_jaccard_capped", "a_grouping_sets",
-    "f_posexplode_tokens", "f_inline_structs", "f_map_suite",
-    "stream_interval_join", "multimodal_decode_bmp", "events_json_props",
-    "w_frames_suite", "j_range_join", "a_cube_grouping", "a_percentiles",
-    "f_datetime_suite", "dedup_clusters", "w_analytic_extras",
-    "a_unpivot_measures", "f_string_suite", "j_nullsafe",
-    "j_exists_subquery", "f_array_suite", "dedup_jaccard_prefix",
+    "faers_significant", "j1_blacklist_anti", "w_distinct_windows",
+    "emb_cosine_topk", "emb_ivf_topk", "asof_join_events",
+    "stream_tumbling_counts", "stream_session_windows", "j_bloom_prefilter",
+    "dedup_exact_groups", "dedup_simhash_pairs", "emb_near_dup_exact",
+    "emb_lsh_ann",
 ]
 
 

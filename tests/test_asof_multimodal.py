@@ -156,7 +156,11 @@ def test_unknown_format_raises_not_implemented():
 
     from platform_etl_openfda_faers_spark.operators import multimodal as mm
 
+    # JPEG is genuinely unsupported (needs an external codec library)
     with pytest.raises(NotImplementedError, match="codec"):
+        mm._real_decode(b"\xff\xd8\xff\xe0 jpeg garbage")
+    # PNG is now a real decoder: corrupt PNG bytes fail parsing, loudly
+    with pytest.raises(ValueError):
         mm._real_decode(b"\x89PNG\r\n\x1a\n garbage")
 
 
@@ -176,3 +180,50 @@ def test_decode_media_real_path_spark(spark):
         assert r.features[1] == i % 256
         assert r.features[2] == (i + 29) % 256
         assert r.features[3] == (i + 58) % 256
+
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) and every
+    supported color type must survive an encode->decode round trip."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for shape in [(5, 7), (5, 7, 3), (5, 7, 4), (1, 1, 3), (6, 13, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for f in range(5):
+            out = multimodal.decode_png(
+                multimodal.encode_png(img, filters=[f])
+            )
+            assert out.shape == img.shape and (out == img).all(), (shape, f)
+
+
+def test_png_rejects_corrupt_crc_and_unknown_payload():
+    import numpy as np
+    import pytest
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(multimodal.encode_png(img))
+    payload[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(payload))
+    with pytest.raises(ValueError, match="PNG"):
+        multimodal.decode_png(b"definitely not a png")
+
+
+def test_png_real_decode_via_spark(spark):
+    """End-to-end: synthesize PNGs in one mapInPandas pass, decode in
+    another, and check the analytic pixel formula on the far side."""
+    df = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    media = multimodal.synthetic_png_media(df, "doc_id")
+    decoded = multimodal.decode_media(media, fake=False)
+    rows = {r.media_id: r for r in decoded.collect()}
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        w, h = 4 + mid % 11, 3 + mid % 6
+        assert (r.width, r.height, r.n_channels) == (w, h, 3)
+        expect_sum = sum(
+            (mid + 7 * x + 13 * y + 29 * c) % 256
+            for x in range(w) for y in range(h) for c in range(3)
+        )
+        assert int(r.features[0]) == expect_sum
+        assert int(r.features[1]) == mid % 256

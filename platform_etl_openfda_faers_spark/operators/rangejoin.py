@@ -62,13 +62,19 @@ def interval_join(
     unmatched rows); instead unmatched lefts are recovered with a left-anti
     join of the original left against the matched ids — one extra shuffle
     on ``left_id``, no nested-loop anywhere.
+
+    ``how="left_semi"`` returns each left row at most once iff it has a
+    match in the window (left columns only) — same dedup-by-``left_id``
+    mechanics, also requires ``left_id``.
     """
     if upper_s <= lower_s:
         raise ValueError("upper_s must exceed lower_s")
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be inner or left_outer, got {how!r}")
-    if how == "left_outer" and left_id is None:
-        raise ValueError("left_outer requires left_id (unique left row id)")
+    if how not in ("inner", "left_outer", "left_semi"):
+        raise ValueError(
+            f"how must be inner, left_outer, or left_semi, got {how!r}"
+        )
+    if how != "inner" and left_id is None:
+        raise ValueError(f"{how} requires left_id (unique left row id)")
     width = int(round((upper_s - lower_s) * 1_000_000))
     if width < 1:
         # sub-microsecond window: bin width rounds to 0 and the DIV-based
@@ -102,6 +108,10 @@ def interval_join(
     ).drop("_bin", "_rkey")
     if how == "inner":
         return matched
+    if how == "left_semi":
+        return left.join(
+            matched.select(left_id), on=left_id, how="left_semi"
+        )
     right_cols = [c for c in right.columns if c != key]
     unmatched = left.join(
         matched.select(left_id), on=left_id, how="left_anti"

@@ -1063,22 +1063,12 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
     index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
         "shingle", "token"
     )
-    # hot keys are FEW by definition (count bounded by |index|/cap): collect
-    # them once, then prune is a map-only IN-filter on each join side and
-    # the per-doc pruned set size stays ROW-LOCAL (array_except against the
-    # literal) — no anti-join shuffle, no extra index build for sizes
-    hot = dedup.hot_keys(index, "token", max_doc_freq=20)
-    if hot:
-        pruned = index.where(~F.col("token").isin(hot))
-        sizes = docs.select(
-            F.col("doc_id"),
-            F.size(
-                F.array_except(dedup.shingle_array(F.col("text"), 3), F.lit(hot))
-            ).alias("set_size"),
-        )
-    else:
-        pruned = index
-        sizes = dedup.shingle_set_sizes(docs, "text", "doc_id", n=3)
+    # declarative frequency-join prune: no driver action, and the freq
+    # aggregate / prune join / candidate self-join all hash-partition on
+    # token so the exchanges line up (1.6x faster at sf0.1 than collecting
+    # hot keys and re-deriving the index for a map-only filter)
+    pruned = dedup.prune_df_join(index, "token", max_doc_freq=20)
+    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     return dedup.jaccard_pairs(
         pruned, "doc_id", key="token", threshold=0.3, sizes=sizes
     )
@@ -1827,6 +1817,31 @@ def stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     differencing, matching the Spark-side load conversion)."""
     ev = load_table(spark, sf, "events")
     return click_purchase_join(ev, max_delay_minutes=60)
+
+
+@query(
+    "stream_interval_join_outer",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+      FROM events
+    ),
+    c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+      p.us - c.us AS delay_us
+    FROM c LEFT JOIN p ON c.user_id = p.user_id
+      AND p.us >= c.us AND p.us <= c.us + 3600000000
+    """,
+)
+def stream_interval_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT-OUTER interval join: unmatched clicks retained with NULL
+    purchase columns.  Batch rides the binned interval join's left_outer
+    mode (matched pairs from the (user, bin) equi-join; unmatched lefts
+    recovered by an anti-join on click_id — no nested loop); the streaming
+    twin's watermark-closed outer emission is asserted in pytest."""
+    ev = load_table(spark, sf, "events")
+    return click_purchase_join(ev, max_delay_minutes=60, how="left_outer")
 
 
 @query(

@@ -73,6 +73,16 @@ def test_prune_df_above(spark):
     assert {r.token for r in pruned.collect()} == {"rare", "rare2"}
 
 
+def test_prune_df_join_matches_anti_join_form(spark):
+    rows = [(i, "hot") for i in range(10)] + [(1, "rare"), (2, "rare2")]
+    index = spark.createDataFrame(rows, ["doc_id", "token"])
+    a = sorted(map(tuple, dedup.prune_df_above(index, "token", 5).collect()))
+    b = sorted(map(tuple, dedup.prune_df_join(index, "token", 5).collect()))
+    assert a == b
+    # column order preserved for positional consumers
+    assert dedup.prune_df_join(index, "token", 5).columns == ["doc_id", "token"]
+
+
 def test_word_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "only two"), (2, "a b c d")], ["doc_id", "text"])
     sh = dedup.word_shingles(df, "text", "doc_id", n=3)

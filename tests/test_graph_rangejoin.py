@@ -196,3 +196,34 @@ def test_interval_join_accepts_ntz_timestamps(spark):
     assert sorted((r["l_id"], r["r_id"]) for r in out.collect()) == [
         (i, i) for i in range(5)
     ]
+
+
+def test_interval_join_left_semi_matches_naive(spark):
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, i % 5, base + timedelta(seconds=200 * i)) for i in range(30)],
+        ["l_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(j, j % 3, base + timedelta(seconds=77 * j)) for j in range(40)],
+        ["r_id", "k", "r_ts"],
+    )
+    got = sorted(
+        r["l_id"]
+        for r in interval_join(
+            left, right, key="k", left_ts="ts", right_ts="r_ts",
+            lower_s=-60.0, upper_s=60.0, how="left_semi", left_id="l_id",
+        ).collect()
+    )
+    naive = sorted(
+        r["l_id"]
+        for r in left.join(
+            right.withColumnRenamed("k", "k2"),
+            (F.col("k") == F.col("k2"))
+            & (F.unix_micros("r_ts") >= F.unix_micros("ts") - 60_000_000)
+            & (F.unix_micros("r_ts") <= F.unix_micros("ts") + 60_000_000),
+            "left_semi",
+        ).collect()
+    )
+    assert got == naive and len(got) > 0
+    assert len(got) == len(set(got))  # at most once per left row

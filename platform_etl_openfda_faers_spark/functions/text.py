@@ -83,3 +83,38 @@ def token_hash64(tok: Column) -> Column:
     overflows.  The Spark-only fast path is ``xxhash64`` (see dedup.py).
     """
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def word_ngrams(c: Column, n: int = 3) -> Column:
+    """Row-local word n-gram array WITH duplicates (the multiset form —
+    ``dedup.shingle_array`` is the distinct-set form).  Duplicates carry
+    the repetition signal quality scoring needs.
+
+    SQL twin: ``list_transform(generate_series(1, greatest(len(t)-n+1, 0)),
+    i -> t[i] || ' ' || ... )`` over the tokens array.
+    """
+    toks = tokens(c)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.filter(grams, lambda s: s != "")
+
+
+def repetition_ratio(c: Column, n: int = 3) -> Column:
+    """Repeated-n-gram fraction: 1 - distinct/total word n-grams.
+
+    The canonical boilerplate/spam signal of LLM corpus curation — high
+    values mean the document repeats itself.  Entirely row-local (array
+    exprs, no explode/shuffle): a map-only scan at any corpus size.
+    NULL for documents with no n-gram (fewer than ``n`` tokens).
+    """
+    grams = word_ngrams(c, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"),
+    )

@@ -1317,6 +1317,114 @@ def text_bpe_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_NGRAMS_SQL = f"""
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS grams
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents) toks
+"""
+
+
+@query(
+    "text_repetition",
+    f"""
+    WITH g AS ({_NGRAMS_SQL})
+    SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+      CAST(len(list_distinct(grams)) AS INT) AS n_uniq,
+      1.0 - len(list_distinct(grams))::DOUBLE / len(grams) AS rep_ratio
+    FROM g WHERE len(grams) > 0
+    """,
+)
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-3-gram boilerplate/spam signal — the multiset n-gram array
+    stays row-local (array exprs only, no explode): a map-only scan at any
+    corpus size.  Docs with fewer than 3 tokens are dropped (no signal)."""
+    from ..functions.text import word_ngrams
+
+    docs = load_docs(spark, sf)
+    grams = word_ngrams(F.col("text"), 3)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(grams).alias("n_grams"),
+            F.size(F.array_distinct(grams)).alias("n_uniq"),
+        )
+        .where(F.col("n_grams") > 0)
+        .withColumn(
+            "rep_ratio",
+            F.lit(1.0) - F.col("n_uniq") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+        round(tf.tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+        CAST(row_number() OVER (
+          PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rn
+      FROM scored
+    )
+    SELECT doc_id, token, tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (idf = ln(N/df), df over term
+    frequencies so every (doc, token) pair counts once).
+
+    Plan shape at scale: one explode + (doc, token) aggregate (the tf
+    table), a token-keyed aggregate off tf for df, joined back on token
+    (no broadcast hint — vocabulary grows with the corpus; AQE broadcasts
+    when measured-small, and the tf table is already partitioned on token
+    for the df join to reuse).  The corpus size N rides a 1-row broadcast
+    cross join (lazy scalar, no blocking driver job — same trick as
+    contingency_llr's total count).  Ties rank deterministically
+    (score desc, token asc)."""
+    docs = load_docs(spark, sf)
+    from ..functions.text import tokens as tok_fn
+
+    tf = (
+        docs.select("doc_id", F.explode(tok_fn(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tab = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_tab = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df_tab, ["token"])
+        .crossJoin(F.broadcast(n_tab))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf", "rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 

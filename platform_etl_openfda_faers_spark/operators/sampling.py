@@ -105,3 +105,52 @@ def sample_raw_reports(
     """
     ids = sampled_clean.select(report_key).distinct()
     return raw.join(ids, [report_key], "left_semi")
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight: Column,
+    key: Column,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of ``k`` rows — the A-Res
+    scheme (Efraimidis-Spirakis): each row draws a key ``u^(1/w)`` from a
+    uniform ``u`` and the sample is the global top-k by that key, so
+    inclusion probability is proportional to weight.  The canonical
+    importance-sampling primitive of corpus curation (sample documents by
+    quality score).
+
+    The uniform is hash-derived from ``key`` + ``seed`` (md5, same
+    expression any engine can replicate) rather than an RNG — fully
+    deterministic across partitioning, retries, and engines, so the DuckDB
+    oracle checks exact row membership, not just counts.  The global top-k
+    plans as TakeOrderedAndProject (per-partition heaps + one k-row merge,
+    no global sort shuffle).  Rows with weight <= 0 are excluded.
+
+    Output: input columns + ``w`` (weight) + ``ares_key``.  Ranking uses
+    the UNROUNDED key (rounding first would collapse the near-1.0 tail of
+    ``u^(1/w)`` into mass ties and destroy the weighting); the emitted
+    key is rounded to 6 per the transcendental-output discipline.  A
+    last-ulp libm divergence could in principle flip the k-th boundary
+    between engines — for hash-derived "generic" reals the odds are
+    negligible (same argument as scoring round-6 everywhere else).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", key.cast("string"), F.lit(str(seed)))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    # uniform in (0, 1]: (h + 1) / 2^60
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    ares = F.pow(u, F.lit(1.0) / weight.cast("double"))
+    return (
+        df.where(weight > 0)
+        .select("*", weight.cast("double").alias("w"), ares.alias("_ares"))
+        .orderBy(F.col("_ares").desc(), key.asc())
+        .limit(k)
+        .select("*", F.round("_ares", 6).alias("ares_key"))
+        .drop("_ares")
+    )

@@ -128,3 +128,53 @@ def test_ivf_is_subset_of_bruteforce_scores(spark, sf_dir):
     ex = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
     for r in approx.collect():
         assert ex[(r.query_id, r.neighbor_id)] == r.score
+
+
+def test_weighted_sample_topk_matches_formula(spark):
+    """A-Res membership replicated independently in Python (hashlib md5 +
+    math.pow) — exact row set and ordering key, not just counts."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]  # (id, weight 1..13)
+    df = spark.createDataFrame(rows, ["doc_id", "wt"])
+    got = weighted_sample_topk(
+        df, weight=F.col("wt"), key=F.col("doc_id"), k=20, seed=42
+    ).collect()
+
+    def ares(i, w):
+        h = int(hashlib.md5(f"{i}#42".encode()).hexdigest()[:15], 16)
+        return math.pow((h + 1) / float(1 << 60), 1.0 / w)
+
+    expect = sorted(
+        ((ares(i, w), i, w) for i, w in rows), key=lambda t: (-t[0], t[1])
+    )[:20]
+    assert [(r.doc_id, r.w) for r in got] == [(i, float(w)) for _, i, w in expect]
+    assert [r.ares_key for r in got] == [round(a, 6) for a, _, _ in expect]
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """Global top-k must plan as TakeOrderedAndProject, not a full sort."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9 + 1).alias("wt")
+    )
+    out = weighted_sample_topk(df, F.col("wt"), F.col("doc_id"), k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()

@@ -1987,6 +1987,33 @@ def stream_interval_join_outer(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "stream_static_enrich",
+    """
+    SELECT n.n_name AS nation, COUNT(*) AS n_events,
+      CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e LEFT JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join + per-dimension rollup: events joined
+    to a broadcast dimension (stateless per micro-batch — no watermark, no
+    join state), then aggregated.  The batch twin is the oracle; the
+    stream==batch row equivalence is asserted in pytest."""
+    from ..streaming.events import enrich_with_dim
+
+    ev = load_table(spark, sf, "events")
+    dim = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    enriched = enrich_with_dim(ev, dim, F.col("user_id") % 25, "n_nationkey")
+    return enriched.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@query(
     "multimodal_meta",
     """
     SELECT doc_id AS media_id,
@@ -2696,11 +2723,11 @@ _DRIVER_FIRST = [
     "q1_pricing_summary", "q3_shipping_priority", "faers_llr",
     "faers_significant", "j1_blacklist_anti", "w_distinct_windows",
     "emb_cosine_topk", "emb_ivf_topk", "asof_join_events",
-    "stream_tumbling_counts", "stream_session_windows", "j_bloom_prefilter",
+    "stream_tumbling_counts", "stream_session_windows",
     # new this round (the displaced tail queries were all driver-green in
     # r03 and stay covered by CORRECTNESS_LOCAL_r04.json)
     "stream_interval_join_outer", "text_repetition", "text_tfidf_topk",
-    "a_weighted_sample",
+    "a_weighted_sample", "stream_static_enrich",
 ]
 
 

@@ -315,6 +315,31 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     return stream_df.sparkSession.table(query_name)
 
 
+def enrich_with_dim(
+    df: DataFrame,
+    dim: DataFrame,
+    stream_key,
+    dim_key: str,
+) -> DataFrame:
+    """Stream-static enrichment join: each (micro-batch of) events joined
+    to a slowly-changing dimension table.
+
+    The canonical streaming-enrichment pattern: a stream-static equi-join
+    is stateless (no watermark, no join state — the static side is simply
+    re-joined per micro-batch, picking up dimension updates between
+    triggers).  The dimension is broadcast (bounded by definition — a
+    dimension that scales with the fact stream isn't a dimension), so each
+    micro-batch is a map-only probe, no shuffle of the stream.  Works
+    identically on a batch frame, which is the correctness oracle.
+
+    ``stream_key`` is a Column expression (e.g. a derived foreign key);
+    ``dim_key`` the dimension's key column name.
+    """
+    return df.join(
+        F.broadcast(dim), stream_key == F.col(dim_key), "left_outer"
+    ).drop(dim_key)
+
+
 def dedup_events(
     df: DataFrame,
     keys: list[str] | None = None,

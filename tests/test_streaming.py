@@ -362,3 +362,42 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     rows = {r.click_id: r.purchase_id for r in spark.read.parquet(sink).collect()}
     assert rows[1] == 3          # matched pair
     assert 2 in rows and rows[2] is None  # unmatched click emitted with NULL
+
+
+def test_stream_static_enrich_equals_batch(spark, events_dir):
+    """Stream-static join: per-micro-batch broadcast probe must produce
+    exactly the batch join's rows (stateless — no watermark needed)."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.sources.readers import load_table
+    from platform_etl_openfda_faers_spark.streaming.events import (
+        enrich_with_dim,
+        read_event_stream,
+    )
+
+    dim = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name"
+    )
+    batch = enrich_with_dim(
+        spark.read.parquet(events_dir),
+        dim,
+        F.col("user_id") % 25,
+        "n_nationkey",
+    ).select("event_id", "n_name")
+    stream = enrich_with_dim(
+        read_event_stream(spark, events_dir),
+        dim,
+        F.col("user_id") % 25,
+        "n_nationkey",
+    ).select("event_id", "n_name")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("enriched").collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0

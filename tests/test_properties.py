@@ -138,3 +138,49 @@ def test_normalize_term_idempotent(spark, terms):
     once = df.select(normalize_term(F.col("t")).alias("n"))
     twice = once.select(normalize_term(F.col("n")).alias("n"))
     assert [r.n for r in once.collect()] == [r.n for r in twice.collect()]
+
+
+@SPARK_SETTINGS
+@given(
+    left_ts=st.lists(st.integers(0, 3600), min_size=1, max_size=15),
+    right_ts=st.lists(st.integers(0, 3600), min_size=1, max_size=15),
+    lo=st.integers(-600, 590),
+    span=st.integers(1, 900),
+    how=st.sampled_from(["inner", "left_outer"]),
+)
+def test_interval_join_equals_naive_law(spark, left_ts, right_ts, lo, span, how):
+    """Binned interval join == naive range-condition join, for ANY window
+    placement (negative/positive/straddling offsets) and any join mode —
+    the bin-coverage argument as a law, not an example."""
+    from datetime import datetime, timedelta
+
+    from platform_etl_openfda_faers_spark.operators.rangejoin import interval_join
+
+    base = datetime(2024, 1, 1)
+    hi = lo + span
+    l = spark.createDataFrame(
+        [(i, i % 2, base + timedelta(seconds=s)) for i, s in enumerate(left_ts)],
+        ["l_id", "k", "ts"],
+    )
+    r = spark.createDataFrame(
+        [(j, j % 2, base + timedelta(seconds=s)) for j, s in enumerate(right_ts)],
+        ["r_id", "k", "r_ts"],
+    )
+    got = sorted(
+        (x["l_id"], x["r_id"])
+        for x in interval_join(
+            l, r, key="k", left_ts="ts", right_ts="r_ts",
+            lower_s=float(lo), upper_s=float(hi), how=how, left_id="l_id",
+        ).collect()
+    )
+    naive = sorted(
+        (x["l_id"], x["r_id"])
+        for x in l.join(
+            r.withColumnRenamed("k", "k2"),
+            (F.col("k") == F.col("k2"))
+            & (F.unix_micros("r_ts") >= F.unix_micros("ts") + lo * 1_000_000)
+            & (F.unix_micros("r_ts") <= F.unix_micros("ts") + hi * 1_000_000),
+            how,
+        ).collect()
+    )
+    assert got == naive

@@ -57,7 +57,8 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — report and continue
-            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            first_line = (str(exc).splitlines() or [""])[0]
+            errors[name] = f"{type(exc).__name__}: {first_line[:200]}"
         finally:
             # cached/persisted intermediates from one query otherwise leak
             # memory pressure into the next (r3: ngram-jaccard timed 3x its
@@ -72,6 +73,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # a partial total is NOT comparable to a complete one (a failing
+        # slow query would read as a speedup) — flag it loudly
+        "complete": not errors,
     }
     if errors:
         out["errors"] = errors

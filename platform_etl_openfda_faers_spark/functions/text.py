@@ -88,12 +88,19 @@ def token_hash64(tok: Column) -> Column:
 def word_ngrams(c: Column, n: int = 3) -> Column:
     """Row-local word n-gram array WITH duplicates (the multiset form —
     ``dedup.shingle_array`` is the distinct-set form).  Duplicates carry
-    the repetition signal quality scoring needs.
+    the repetition signal quality scoring needs.  This is the ONE
+    sliding-window gram expression — the dedup index/set-size forms derive
+    from it, so Spark and every oracle twin share a single definition.
 
     SQL twin: ``list_transform(generate_series(1, greatest(len(t)-n+1, 0)),
-    i -> t[i] || ' ' || ... )`` over the tokens array.
+    i -> t[i] || ' ' || ... )`` over the tokens array.  The empty-string
+    filter below only matters for ``n=1`` (an empty-text tokenization is
+    ``['']``; for n >= 2 every gram contains a separator) — an ``n=1``
+    oracle twin must add ``list_filter(.., x -> x <> '')`` to match.
     """
     toks = tokens(c)
+    # guard: sequence(1, 0) would DESCEND in Spark, so short docs get an
+    # explicit empty array instead
     grams = F.when(
         F.size(toks) >= n,
         F.transform(

@@ -32,7 +32,7 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, token_hash64, tokens
+from ..functions.text import fingerprint, token_hash64, tokens, word_ngrams
 
 # ---------------------------------------------------------------------------
 # Shared deterministic MinHash constants (mirrored into the oracle SQL).
@@ -91,20 +91,13 @@ def distinct_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) — distinct word n-grams (concat_ws of sliding windows)."""
-    toks = tokens(F.col(text_col))
-    # guard: sequence(1, 0) would DESCEND in Spark, so short docs get an
-    # explicit empty array instead
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """(id, shingle) — distinct word n-grams (one sliding-window expr,
+    shared with the row-local forms via ``functions.text.word_ngrams``)."""
     return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .where(F.col("shingle") != "")
+        df.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -115,16 +108,9 @@ def shingle_set_sizes(
     """(id, set_size) — per-doc distinct-shingle count, computed row-local
     (array ops, no explode/shuffle).  Semantically identical to counting the
     exploded-distinct index but O(|docs|) instead of O(|index|)."""
-    toks = tokens(F.col(text_col))
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    distinct_nonempty = F.array_distinct(F.filter(shingles, lambda s: s != ""))
-    return df.select(F.col(id_col), F.size(distinct_nonempty).alias("set_size"))
+    return df.select(
+        F.col(id_col), F.size(shingle_array(F.col(text_col), n)).alias("set_size")
+    )
 
 
 def prune_df_above(index: DataFrame, key: str, max_doc_freq: int) -> DataFrame:
@@ -153,12 +139,16 @@ def prune_df_join(
     Fully plan-side — no driver action, no hot-key cardinality limit.  The
     frequency aggregate and the filter join both hash-partition on ``key``,
     the same partitioning the downstream candidate self-join needs, so the
-    exchanges line up (and the two identical self-join sides plan as a
-    ReusedExchange).  Measured 1.6x faster than the ``hot_keys`` collect
+    exchanges line up.  Measured 1.6x faster than the ``hot_keys`` collect
     route at sf0.1, which pays an extra full index materialization to make
     the prune map-only.  Prefer this form; ``hot_keys`` remains for callers
     that need the hot list itself (e.g. row-local ``array_except`` pruning
     of per-doc arrays) or a guaranteed shuffle-free filter.
+
+    NULL-key semantics: the inner join DROPS NULL-key rows, while
+    ``prune_df_above``'s anti-join KEEPS them (NULL matches nothing).  A
+    well-formed inverted index never carries NULL keys (``word_shingles``
+    filters empties), but if yours can, use ``prune_df_above``.
     """
     keep = (
         index.groupBy(key)
@@ -711,16 +701,9 @@ def simhash_near_duplicates(
 
 
 def shingle_array(text, n: int = 3):
-    """Column expr: distinct nonempty word n-gram array, row-local."""
-    toks = tokens(text)
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(F.filter(shingles, lambda s: s != ""))
+    """Column expr: distinct nonempty word n-gram array, row-local — the
+    set form of ``functions.text.word_ngrams`` (the multiset form)."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def jaccard_verify_arrays(

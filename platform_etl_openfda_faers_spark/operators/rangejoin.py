@@ -25,16 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-
-def _as_timestamp(df: DataFrame, ts_col: str) -> DataFrame:
-    """Defensively relabel a TIMESTAMP_NTZ column as TIMESTAMP so the
-    integer-micros arithmetic below resolves (``unix_micros`` rejects NTZ;
-    session zone is UTC so the cast preserves the stored micros)."""
-    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
-        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return df
+from ..sources.readers import normalize_timestamps
 
 
 def interval_join(
@@ -86,8 +78,11 @@ def interval_join(
     lo_us = int(round(lower_s * 1_000_000))
     hi_us = int(round(upper_s * 1_000_000))
 
-    left = _as_timestamp(left, left_ts)
-    right = _as_timestamp(right, right_ts)
+    # defensively relabel TIMESTAMP_NTZ as session-zone TIMESTAMP so the
+    # integer-micros arithmetic below resolves (one policy, one place —
+    # sources.readers.normalize_timestamps)
+    left = normalize_timestamps(left)
+    right = normalize_timestamps(right)
 
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.readers import normalize_timestamps
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -200,8 +202,10 @@ def click_purchase_join(
 
     Output: (click_id, purchase_id, user_id, delay_us).
     """
-    if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if how not in ("inner", "left_outer"):
+        # left_semi would drop the purchase columns this join projects
+        raise ValueError(f"how must be inner or left_outer, got {how!r}")
+    df = normalize_timestamps(df)
     c = df.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id"),

@@ -1459,6 +1459,109 @@ def a_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "w", "ares_key")
 
 
+@query(
+    "corpus_curation_pipeline",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
+    q AS (
+      SELECT doc_id, text, len(toks) AS n_tokens,
+        list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          AS grams
+      FROM t
+    ),
+    filtered AS (
+      SELECT doc_id, text, n_tokens FROM q
+      WHERE n_tokens >= 20 AND len(grams) > 0
+        AND 1.0 - len(list_distinct(grams))::DOUBLE / len(grams) < 0.6
+    ),
+    exact AS (
+      SELECT f.doc_id, f.n_tokens FROM filtered f
+      JOIN (
+        SELECT md5({_NORM_TEXT_SQL}) AS fp, MIN(doc_id) AS keep
+        FROM filtered GROUP BY 1
+      ) g ON md5({_NORM_TEXT_SQL.replace('text', 'f.text')}) = g.fp
+         AND f.doc_id = g.keep
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT q.doc_id, unnest(q.grams) AS token
+        FROM q JOIN exact USING (doc_id)
+      )
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY 1),
+    drops AS (
+      SELECT DISTINCT i.id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) i
+      JOIN sz sa ON sa.doc_id = i.id_a
+      JOIN sz sb ON sb.doc_id = i.id_b
+      WHERE i.inter::DOUBLE / (sa.s + sb.s - i.inter) >= 0.5
+    ),
+    survivors AS (
+      SELECT doc_id, n_tokens FROM exact
+      WHERE doc_id NOT IN (SELECT id_b FROM drops)
+    ),
+    keyed AS (
+      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        CAST(n_tokens AS DOUBLE) AS w,
+        pow((('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 15))::BIGINT + 1)
+              / 1152921504606846976.0,
+            1.0 / n_tokens) AS ares
+      FROM survivors
+    )
+    SELECT doc_id, n_tokens, w, round(ares, 6) AS ares_key
+    FROM keyed ORDER BY ares DESC, doc_id LIMIT 40
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END corpus curation — the LLM-training-data pipeline story
+    composed from this engine's operators, each stage dropping real rows:
+
+    1. quality gate: token count >= 20, repeated-3-gram ratio < 0.6
+       (row-local exprs, map-only);
+    2. exact dedup keep-first: min doc_id per normalized-text fingerprint
+       (one hash aggregate + semi join);
+    3. near-dup removal: inverted-index Jaccard pairs at 0.5, drop the
+       higher id of each pair (keep-lowest canonicalization);
+    4. weighted sample: A-Res top-40 by token count (deterministic
+       hash uniforms, TakeOrderedAndProject).
+
+    Every stage is deterministic, so the oracle replays the WHOLE pipeline
+    in SQL and value-checks the final sampled set — composition, not just
+    operators in isolation."""
+    from ..functions.text import repetition_ratio, token_count
+    from ..operators.sampling import weighted_sample_topk
+
+    docs = load_docs(spark, sf)
+    feats = docs.select(
+        "doc_id",
+        "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        repetition_ratio(F.col("text"), 3).alias("rep"),
+    )
+    filtered = feats.where(
+        (F.col("n_tokens") >= 20) & F.col("rep").isNotNull() & (F.col("rep") < 0.6)
+    )
+    exact = dedup.dedup_exact(filtered, "text", "doc_id")
+    index = dedup.word_shingles(exact, "text", "doc_id", n=3).withColumnRenamed(
+        "shingle", "token"
+    )
+    sizes = dedup.shingle_set_sizes(exact, "text", "doc_id", n=3)
+    pairs = dedup.jaccard_pairs(index, "doc_id", key="token", threshold=0.5, sizes=sizes)
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = exact.join(drops, ["doc_id"], "left_anti")
+    return weighted_sample_topk(
+        survivors.select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens")),
+        weight=F.col("n_tokens"),
+        key=F.col("doc_id"),
+        k=40,
+        seed=42,
+    ).select("doc_id", "n_tokens", "w", "ares_key")
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 
@@ -2723,11 +2826,11 @@ _DRIVER_FIRST = [
     "q1_pricing_summary", "q3_shipping_priority", "faers_llr",
     "faers_significant", "j1_blacklist_anti", "w_distinct_windows",
     "emb_cosine_topk", "emb_ivf_topk", "asof_join_events",
-    "stream_tumbling_counts", "stream_session_windows",
+    "stream_tumbling_counts",
     # new this round (the displaced tail queries were all driver-green in
     # r03 and stay covered by CORRECTNESS_LOCAL_r04.json)
     "stream_interval_join_outer", "text_repetition", "text_tfidf_topk",
-    "a_weighted_sample", "stream_static_enrich",
+    "a_weighted_sample", "stream_static_enrich", "corpus_curation_pipeline",
 ]
 
 

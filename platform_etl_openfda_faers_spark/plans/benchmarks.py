@@ -1459,6 +1459,90 @@ def a_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "w", "ares_key")
 
 
+def _cm_hash_sql(var: str, seed: int, buckets: int) -> str:
+    """DuckDB twin of ``sampling.hash_bucket`` (md5 first-8-hex mod w)."""
+    return (
+        f"(('0x' || substr(md5({var}::VARCHAR || '#{seed}'), 1, 8))::BIGINT"
+        f" % {buckets})"
+    )
+
+
+def _cm_oracle_sql(d: int = 3, w: int = 64, seed: int = 100, probe_max: int = 20) -> str:
+    rows_cte = "\n      UNION ALL ".join(
+        f"SELECT k, {r} AS r, {_cm_hash_sql('k', seed + r, w)} AS b FROM src"
+        for r in range(d)
+    )
+    probe_cte = "\n      UNION ALL ".join(
+        f"SELECT k, {r} AS r, {_cm_hash_sql('k', seed + r, w)} AS b FROM probes"
+        for r in range(d)
+    )
+    return f"""
+    WITH src AS (SELECT l_partkey AS k FROM lineitem),
+    cm AS (
+      SELECT r, b, COUNT(*) AS cnt FROM ({rows_cte}) GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT k FROM src WHERE k <= {probe_max}),
+    pb AS ({probe_cte}),
+    est AS (
+      SELECT pb.k, MIN(cm.cnt) AS est FROM pb JOIN cm USING (r, b) GROUP BY 1
+    ),
+    tru AS (
+      SELECT k, COUNT(*) AS true_cnt FROM src WHERE k <= {probe_max} GROUP BY 1
+    )
+    SELECT est.k AS l_partkey, est.est, tru.true_cnt
+    FROM est JOIN tru USING (k)
+    """
+
+
+@query("sketch_count_min_portable", _cm_oracle_sql())
+def sketch_count_min_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """PORTABLE Count-Min sketch: build (d=3 x w=64, md5-bucket hashes —
+    the same ``hash_bucket`` idiom as deterministic sampling) in one
+    explode + one (r, bucket) aggregate, then point-estimate the first 20
+    part keys as min-over-rows, alongside the true counts.
+
+    Complements the engine-specific ``count_min_sketch`` binary surface
+    (pytest error bounds): here every bucket replays bit-for-bit in SQL,
+    so the oracle checks the full build+query path, and the CM guarantee
+    (est >= true) is visible in the output.  Scale shape: the sketch table
+    is d*w rows regardless of input size — a fixed-size mergeable summary;
+    the build is map-side exprs + one tiny aggregate."""
+    from ..operators.sampling import hash_bucket
+
+    d, w, seed, probe_max = 3, 64, 100, 20
+    li = load_table(spark, sf, "lineitem").select(F.col("l_partkey").alias("k"))
+    ent = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                hash_bucket(F.col("k"), seed=seed + r, buckets=w).alias("b"),
+            )
+            for r in range(d)
+        ]
+    )
+    cm = (
+        li.select(F.explode(ent).alias("e"))
+        .select("e.r", "e.b")
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = li.where(F.col("k") <= probe_max).select("k").distinct()
+    pb = probes.select("k", F.explode(ent).alias("e")).select("k", "e.r", "e.b")
+    est = (
+        pb.join(cm, ["r", "b"])
+        .groupBy("k")
+        .agg(F.min("cnt").alias("est"))
+    )
+    tru = (
+        li.where(F.col("k") <= probe_max)
+        .groupBy("k")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    return est.join(tru, ["k"]).select(
+        F.col("k").alias("l_partkey"), "est", "true_cnt"
+    )
+
+
 @query(
     "corpus_curation_pipeline",
     f"""
@@ -2826,11 +2910,11 @@ _DRIVER_FIRST = [
     "q1_pricing_summary", "q3_shipping_priority", "faers_llr",
     "faers_significant", "j1_blacklist_anti", "w_distinct_windows",
     "emb_cosine_topk", "emb_ivf_topk", "asof_join_events",
-    "stream_tumbling_counts",
     # new this round (the displaced tail queries were all driver-green in
     # r03 and stay covered by CORRECTNESS_LOCAL_r04.json)
     "stream_interval_join_outer", "text_repetition", "text_tfidf_topk",
     "a_weighted_sample", "stream_static_enrich", "corpus_curation_pipeline",
+    "sketch_count_min_portable",
 ]
 
 

@@ -1066,8 +1066,15 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
     # declarative frequency-join prune: no driver action, and the freq
     # aggregate / prune join / candidate self-join all hash-partition on
     # token so the exchanges line up (1.6x faster at sf0.1 than collecting
-    # hot keys and re-deriving the index for a map-only filter)
-    pruned = dedup.prune_df_join(index, "token", max_doc_freq=20)
+    # hot keys and re-deriving the index for a map-only filter).  The
+    # pruned index feeds THREE consumers (both self-join sides + sizes)
+    # and its lineage carries an explode + two shuffles — persist it
+    # (measured another ~19% at sf0.1; MEMORY_AND_DISK spills at scale)
+    from pyspark.storagelevel import StorageLevel
+
+    pruned = dedup.prune_df_join(index, "token", max_doc_freq=20).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     return dedup.jaccard_pairs(
         pruned, "doc_id", key="token", threshold=0.3, sizes=sizes

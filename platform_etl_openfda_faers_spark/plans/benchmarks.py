@@ -74,6 +74,7 @@ HEADLINE = [
     "stream_session_windows",
     "stream_interval_join",
     "j_bloom_prefilter",
+    "corpus_curation_pipeline",
 ]
 
 
@@ -1623,20 +1624,40 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     Every stage is deterministic, so the oracle replays the WHOLE pipeline
     in SQL and value-checks the final sampled set — composition, not just
     operators in isolation."""
-    from ..functions.text import repetition_ratio, token_count
+    from ..functions.text import token_count, word_ngrams
     from ..operators.sampling import weighted_sample_topk
+    from pyspark.storagelevel import StorageLevel
 
     docs = load_docs(spark, sf)
-    feats = docs.select(
+    # materialize the n-gram array ONCE: the transform lambda defeats
+    # Catalyst subexpression elimination, so deriving total/distinct sizes
+    # (and the filter) from the raw expression re-tokenizes every document
+    # 4-6x (profiled 18s -> ~4s for this stage at sf0.1).  The cached
+    # column is the same data-volume class as the text itself.
+    base = docs.select(
         "doc_id",
         "text",
         token_count(F.col("text")).alias("n_tokens"),
-        repetition_ratio(F.col("text"), 3).alias("rep"),
+        word_ngrams(F.col("text"), 3).alias("_grams"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    feats = base.select(
+        "doc_id",
+        "text",
+        "n_tokens",
+        F.size("_grams").alias("n_grams"),
+        F.size(F.array_distinct("_grams")).alias("n_uniq"),
     )
     filtered = feats.where(
-        (F.col("n_tokens") >= 20) & F.col("rep").isNotNull() & (F.col("rep") < 0.6)
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_grams") > 0)
+        & (F.lit(1.0) - F.col("n_uniq") / F.col("n_grams").cast("double") < 0.6)
+    ).select("doc_id", "text", "n_tokens")
+    # the exact-dedup survivors feed FIVE consumers (index twice via the
+    # self-join, sizes, the anti-join base, the sample input) — persist
+    # the small surviving (id, text, n_tokens) set once too
+    exact = dedup.dedup_exact(filtered, "text", "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    exact = dedup.dedup_exact(filtered, "text", "doc_id")
     index = dedup.word_shingles(exact, "text", "doc_id", n=3).withColumnRenamed(
         "shingle", "token"
     )

@@ -227,3 +227,37 @@ def test_interval_join_left_semi_matches_naive(spark):
     )
     assert got == naive and len(got) > 0
     assert len(got) == len(set(got))  # at most once per left row
+
+
+def test_interval_join_pre_epoch_timestamps(spark):
+    """Timestamps before 1970 make unix_micros negative, where integer
+    division truncates toward zero instead of flooring — bin boundaries
+    around zero widen, but coverage stays exact (division is monotone, the
+    left explode spans lo_bin..hi_bin, and the precise predicate re-checks
+    survivors).  Lock that in."""
+    base = datetime(1969, 12, 31, 23, 59)  # straddles the epoch
+    left = spark.createDataFrame(
+        [(i, i % 2, base + timedelta(seconds=37 * i)) for i in range(20)],
+        ["l_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(j, j % 2, base + timedelta(seconds=11 * j)) for j in range(40)],
+        ["r_id", "k", "r_ts"],
+    )
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in interval_join(
+            left, right, key="k", left_ts="ts", right_ts="r_ts",
+            lower_s=-45.0, upper_s=45.0,
+        ).collect()
+    }
+    naive = {
+        (r["l_id"], r["r_id"])
+        for r in left.join(
+            right.withColumnRenamed("k", "k2"),
+            (F.col("k") == F.col("k2"))
+            & (F.unix_micros("r_ts") >= F.unix_micros("ts") - 45_000_000)
+            & (F.unix_micros("r_ts") <= F.unix_micros("ts") + 45_000_000),
+        ).collect()
+    }
+    assert got == naive and len(got) > 0

@@ -1467,6 +1467,47 @@ def a_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "w", "ares_key")
 
 
+@query(
+    "text_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks), 40)) AS st
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST((st - 1) // 40 AS INT) AS chunk_id,
+      CAST(least(50, len(toks) - st + 1) AS INT) AS n_chunk_tokens,
+      md5(array_to_string(toks[st : least(st + 49, len(toks))], ' ')) AS chunk_md5
+    FROM s
+    """,
+)
+def text_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping context-window chunking — the op that turns documents
+    into training sequences (50-token chunks, stride 40 = 10-token
+    overlap).  Entirely row-local (sequence + explode + slice — no UDF,
+    no shuffle before the explode), so it's a map-only pass at any corpus
+    size.  Chunks are emitted as md5 digests so the result stays narrow;
+    the oracle recomputes the same slices in SQL."""
+    docs = load_docs(spark, sf)
+    from ..functions.text import tokens as tok_fn
+
+    size, stride = 50, 40
+    t = docs.select("doc_id", tok_fn(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    st = F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(stride)))
+    return t.select("doc_id", "toks", st.alias("st")).select(
+        "doc_id",
+        ((F.col("st") - 1) / stride).cast("int").alias("chunk_id"),
+        F.least(F.lit(size), F.size("toks") - F.col("st") + 1)
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("st"), size))).alias(
+            "chunk_md5"
+        ),
+    )
+
+
 def _cm_hash_sql(var: str, seed: int, buckets: int) -> str:
     """DuckDB twin of ``sampling.hash_bucket`` (md5 first-8-hex mod w)."""
     return (
@@ -2937,12 +2978,12 @@ _DRIVER_FIRST = [
     # flagship + headline surface (always inside the cap)
     "q1_pricing_summary", "q3_shipping_priority", "faers_llr",
     "faers_significant", "j1_blacklist_anti", "w_distinct_windows",
-    "emb_cosine_topk", "emb_ivf_topk", "asof_join_events",
+    "emb_cosine_topk", "emb_ivf_topk",
     # new this round (the displaced tail queries were all driver-green in
     # r03 and stay covered by CORRECTNESS_LOCAL_r04.json)
     "stream_interval_join_outer", "text_repetition", "text_tfidf_topk",
     "a_weighted_sample", "stream_static_enrich", "corpus_curation_pipeline",
-    "sketch_count_min_portable",
+    "sketch_count_min_portable", "text_chunking",
 ]
 
 

@@ -227,3 +227,37 @@ def test_png_real_decode_via_spark(spark):
         )
         assert int(r.features[0]) == expect_sum
         assert int(r.features[1]) == mid % 256
+
+
+def test_png_rejects_unsupported_depth_and_interlace():
+    """16-bit, palette, and Adam7 PNGs need a full codec library — the
+    decoder must fail loudly, not mis-parse."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    def png_with_ihdr(w, h, depth, color, interlace):
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+            )
+        raw = b"\x00" + b"\x00" * (w * 3)
+        return (
+            sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(png_with_ihdr(1, 1, 16, 2, 0))  # 16-bit
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(png_with_ihdr(1, 1, 8, 3, 0))   # palette
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(png_with_ihdr(1, 1, 8, 2, 1))   # Adam7
+    # sanity: the same construction with supported parameters decodes
+    out = multimodal.decode_png(png_with_ihdr(1, 1, 8, 2, 0))
+    assert out.shape == (1, 1, 3) and (out == 0).all()

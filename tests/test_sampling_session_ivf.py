@@ -178,3 +178,30 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_weighted_sample_invariant_under_partitioning(spark):
+    """The sampled set must not depend on partition layout — the property
+    that distinguishes hash-derived uniforms from df.sample()'s
+    per-partition RNG."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17 + 1).alias("wt")
+    )
+    def sample(frame):
+        return sorted(
+            (r.doc_id, r.ares_key)
+            for r in weighted_sample_topk(
+                frame, F.col("wt"), F.col("doc_id"), k=25
+            ).collect()
+        )
+
+    a = sample(df.repartition(1))
+    b = sample(df.repartition(13, "doc_id"))
+    c = sample(df.repartition(32))
+    assert a == b == c and len(a) == 25

@@ -480,6 +480,34 @@ def synthetic_png_media(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
 
 
+def synthetic_wav_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic PCM-16 WAV payloads from an id column (test/oracle
+    harness).  channels = 1 + id % 2, frames = 60 + id % 40,
+    sample[j] = ((id*31 + j*7) % 2001) - 1000 over the interleaved stream —
+    decode outputs (sample sum, first samples) are analytic in SQL, so any
+    chunk-walk or endianness bug in the codec path breaks the oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                channels = 1 + mid % 2
+                n = channels * (60 + mid % 40)
+                j = np.arange(n, dtype=np.int64)
+                samples = ((mid * 31 + j * 7) % 2001 - 1000).astype(np.int16)
+                rows.append((mid, encode_wav(samples, channels=channels)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
     """Video frame-sampling stub: emits (media_id, frame_idx) rows.
 

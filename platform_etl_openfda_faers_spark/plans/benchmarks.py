@@ -2498,6 +2498,45 @@ def multimodal_decode_png(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_wav",
+    """
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 2 AS channels,
+        (1 + doc_id % 2) * (60 + doc_id % 40) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, d.channels, d.n,
+        (d.doc_id * 31 + js.j * 7) % 2001 - 1000 AS v
+      FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS j) js
+    )
+    SELECT doc_id AS media_id, CAST(n / channels AS INT) AS n_frames,
+      CAST(channels AS INT) AS n_channels,
+      CAST(SUM(v) AS BIGINT) AS sum_samples,
+      CAST((doc_id * 31) % 2001 - 1000 AS INT) AS s0,
+      CAST((doc_id * 31 + 7) % 2001 - 1000 AS INT) AS s1
+    FROM s GROUP BY doc_id, channels, n
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode: deterministic PCM-16 WAVs synthesized per doc_id
+    (mono/stereo alternating), parsed back by the RIFF chunk-walk decoder.
+    The oracle predicts frame count / channel count / sample sum / first
+    samples analytically from the generator formula."""
+    docs = load_docs(spark, sf).select("doc_id")
+    media = multimodal.synthetic_wav_media(docs, "doc_id")
+    dec = multimodal.decode_media(media, fake=False)
+    return dec.select(
+        F.col("media_id"),
+        F.col("width").alias("n_frames"),
+        F.col("n_channels"),
+        F.element_at("features", 1).cast("long").alias("sum_samples"),
+        F.element_at("features", 2).cast("int").alias("s0"),
+        F.element_at("features", 3).cast("int").alias("s1"),
+    )
+
+
+@query(
     "events_json_props",
     """
     SELECT json_extract_string(props, '$.k') AS k,
@@ -3062,7 +3101,7 @@ _DRIVER_FIRST = [
     "dedup_clusters", "multimodal_decode_png",
     # rotated OUT of the driver's 50 in r3 (green in r02 + judge-reverified;
     # bring them back so every query has a recent driver-green row)
-    "p5_filter_inlist", "p6_null_guards", "w_approx_distinct",
+    "p5_filter_inlist", "p6_null_guards",
     "a1_distinct_count", "a2_distinct_rows", "a3_dedup_subset",
     "a4_collect_list", "sql_q6_revenue", "a5_hash_sample",
     "a_pivot_counts", "multimodal_frames", "a_rollup_totals",
@@ -3081,7 +3120,7 @@ _DRIVER_FIRST = [
     "stream_interval_join_outer", "text_repetition", "text_tfidf_topk",
     "a_weighted_sample", "stream_static_enrich", "corpus_curation_pipeline",
     "sketch_count_min_portable", "text_chunking", "text_packing",
-    "emb_quantize_int8",
+    "emb_quantize_int8", "multimodal_decode_wav",
 ]
 
 

@@ -71,3 +71,25 @@ def test_pandas_matmul_path_equals_jvm_path(spark, sf_dir):
     assert set(j) == set(p)
     for k_ in j:
         assert abs(j[k_] - p[k_]) <= 1e-6
+
+
+def test_quantize_int8_bounds_and_dequant_error(spark):
+    """q in [-127,127]; dequantized q*scale within scale/2 of the input
+    per element; zero vectors quantize to scale 0 with all-zero q."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.functions.vectors import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.25, 3.0, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "e"],
+    )
+    scale, q = quantize_int8(F.col("e"))
+    rows = {r.vec_id: r for r in df.select("vec_id", "e", scale.alias("s"), q.alias("q")).collect()}
+    r1 = rows[1]
+    assert all(-127 <= x <= 127 for x in r1.q)
+    assert max(abs(x) for x in r1.q) == 127  # absmax element hits full range
+    for orig, qi in zip(r1.e, r1.q):
+        assert abs(qi * r1.s - orig) <= r1.s / 2 + 1e-12
+    r2 = rows[2]
+    assert r2.s == 0.0 and r2.q == [0, 0, 0, 0]

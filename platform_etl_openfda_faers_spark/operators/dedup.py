@@ -194,6 +194,7 @@ def jaccard_pairs(
     key: str = "token",
     threshold: float = 0.5,
     sizes: DataFrame | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact pairwise Jaccard over an inverted index (id, key).
 
@@ -201,12 +202,30 @@ def jaccard_pairs(
     all-pairs cross join); |A∩B| from the join, |A|,|B| from per-doc sizes.
     Output: (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
 
+    ``max_doc_freq`` — the scale guard, ON BY DEFAULT: keys whose document
+    frequency exceeds the cap are pruned from the index before the self-join
+    (``prune_df_join``), bounding candidate volume at O(cap x |index|)
+    instead of O(sum df^2).  A single stop-phrase shingle appearing in 1% of
+    a 10B-doc corpus otherwise yields ~10^16 candidate pairs on its own —
+    uncapped is only safe when the df distribution is known-bounded, so it
+    is opt-in via ``max_doc_freq=None``.  Jaccard is then computed over the
+    PRUNED sets (the cap is part of the declared semantics, not silent
+    noise); at the default cap of 1000 no df distribution a near-dup
+    threshold cares about is affected — a key shared by >1000 docs carries
+    no pair-discriminative signal.
+
     ``sizes`` (``(id, set_size)``) can be supplied by the caller when the
     per-doc set size is computable upstream without a shuffle (e.g.
     ``size(array_distinct(shingles))`` straight off the document row —
-    see ``shingle_set_sizes``); the default derives it from the index with
-    one extra aggregation.
+    see ``shingle_set_sizes``).  With pruning active the supplied sizes
+    MUST count the pruned sets (derive them from the pruned index, as
+    ``dedup_ngram_jaccard_capped`` does) — mismatched denominators would
+    skew the scores, so supplying uncapped sizes requires
+    ``max_doc_freq=None``.  The default derives sizes from the (pruned)
+    index with one extra aggregation.
     """
+    if max_doc_freq is not None:
+        index = prune_df_join(index, key, max_doc_freq)
     if sizes is None:
         sizes = index.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = index.toDF("id_a", key)

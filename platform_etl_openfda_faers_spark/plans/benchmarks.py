@@ -64,7 +64,10 @@ HEADLINE = [
     "faers_significant",
     "j1_blacklist_anti",
     "w_distinct_windows",
-    "dedup_ngram_jaccard",
+    # scale-safe Jaccard forms hold the headline slots; the uncapped exact
+    # baseline (dedup_ngram_jaccard, O(sum df^2) candidates) is deliberately
+    # NOT here — it remains in the registry as the ground-truth twin
+    "dedup_jaccard_prefix",
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "emb_cosine_topk",
@@ -1015,17 +1018,26 @@ def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup via inverted-index self-join (exact)."""
+    """Word-3-gram Jaccard near-dup via inverted-index self-join — the
+    EXACT SMALL-CORPUS BASELINE, uncapped by explicit opt-in
+    (``max_doc_freq=None``: candidate volume is O(sum df^2), unbounded on a
+    hot-shingle corpus).  For corpus-scale use reach for
+    ``dedup_ngram_jaccard_capped`` (df-capped, the API default) or
+    ``dedup_jaccard_prefix`` (lossless prefix filtering) — those two hold
+    the headline bench slots; this one exists as the ground truth the
+    scale-safe forms are verified against.
+    """
     docs = load_docs(spark, sf)
     # not persisted: the consumers are parallel pruned scans; caching
     # serializes them (4x slower at sf0.1).  Sizes come row-local off the
-    # document (no second index build + shuffle).
+    # document (no second index build + shuffle), which requires the
+    # unpruned index (max_doc_freq=None) so the denominators match.
     index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
         "shingle", "token"
     )
     sizes = dedup.shingle_set_sizes(docs, "text", "doc_id", n=3)
     return dedup.jaccard_pairs(
-        index, "doc_id", key="token", threshold=0.3, sizes=sizes
+        index, "doc_id", key="token", threshold=0.3, sizes=sizes, max_doc_freq=None
     )
 
 
@@ -1077,8 +1089,11 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    # max_doc_freq=None: the cap was already applied above (on the PERSISTED
+    # index so all three consumers share it) — the built-in default would
+    # re-run the frequency join against an already-capped index for nothing.
     return dedup.jaccard_pairs(
-        pruned, "doc_id", key="token", threshold=0.3, sizes=sizes
+        pruned, "doc_id", key="token", threshold=0.3, sizes=sizes, max_doc_freq=None
     )
 
 
@@ -1756,7 +1771,13 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         "shingle", "token"
     )
     sizes = dedup.shingle_set_sizes(exact, "text", "doc_id", n=3)
-    pairs = dedup.jaccard_pairs(index, "doc_id", key="token", threshold=0.5, sizes=sizes)
+    # max_doc_freq=None: sizes come row-local off the UNpruned documents, so
+    # the index must stay unpruned to match (and the oracle replays the
+    # uncapped join).  The quality gate + exact dedup upstream already bound
+    # the df distribution this self-join sees at the curation threshold.
+    pairs = dedup.jaccard_pairs(
+        index, "doc_id", key="token", threshold=0.5, sizes=sizes, max_doc_freq=None
+    )
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = exact.join(drops, ["doc_id"], "left_anti")
     return weighted_sample_topk(
@@ -3095,32 +3116,31 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
 # full-registry result is committed as CORRECTNESS_LOCAL_r{N}.json).
 
 _DRIVER_FIRST = [
-    # r3 hard-errors (TIMESTAMP_NTZ root cause, fixed this round) + the two
-    # queries whose plans were rebuilt this round — re-certify these first
-    "stream_interval_join", "w_frames_suite", "j_range_join",
-    "dedup_clusters", "multimodal_decode_png",
-    # rotated OUT of the driver's 50 in r3 (green in r02 + judge-reverified;
-    # bring them back so every query has a recent driver-green row)
-    "p5_filter_inlist", "p6_null_guards",
-    "a1_distinct_count", "a2_distinct_rows", "a3_dedup_subset",
-    "a4_collect_list", "sql_q6_revenue", "a5_hash_sample",
-    "a_pivot_counts", "multimodal_frames", "a_rollup_totals",
-    "o1_global_topk", "f_scalar_suite", "text_langid",
-    "text_fingerprint", "text_bpe_count", "asof_forward_events",
-    "w_ranking_suite", "set_ops_suite", "stream_sliding_users",
-    "multimodal_meta", "multimodal_decode",
-    # operators whose code changed this round (broadcast-hint removal)
-    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_minhash_lsh",
-    "dedup_jaccard_prefix", "a5_stratified_sample", "j7_semi_join",
+    # the 35 queries the r4 cap rotated OUT (driver-certified last in r03,
+    # judge-reverified in r4) — lead with them so driver evidence stays
+    # fresh across rounds (VERDICT r4 next-steps #4)
+    "j_bloom_prefilter", "emb_lsh_ann", "emb_ivf_topk",
+    "dedup_simhash_pairs", "f_map_suite",
+    "j2_dimension_join", "j3_left_outer", "j6_full_outer",
+    "w_approx_distinct", "j_salted_skew", "a_salted_distinct",
+    "l1_explode_structs", "f_meddra_parse", "dedup_exact_groups",
+    "dedup_simhash16", "text_stats", "emb_cosine_topk",
+    "emb_near_dup_exact", "asof_join_events", "stream_tumbling_counts",
+    "stream_session_windows", "a_grouping_sets", "f_posexplode_tokens",
+    "f_inline_structs", "multimodal_decode_bmp", "events_json_props",
+    "a_cube_grouping", "a_percentiles", "f_datetime_suite",
+    "w_analytic_extras", "a_unpivot_measures", "f_string_suite",
+    "j_nullsafe", "j_exists_subquery", "f_array_suite",
+    # operators whose code changed this round (df-cap default on
+    # jaccard_pairs + headline swap + slimmed curation persist)
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+    "dedup_jaccard_prefix", "corpus_curation_pipeline",
     # flagship + headline surface (always inside the cap)
     "q1_pricing_summary", "q3_shipping_priority", "faers_llr",
-    "faers_significant", "j1_blacklist_anti", "w_distinct_windows",
-    # new this round (the displaced tail queries were all driver-green in
-    # r03 and stay covered by CORRECTNESS_LOCAL_r04.json)
-    "stream_interval_join_outer", "text_repetition", "text_tfidf_topk",
-    "a_weighted_sample", "stream_static_enrich", "corpus_curation_pipeline",
-    "sketch_count_min_portable", "text_chunking", "text_packing",
-    "emb_quantize_int8", "multimodal_decode_wav",
+    "faers_significant", "dedup_minhash_lsh",
+    # new this round; the displaced tail queries were all driver-green in
+    # r04 (CORRECTNESS_r04.json) and stay covered by
+    # CORRECTNESS_LOCAL_r05.json
 ]
 
 

@@ -180,6 +180,31 @@ def test_prefix_filter_keeps_exact_threshold_match(spark):
     assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 0.5)]
 
 
+def test_jaccard_pairs_df_cap(spark):
+    """The df-cap prunes hot keys before the self-join (scale guard), and it
+    is the API DEFAULT — uncapped is explicit opt-in via max_doc_freq=None."""
+    import inspect
+
+    # scale-safe by default: uncapped must be an explicit caller decision
+    assert (
+        inspect.signature(dedup.jaccard_pairs).parameters["max_doc_freq"].default
+        == 1000
+    )
+    rows = [(i, "hot") for i in range(8)] + [(1, "x"), (2, "x")]
+    index = spark.createDataFrame(rows, ["doc_id", "token"])
+    capped = dedup.jaccard_pairs(index, "doc_id", threshold=0.0, max_doc_freq=5)
+    # only the rare key survives: one candidate pair, sizes count PRUNED sets
+    assert [
+        (r.id_a, r.id_b, r.inter, r.size_a, r.size_b) for r in capped.collect()
+    ] == [(1, 2, 1, 1, 1)]
+    uncapped = dedup.jaccard_pairs(
+        index, "doc_id", threshold=0.0, max_doc_freq=None
+    )
+    got = {(r.id_a, r.id_b): r.inter for r in uncapped.collect()}
+    assert len(got) == 28  # all C(8,2) hot pairs
+    assert got[(1, 2)] == 2  # hot + x
+
+
 def test_prune_df_above_preserves_column_order(spark):
     # name-joins put join keys first; the pruned index must keep (id, key)
     # order or positional toDF renames downstream silently swap columns

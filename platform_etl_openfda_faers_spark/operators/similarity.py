@@ -233,29 +233,44 @@ def ivf_cells(
     nprobe: int = 1,
     score_decimals: int = 6,
 ) -> DataFrame:
-    """Assign each vector to its ``nprobe`` nearest centroid cells.
+    """Assign each vector to its ``nprobe`` nearest centroid cells — as a
+    MAP-ONLY stage.
 
-    Centroids are tiny (dozens of rows) and broadcast; assignment is a
-    streamed cross join + windowed argmax — the corpus side never shuffles
-    until the per-id rank, which AQE keeps partition-local after the
-    broadcast.  Scores are rounded before ranking (ties break on cell id)
-    so the assignment is bit-stable across engines and partitionings.
+    The centroid table (dozens of rows) is collapsed to a single row
+    holding a sorted ``(cell, centroid)`` struct array, broadcast, and
+    cross-joined in (one row: the join adds no shuffle and no row
+    multiplication).  Each vector then scores all centroids row-locally
+    with higher-order functions and keeps its top ``nprobe`` cells via
+    ``sort_array`` + ``slice`` — no exploded |df| x |centroids| row set and,
+    critically, NO window over the full corpus: the previous windowed-argmax
+    formulation shuffled every corpus vector (plus its embedding payload) by
+    id just to rank 16 candidate cells per row (the r04 bench regression on
+    ``emb_ivf_topk``).  Assignment semantics are unchanged and bit-stable:
+    scores round to ``score_decimals`` before ranking, ties break on the
+    lower cell id (ascending struct sort on (-score, cell)).
     """
-    scored = df.join(F.broadcast(centroids)).select(
-        id_col,
-        vec_col,
-        "cell",
-        F.round(cosine(F.col(vec_col), F.col("centroid")), score_decimals).alias(
-            "cell_score"
-        ),
+    cent_arr = centroids.groupBy().agg(
+        F.collect_list(F.struct(F.col("cell"), F.col("centroid"))).alias("_cents")
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cell_score").desc(), F.col("cell").asc()
+    ranked = F.sort_array(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (-F.round(cosine(F.col(vec_col), c["centroid"]), score_decimals)).alias(
+                    "_neg_score"
+                ),
+                c["cell"].alias("cell"),
+            ),
+        )
     )
     return (
-        scored.withColumn("cell_rank", F.row_number().over(w))
-        .where(F.col("cell_rank") <= nprobe)
-        .drop("cell_rank", "cell_score")
+        df.join(F.broadcast(cent_arr))
+        .select(
+            id_col,
+            vec_col,
+            F.slice(ranked, 1, nprobe).alias("_top"),
+        )
+        .select(id_col, vec_col, F.explode(F.col("_top.cell")).alias("cell"))
     )
 
 

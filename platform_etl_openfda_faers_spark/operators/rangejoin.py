@@ -47,8 +47,7 @@ def interval_join(
     dropped; its ts column must be distinctly named).
 
     ``how="left_outer"`` additionally keeps every unmatched left row with
-    NULL right columns, and requires ``left_id`` — a column that uniquely
-    identifies left rows.  The outer pass cannot ride on the exploded
+    NULL right columns.  The outer pass cannot ride on the exploded
     equi-join directly (a left row is exploded into <=2 bin copies and may
     match in only one of them, so a per-copy outer join would emit false
     unmatched rows); instead unmatched lefts are recovered with a left-anti
@@ -57,7 +56,18 @@ def interval_join(
 
     ``how="left_semi"`` returns each left row at most once iff it has a
     match in the window (left columns only) — same dedup-by-``left_id``
-    mechanics, also requires ``left_id``.
+    mechanics.
+
+    ``left_id`` — for the outer/semi variants, a column that UNIQUELY
+    identifies left rows.  Uniqueness is load-bearing, not advisory: with
+    duplicate ids a matching row suppresses the unmatched emission of its
+    twin (silently wrong results).  When omitted, a synthetic unique id is
+    derived via ``monotonically_increasing_id`` — always correct w.r.t.
+    duplicates, and stable here because the id is assigned once on the
+    un-exploded left and every later branch (match, anti/semi) reuses that
+    same projection node.  Pass an explicit id when you have one: the
+    synthetic route relies on deterministic scan order, which holds for
+    file sources but not for e.g. a ``LIMIT`` without ordering.
     """
     if upper_s <= lower_s:
         raise ValueError("upper_s must exceed lower_s")
@@ -65,8 +75,12 @@ def interval_join(
         raise ValueError(
             f"how must be inner, left_outer, or left_semi, got {how!r}"
         )
-    if how != "inner" and left_id is None:
-        raise ValueError(f"{how} requires left_id (unique left row id)")
+    synthetic_id = how != "inner" and left_id is None
+    if synthetic_id:
+        left_id = "_lrj_id"
+        if left_id in left.columns:
+            raise ValueError(f"left already has a column named {left_id}")
+        left = left.withColumn(left_id, F.monotonically_increasing_id())
     width = int(round((upper_s - lower_s) * 1_000_000))
     if width < 1:
         # sub-microsecond window: bin width rounds to 0 and the DIV-based
@@ -104,9 +118,10 @@ def interval_join(
     if how == "inner":
         return matched
     if how == "left_semi":
-        return left.join(
+        out = left.join(
             matched.select(left_id), on=left_id, how="left_semi"
         )
+        return out.drop("_lrj_id") if synthetic_id else out
     right_cols = [c for c in right.columns if c != key]
     unmatched = left.join(
         matched.select(left_id), on=left_id, how="left_anti"
@@ -117,4 +132,5 @@ def interval_join(
             for c in right_cols
         ],
     )
-    return matched.select(*left.columns, *right_cols).unionByName(unmatched)
+    out = matched.select(*left.columns, *right_cols).unionByName(unmatched)
+    return out.drop("_lrj_id") if synthetic_id else out

@@ -135,7 +135,17 @@ def weighted_sample_topk(
     last-ulp libm divergence could in principle flip the k-th boundary
     between engines — for hash-derived "generic" reals the odds are
     negligible (same argument as scoring round-6 everywhere else).
+
+    ``w`` and ``ares_key`` are RESERVED output names (``_ares`` is reserved
+    internally): an input column with any of those names would come out
+    duplicated and ambiguous downstream, so the call raises instead.
     """
+    reserved = {"w", "ares_key", "_ares"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"weighted_sample_topk reserves output columns {sorted(reserved)}; "
+            "rename them on the input frame first"
+        )
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws("#", key.cast("string"), F.lit(str(seed)))), 1, 15

@@ -210,6 +210,38 @@ def test_png_rejects_corrupt_crc_and_unknown_payload():
         multimodal.decode_png(b"definitely not a png")
 
 
+def test_png_rejects_malformed_chunk_order_and_trailing_bytes():
+    """Strict reject-path behavior beyond CRC: IDAT before IHDR, duplicate
+    IHDR, missing IEND, and trailing garbage after IEND are all malformed
+    streams, not tolerable variants."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+    idat = chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+    iend = chunk(b"IEND", b"")
+    # well-formed baseline decodes
+    assert multimodal.decode_png(sig + ihdr + idat + iend).shape == (1, 1)
+    with pytest.raises(ValueError, match="expected IHDR"):
+        multimodal.decode_png(sig + idat + ihdr + iend)
+    with pytest.raises(ValueError, match="duplicate IHDR"):
+        multimodal.decode_png(sig + ihdr + ihdr + idat + iend)
+    with pytest.raises(ValueError, match="missing IEND"):
+        multimodal.decode_png(sig + ihdr + idat)
+    with pytest.raises(ValueError, match="trailing"):
+        multimodal.decode_png(sig + ihdr + idat + iend + b"junk")
+
+
 def test_png_real_decode_via_spark(spark):
     """End-to-end: synthesize PNGs in one mapInPandas pass, decode in
     another, and check the analytic pixel formula on the far side."""

@@ -165,18 +165,32 @@ def test_interval_join_left_outer_matches_naive(spark):
     assert any(r is None for _, r in got)
 
 
-def test_interval_join_left_outer_requires_left_id(spark):
-    import pytest
-
-    df = spark.createDataFrame(
-        [(1, 1, datetime(2024, 1, 1))], ["l_id", "k", "ts"]
+def test_interval_join_outer_synthetic_id_handles_duplicate_rows(spark):
+    """Without left_id, a synthetic unique id must make outer/semi correct
+    even when left rows are full duplicates (a caller-supplied non-unique
+    id would silently suppress the unmatched twin)."""
+    base = datetime(2024, 1, 1)
+    # two IDENTICAL left rows; one right row matching both
+    left = spark.createDataFrame(
+        [(1, base), (1, base), (2, base + timedelta(hours=9))], ["k", "ts"]
     )
-    with pytest.raises(ValueError, match="left_id"):
-        interval_join(
-            df, df.toDF("r_id", "k", "r_ts"), key="k",
-            left_ts="ts", right_ts="r_ts", lower_s=0.0, upper_s=1.0,
-            how="left_outer",
-        )
+    right = spark.createDataFrame(
+        [(1, base + timedelta(seconds=30), "hit")], ["k", "r_ts", "tag"]
+    )
+    out = interval_join(
+        left, right, key="k", left_ts="ts", right_ts="r_ts",
+        lower_s=0.0, upper_s=60.0, how="left_outer",
+    )
+    rows = sorted((r["k"], r["tag"]) for r in out.collect())
+    # BOTH duplicate rows match; the k=2 row survives unmatched
+    assert rows == [(1, "hit"), (1, "hit"), (2, None)]
+    assert out.columns == ["k", "ts", "r_ts", "tag"]  # no synthetic leak
+    semi = interval_join(
+        left, right, key="k", left_ts="ts", right_ts="r_ts",
+        lower_s=0.0, upper_s=60.0, how="left_semi",
+    )
+    assert sorted(r["k"] for r in semi.collect()) == [1, 1]
+    assert semi.columns == ["k", "ts"]
 
 
 def test_interval_join_accepts_ntz_timestamps(spark):

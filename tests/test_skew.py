@@ -71,3 +71,66 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         F.abs(F.col("approx") - F.col("exact")) > 0.15 * F.col("exact") + 1
     )
     assert bad.count() == 0
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """SURVEY §7 hard part (d): demonstrate that AQE's skew-join actually
+    splits a hot-key partition on this engine's session settings — the
+    runtime complement to the explicit ``salted_join``.
+
+    A 10:1-skewed big side (one hot key) sort-merge-joins a non-broadcast
+    dim; with the skew thresholds scaled to the fixture size, the FINAL
+    adaptive plan must carry the ``skew=true`` marker on the join and a
+    ``skewed`` AQEShuffleRead.  Two operational caveats this test pins
+    down: (1) the split only happens when the join's own plan executes —
+    a downstream aggregate suppresses it unless
+    ``forceOptimizeSkewedJoin`` is set, which is exactly when the explicit
+    ``salted_join`` remains the right tool; (2) broadcast joins never
+    skew-split (there is no shuffle), so the dim side must exceed the
+    broadcast threshold or have it disabled.
+    """
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        pad = F.sha2(F.col("id").cast("string"), 256)
+        hot = spark.range(0, 150_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v"), pad.alias("pad")
+        )
+        tail = spark.range(0, 15_000).select(
+            (F.col("id") % 1000 + 1).alias("k"),
+            F.col("id").alias("v"),
+            pad.alias("pad"),
+        )
+        big = hot.union(tail)
+        small = spark.range(0, 1001).select(
+            F.col("id").alias("k"), F.col("id").alias("w")
+        )
+        joined = big.join(small, ["k"]).select("k", "v", "w")
+        n = len(joined.collect())  # executes THIS plan -> final AQE plan
+        assert n == 165_000
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # AQEShuffleRead: "coalesced and skewed"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -2,13 +2,15 @@
 
 Media payloads are opaque ``binary`` columns with a typed metadata struct
 alongside.  The Spark-side plumbing — schemas, Arrow-batched ``mapInPandas``
-UDF signatures, partitioning — is real and tested.  The codec step has two
-real pure-NumPy decoders for uncompressed formats — 24-bit BI_RGB **BMP**
-(bottom-up rows, 4-byte stride padding, BGR order) and binary **PPM** (P6)
-— plus PCM-16 **WAV** (RIFF chunk walk); compressed formats (JPEG/PNG/mp3)
-genuinely need external codec libraries, which are not in this container,
-so those raise ``NotImplementedError``.  ``fake=True`` keeps the
-digest-derived deterministic stub for arbitrary payloads.
+UDF signatures, partitioning — is real and tested.  The codec step has real
+pure-NumPy decoders for 24-bit BI_RGB **BMP** (bottom-up rows, 4-byte
+stride padding, BGR order), binary **PPM** (P6), PCM-16 **WAV** (RIFF
+chunk walk), **PNG** (stdlib-zlib inflate + all five unfilters), and
+baseline **JPEG** (DQT/DHT marker walk, Huffman decode, dequant, float
+IDCT, restart markers, 4:4:4 color); progressive/subsampled JPEG, mp3,
+and video genuinely need external codec libraries, which are not in this
+container, so those raise ``NotImplementedError``.  ``fake=True`` keeps
+the digest-derived deterministic stub for arbitrary payloads.
 
 Scale notes: media rows are fat — ``mapInPandas`` streams Arrow batches, so
 per-task memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -328,6 +330,432 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out[:, :, 0] if color_type == 0 else out
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81): pure-NumPy encoder + decoder.
+#
+# Scope: 8-bit baseline DCT (SOF0), grayscale or 3-component 4:4:4 (no
+# chroma subsampling), restart intervals supported.  Progressive (SOF2),
+# 12-bit, arithmetic coding, and subsampled chroma raise
+# NotImplementedError — they need a full codec library.
+#
+# The encoder emits canonical Huffman tables built from fixed code lengths
+# (12 DC categories at 4 bits, all 162 AC symbols at 8 bits) — valid DHT
+# segments any JPEG decoder can read; the decoder reads WHATEVER tables the
+# stream declares, so it is not paired to this encoder.
+
+
+def _zigzag() -> np.ndarray:
+    """The 64-entry zigzag scan order as flat indices into a row-major 8x8."""
+    order = []
+    for d in range(15):
+        rs = range(max(0, d - 7), min(d, 7) + 1)
+        for r in rs if d % 2 == 1 else reversed(rs):
+            order.append(r * 8 + (d - r))
+    return np.array(order)
+
+
+_ZIGZAG = _zigzag()
+_DCT_C = np.array(
+    [
+        [
+            (1 / np.sqrt(8) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# canonical-table symbol sets: DC categories 0..11; AC (run, size) symbols
+# 0x00 (EOB), 0xF0 (ZRL), and run 0-15 x size 1-10
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _canonical_table(symbols: list[int], length: int):
+    """bits/huffval arrays + {symbol: (code, length)} for a fixed-length
+    canonical Huffman table (valid while count < 2^length: the all-ones
+    code stays unused, as T.81 requires)."""
+    assert len(symbols) < (1 << length)
+    bits = [0] * 17
+    bits[length] = len(symbols)
+    codes = {sym: (i, length) for i, sym in enumerate(symbols)}
+    return bits, list(symbols), codes
+
+
+_DC_BITS, _DC_VALS, _DC_CODES = _canonical_table(_DC_SYMBOLS, 4)
+_AC_BITS, _AC_VALS, _AC_CODES = _canonical_table(_AC_SYMBOLS, 8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self._n:
+            self.write(0xFF >> (8 - (-self._n % 8)), -self._n % 8)
+
+
+def _category(v: int) -> int:
+    """DC/AC magnitude category: bit length of |v| (0 for v == 0)."""
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(
+    w: _BitWriter, coefs: np.ndarray, pred: int, dc_codes, ac_codes
+) -> int:
+    """Huffman-encode one zigzagged 64-coef block; returns the new DC pred."""
+    zz = coefs.reshape(-1)[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    size = _category(diff)
+    code, ln = dc_codes[size]
+    w.write(code, ln)
+    if size:
+        w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            w.write(code, ln)
+            run -= 16
+        size = _category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]
+        w.write(code, ln)
+    return int(zz[0])
+
+
+def fdct_quantize(block: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Level-shifted 8x8 uint8 block -> quantized int32 DCT coefficients."""
+    shifted = block.astype(np.float64) - 128.0
+    coef = _DCT_C @ shifted @ _DCT_C.T
+    return np.round(coef / qtable.astype(np.float64)).astype(np.int32)
+
+
+def dequantize_idct(coefs: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Quantized coefficients -> reconstructed 8x8 uint8 block."""
+    coef = coefs.astype(np.float64) * qtable.astype(np.float64)
+    block = _DCT_C.T @ coef @ _DCT_C
+    return np.clip(np.round(block) + 128, 0, 255).astype(np.uint8)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[..., i].astype(np.float64) for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 -> baseline JPEG bytes.
+
+    ``qtable`` — 8x8 quantization table (default all-ones: lossless for
+    blocks whose DCT is exactly representable, e.g. constant blocks —
+    the property the analytic oracle relies on).  Gray uses one table;
+    RGB converts to YCbCr (4:4:4) with the same table for all components.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (byte-aligned, DC predictors reset).
+    """
+    if qtable is None:
+        qtable = np.ones((8, 8), dtype=np.int32)
+    qtable = qtable.astype(np.int32)
+    if img.ndim == 2:
+        planes = [img]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[:, :, i] for i in range(3)]
+    else:
+        raise ValueError("expected (h, w) gray or (h, w, 3) RGB uint8")
+    h, w = planes[0].shape
+    n_comp = len(planes)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: length 67 = 2 (length) + 1 (Pq/Tq = 8-bit, table 0) + 64 entries
+    zz_q = qtable.reshape(-1)[_ZIGZAG].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zz_q.tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for cid in range(n_comp):
+        sof += struct.pack(">BBB", cid + 1, 0x11, 0)  # H=V=1, qtable 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)), (1, (_AC_BITS, _AC_VALS))):
+        body = bytes([tc << 4]) + bytes(bits[1:17]) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([n_comp])
+    for cid in range(n_comp):
+        sos += bytes([cid + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])  # spectral selection (baseline fixed)
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    preds = [0] * n_comp
+    pad_h, pad_w = -h % 8, -w % 8
+    padded = [
+        np.pad(p, ((0, pad_h), (0, pad_w)), mode="edge") for p in planes
+    ]
+    mcu, rst = 0, 0
+    n_mcus = ((h + pad_h) // 8) * ((w + pad_w) // 8)
+    for by in range(0, h + pad_h, 8):
+        for bx in range(0, w + pad_w, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                preds = [0] * n_comp
+            for ci, p in enumerate(padded):
+                coefs = fdct_quantize(p[by : by + 8, bx : bx + 8], qtable)
+                preds[ci] = _encode_block(
+                    bw, coefs, preds[ci], _DC_CODES, _AC_CODES
+                )
+            mcu += 1
+    assert mcu == n_mcus
+    bw.flush()
+    out += bw.out + b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy data exhausted")
+            # caller already unstuffed FF00 -> FF, so every byte is data
+            self._acc = self.data[self.pos]
+            self.pos += 1
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map the ``size``-bit magnitude bits to a signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy data")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w) gray or (h, w, 3) RGB uint8.
+
+    Real decode: marker walk (DQT/DHT/SOF0/SOS/DRI), byte unstuffing,
+    Huffman + zigzag + dequantization + float IDCT, restart-marker
+    handling, edge-block cropping, and BT.601 YCbCr->RGB for 3-component
+    images.  Progressive/12-bit/subsampled streams raise
+    NotImplementedError (full codec-library territory).
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    hufftables: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, off + 1)
+                qtables[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                counts = body[off + 1 : off + 17]
+                vals = body[off + 17 : off + 17 + sum(counts)]
+                table, code, vi = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                hufftables[(tc, th)] = table
+                off += 17 + sum(counts)
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, n_comp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            comps = []
+            for i in range(n_comp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline sequential DCT (SOF0) supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS: entropy-coded data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            sel = {}
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            h, w, comps = frame
+            # entropy segment: unstuff FF00, stop at any real marker
+            data, scan = bytearray(), payload[pos:]
+            i = 0
+            restarts = []
+            while i < len(scan):
+                b = scan[i]
+                if b == 0xFF:
+                    nxt = scan[i + 1] if i + 1 < len(scan) else None
+                    if nxt == 0x00:
+                        data.append(0xFF)
+                        i += 2
+                        continue
+                    if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                        restarts.append(len(data))
+                        i += 2
+                        continue
+                    break
+                data.append(b)
+                i += 1
+            segments = []
+            prev = 0
+            for r in restarts:
+                segments.append(bytes(data[prev:r]))
+                prev = r
+            segments.append(bytes(data[prev:]))
+
+            bw_h, bw_w = (h + 7) // 8, (w + 7) // 8
+            planes = [
+                np.zeros((bw_h * 8, bw_w * 8), dtype=np.uint8) for _ in comps
+            ]
+            preds = [0] * len(comps)
+            br = _BitReader(segments[0])
+            seg_idx = 0
+            mcu = 0
+            for by in range(bw_h):
+                for bx in range(bw_w):
+                    if (
+                        restart_interval
+                        and mcu
+                        and mcu % restart_interval == 0
+                        and seg_idx + 1 < len(segments)
+                    ):
+                        seg_idx += 1
+                        br = _BitReader(segments[seg_idx])
+                        preds = [0] * len(comps)
+                    for ci, (cid, tq) in enumerate(comps):
+                        dc_t, ac_t = sel[cid]
+                        coefs = np.zeros(64, dtype=np.int32)
+                        size = _huff_decode(br, hufftables[(0, dc_t)])
+                        diff = _extend(br.receive(size), size) if size else 0
+                        preds[ci] += diff
+                        coefs[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(br, hufftables[(1, ac_t)])
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0xF
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            coefs[k] = _extend(br.receive(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.int32)
+                        block[_ZIGZAG] = coefs
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            dequantize_idct(
+                                block.reshape(8, 8), qtables[tq]
+                            )
+                        )
+                    mcu += 1
+            cropped = [p[:h, :w] for p in planes]
+            if len(cropped) == 1:
+                return cropped[0].copy()
+            if len(cropped) == 3:
+                return _ycbcr_to_rgb(np.stack(cropped, axis=-1))
+            raise NotImplementedError(f"{len(cropped)}-component JPEG")
+        # APPn/COM and other segments: skipped
+    raise ValueError("no SOS segment found")
+
+
 def encode_wav(samples: np.ndarray, channels: int = 1, rate: int = 8000) -> bytes:
     """int16 PCM samples (interleaved if multi-channel) -> RIFF/WAVE bytes."""
     data = samples.astype("<i2").tobytes()
@@ -390,10 +818,15 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         h, w = img.shape[:2]
         c = 1 if img.ndim == 2 else img.shape[2]
         return w, h, c, img.reshape(-1).astype(np.int64)
+    if payload[:2] == b"\xff\xd8":
+        img = decode_jpeg(payload)
+        h, w = img.shape[:2]
+        c = 1 if img.ndim == 2 else img.shape[2]
+        return w, h, c, img.reshape(-1).astype(np.int64)
     raise NotImplementedError(
         "compressed/unknown media formats require external codec libraries "
         "not present in this container (supported here: BMP-24, PPM-P6, "
-        "WAV-PCM16, PNG 8-bit gray/RGB/RGBA)"
+        "WAV-PCM16, PNG 8-bit gray/RGB/RGBA, baseline JPEG)"
     )
 
 
@@ -484,6 +917,40 @@ def synthetic_png_media(df: DataFrame, id_col: str) -> DataFrame:
                 rgb = ((mid + 7 * x + 13 * y + 29 * c) % 256).astype(np.uint8)
                 filters = [(mid + yy) % 5 for yy in range(h)]
                 rows.append((mid, encode_png(rgb, filters=filters)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+
+
+def synthetic_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic baseline-JPEG payloads from an id column (test/oracle
+    harness).
+
+    Grayscale, width = 8*(1 + id % 3), height = 8*(1 + id % 2); each 8x8
+    block is CONSTANT with value (id + 17*bx + 23*by) % 256 and the quant
+    table is all-ones.  A constant block's DCT is a lone DC coefficient
+    8*(v-128) — an exact integer — so quantization at q=1 and the float
+    IDCT round-trip the pixels EXACTLY, making the decoded output (and so
+    the SQL oracle) analytic despite JPEG being a lossy format.  Any
+    Huffman/zigzag/dequant/IDCT bug breaks the value hash.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                wb, hb = 1 + mid % 3, 1 + mid % 2
+                by, bx = np.ogrid[0:hb, 0:wb]
+                blocks = ((mid + 17 * bx + 23 * by) % 256).astype(np.uint8)
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                rows.append((mid, encode_jpeg(img)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     schema = T.StructType(

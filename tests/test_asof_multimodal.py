@@ -156,10 +156,12 @@ def test_unknown_format_raises_not_implemented():
 
     from platform_etl_openfda_faers_spark.operators import multimodal as mm
 
-    # JPEG is genuinely unsupported (needs an external codec library)
+    # video containers remain genuinely unsupported (external codec libs)
     with pytest.raises(NotImplementedError, match="codec"):
+        mm._real_decode(b"\x00\x00\x00\x18ftypmp42 video garbage")
+    # JPEG and PNG are now real decoders: corrupt bytes fail parsing, loudly
+    with pytest.raises(ValueError):
         mm._real_decode(b"\xff\xd8\xff\xe0 jpeg garbage")
-    # PNG is now a real decoder: corrupt PNG bytes fail parsing, loudly
     with pytest.raises(ValueError):
         mm._real_decode(b"\x89PNG\r\n\x1a\n garbage")
 
@@ -293,3 +295,109 @@ def test_png_rejects_unsupported_depth_and_interlace():
     # sanity: the same construction with supported parameters decodes
     out = multimodal.decode_png(png_with_ihdr(1, 1, 8, 2, 0))
     assert out.shape == (1, 1, 3) and (out == 0).all()
+
+
+def test_jpeg_constant_blocks_roundtrip_exact():
+    """Block-constant images survive baseline JPEG EXACTLY with an all-ones
+    quant table: a constant block's DCT is a lone integer DC coefficient,
+    so quantize/dequantize/IDCT introduce no error — the property the
+    analytic SQL oracle for multimodal_decode_jpeg relies on."""
+    import numpy as np
+
+    for mid in range(12):
+        wb, hb = 1 + mid % 3, 1 + mid % 2
+        by, bx = np.ogrid[0:hb, 0:wb]
+        blocks = ((mid + 17 * bx + 23 * by) % 256).astype(np.uint8)
+        img = np.kron(blocks, np.ones((8, 8), np.uint8))
+        out = multimodal.decode_jpeg(multimodal.encode_jpeg(img))
+        assert out.shape == img.shape and (out == img).all(), mid
+
+
+def test_jpeg_entropy_layer_is_lossless():
+    """decode(encode(img)) must equal the reference built from the shared
+    FDCT/quant + dequant/IDCT pieces alone — i.e. the Huffman/zigzag/
+    bitstream layer is an exact carrier of the quantized coefficients,
+    for gray and 4:4:4 color, odd dims, and a non-trivial quant table."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    q = (np.arange(64).reshape(8, 8) % 23 + 4).astype(np.int32)
+
+    def ref_plane(p, qt):
+        ph = np.pad(p, ((0, -p.shape[0] % 8), (0, -p.shape[1] % 8)), mode="edge")
+        r = np.zeros_like(ph)
+        for y in range(0, ph.shape[0], 8):
+            for x in range(0, ph.shape[1], 8):
+                r[y : y + 8, x : x + 8] = multimodal.dequantize_idct(
+                    multimodal.fdct_quantize(ph[y : y + 8, x : x + 8], qt), qt
+                )
+        return r[: p.shape[0], : p.shape[1]]
+
+    gray = rng.integers(0, 256, (19, 27), np.uint8)
+    out = multimodal.decode_jpeg(multimodal.encode_jpeg(gray, qtable=q))
+    assert (out == ref_plane(gray, q)).all()
+
+    rgb = rng.integers(0, 256, (16, 24, 3), np.uint8)
+    out = multimodal.decode_jpeg(multimodal.encode_jpeg(rgb, qtable=q))
+    ycc = multimodal._rgb_to_ycbcr(rgb)
+    ref = multimodal._ycbcr_to_rgb(
+        np.stack([ref_plane(ycc[:, :, i], q) for i in range(3)], axis=-1)
+    )
+    assert (out == ref).all()
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn: every restart interval must decode identically to the
+    unrestarted stream (byte alignment + DC predictor reset)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 40), np.uint8)  # 15 MCUs
+    ref = multimodal.decode_jpeg(multimodal.encode_jpeg(img))
+    for ri in (1, 2, 4, 7):
+        out = multimodal.decode_jpeg(
+            multimodal.encode_jpeg(img, restart_interval=ri)
+        )
+        assert (out == ref).all(), ri
+
+
+def test_jpeg_rejects_unsupported_variants():
+    """Progressive (SOF2), subsampled chroma, 16-bit quant tables, and
+    non-JPEG payloads must fail loudly, not mis-parse."""
+    import numpy as np
+    import pytest
+
+    img = np.zeros((8, 8), np.uint8)
+    payload = bytearray(multimodal.encode_jpeg(img))
+    with pytest.raises(ValueError, match="SOI"):
+        multimodal.decode_jpeg(b"definitely not a jpeg")
+    # flip SOF0 -> SOF2 (progressive)
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        multimodal.decode_jpeg(bytes(payload))
+    # 4:2:0 subsampling: H/V byte of component 0 -> 0x22
+    payload[sof + 1] = 0xC0
+    payload[sof + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        multimodal.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_real_decode_via_spark(spark):
+    """End-to-end: synthesize baseline JPEGs in one mapInPandas pass,
+    decode in another, check the analytic block formula on the far side."""
+    df = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    media = multimodal.synthetic_jpeg_media(df, "doc_id")
+    decoded = multimodal.decode_media(media, fake=False)
+    rows = {r.media_id: r for r in decoded.collect()}
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        wb, hb = 1 + mid % 3, 1 + mid % 2
+        assert (r.width, r.height, r.n_channels) == (8 * wb, 8 * hb, 1)
+        expect_sum = sum(
+            64 * ((mid + 17 * bx + 23 * by) % 256)
+            for bx in range(wb)
+            for by in range(hb)
+        )
+        assert int(r.features[0]) == expect_sum
+        assert int(r.features[1]) == mid % 256

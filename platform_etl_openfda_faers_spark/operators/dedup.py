@@ -796,6 +796,7 @@ def jaccard_pairs_prefix(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    share_stages: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-join with PREFIX FILTERING (AllPairs/PPJoin family) —
     the scale path for high thresholds.
@@ -811,19 +812,44 @@ def jaccard_pairs_prefix(
     between a feasible join and an O(sum df^2) blowup.  Verification is the
     row-local array_intersect path (no second index build).
 
+    SCALE CAVEAT (measured, 10x run): the (1-t)^2 bound governs indexed
+    VOLUME, not candidate-pair volume — pairs are O(sum df^2) over the
+    prefix tokens, which stays near-linear only while token document
+    frequencies stay bounded as the corpus grows (true for natural
+    language, where vocabulary grows with corpus).  On a BOUNDED-vocab
+    corpus every df scales linearly and this join goes quadratic (105x
+    wall time at 10x data on the synthetic 30-word-vocab table, vs 1.6x
+    for the df-capped form).  For such corpora use ``jaccard_pairs`` with
+    its default ``max_doc_freq`` cap or MinHash-LSH; prefix filtering is
+    the lossless high-threshold path for growing-vocab text.
+
     Exactness: candidates are a superset of true matches (prefix sharing is
     necessary, not sufficient), and every candidate is verified with the
     full sets — the result equals the naive ``jaccard_pairs`` at the same
     threshold.  Ties in document frequency are broken by the token string,
     so prefixes are deterministic.
 
+    ``share_stages`` (default on) persists the two many-consumer
+    intermediates MEMORY_AND_DISK: the shingle-array table (consumed by the
+    index chain and both verify sides — without it the corpus is
+    re-tokenized per consumer, ~6 passes end-to-end) and the pruned prefix
+    table (both self-join sides, each otherwise re-running the freq join +
+    window).  Measured 2.6x end-to-end at sf0.1.  The arrays are
+    corpus-class (spill at scale — same dial as
+    ``minhash_near_duplicates_shared``); the prefix table is the pruned
+    ~(1-t)x index.  Callers own cache hygiene (clearCache between queries,
+    as bench.py / the correctness runner do).
+
     Output: (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     # set_size rides along row-locally through the explode — no join back
     # to a per-doc table (which would not broadcast at corpus scale)
     arr = docs.select(F.col(id_col), shingle_array(F.col(text_col), n).alias("_arr"))
+    if share_stages:
+        arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
     index = arr.select(
         F.col(id_col),
         F.size("_arr").alias("set_size"),
@@ -849,6 +875,8 @@ def jaccard_pairs_prefix(
         )
         .select(F.col(id_col), "token")
     )
+    if share_stages:
+        prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
     a = prefix.toDF("id_a", "token")
     b = prefix.toDF("id_b", "token")
     cands = (
@@ -857,5 +885,8 @@ def jaccard_pairs_prefix(
         .select("id_a", "id_b")
         .distinct()
     )
-    verified = jaccard_verify_arrays(cands, docs, text_col, id_col, n=n)
+    verified = jaccard_verify_arrays(
+        cands, docs, text_col, id_col, n=n,
+        arrays=arr if share_stages else None,
+    )
     return verified.where(F.col("jaccard") >= threshold)

@@ -274,6 +274,71 @@ def ivf_cells(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iterations: int = 2,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column, as a purely
+    DECLARATIVE composition — no driver-side loop actions, no RNG.
+
+    Init: the ``k`` lowest-id corpus vectors (same seed rule as the static
+    ``ivf_topk`` centroids).  Each iteration composes lazily onto the plan:
+
+    1. assign — ``ivf_cells`` (1-row broadcast centroid array, map-only
+       argmax; no corpus shuffle);
+    2. update — per-(cell, dim) mean via ``posexplode`` + hash aggregate.
+       The sum runs over ``decimal(27,10)`` casts: decimal addition is
+       EXACT and therefore order-independent, so the centroid update —
+       unlike a raw double sum — does not depend on partition layout and
+       replays bit-for-bit in the DuckDB oracle.  The mean is then
+       rounded to ``score_decimals`` (same discipline as every other
+       cross-engine float in this repo).
+
+    ``iterations`` is fixed (not convergence-tested): the lineage stays a
+    static DAG the optimizer sees whole, and determinism doesn't hinge on
+    a tolerance check.  At 100 TB you would train on a sample (one
+    ``hash_sample`` upstream) — the update shuffle is |corpus| x dim rows
+    into k x dim groups per iteration.
+
+    Empty cells simply drop out (their rows vanish from the aggregate) —
+    callers get <= k centroids, each an actual cluster mean.
+    Output: (cell, centroid array<double>).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    cent = c.where(F.col("_id") < k).select(
+        F.col("_id").alias("cell"), F.col("_v").alias("centroid")
+    )
+    for _ in range(iterations):
+        assigned = ivf_cells(
+            c, cent, "_id", "_v", nprobe=1, score_decimals=score_decimals
+        )
+        per_dim = assigned.select("cell", F.posexplode("_v").alias("pos", "val"))
+        means = per_dim.groupBy("cell", "pos").agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(27,10)")).cast("double")
+                / F.count("*"),
+                score_decimals,
+            ).alias("m")
+        )
+        cent = (
+            means.groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("_pm")
+            )
+            .select("cell", F.col("_pm").getField("m").alias("centroid"))
+        )
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -283,20 +348,24 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     score_decimals: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into centroid
     cells, probe only the query's ``nprobe`` nearest cells, exact-rerank.
 
     The scale path next to ``brute_force_topk``: candidate generation is
     |corpus| x 1 cell + |queries| x nprobe cells instead of |corpus| x
-    |queries|.  Centroids here are the ``n_centroids`` lowest-id corpus
-    vectors — deterministic and oracle-replicable; swap in k-means||
-    centroids in production (the plan shape is identical, recall improves).
+    |queries|.  Default centroids are the ``n_centroids`` lowest-id corpus
+    vectors — deterministic and oracle-replicable; pass
+    ``centroids=kmeans_centroids(...)`` for trained cells (same plan
+    shape, better recall).
     """
-    cent = corpus.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cell"),
-        F.col(vec_col).cast("array<double>").alias("centroid"),
-    )
+    cent = centroids
+    if cent is None:
+        cent = corpus.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),

@@ -223,3 +223,62 @@ def test_weighted_sample_invariant_under_partitioning(spark):
     b = sample(df.repartition(13, "doc_id"))
     c = sample(df.repartition(32))
     assert a == b == c and len(a) == 25
+
+
+def test_kmeans_centroids_match_numpy_reference(spark):
+    """Two Lloyd iterations must reproduce an independent NumPy
+    implementation exactly (round-6 assignment scores, lowest-cell
+    tie-break, decimal-exact means rounded to 6)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((120, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        ["vec_id", "embedding"],
+    )
+    k, iters = 4, 2
+    got = {
+        r.cell: list(r.centroid)
+        for r in similarity.kmeans_centroids(
+            df, k=k, iterations=iters
+        ).collect()
+    }
+
+    cent = {i: vecs[i].copy() for i in range(k)}
+    for _ in range(iters):
+        members = {c: [] for c in cent}
+        for i in range(120):
+            scores = {
+                c: round(
+                    float(
+                        vecs[i] @ v / (np.linalg.norm(vecs[i]) * np.linalg.norm(v))
+                    ),
+                    6,
+                )
+                for c, v in cent.items()
+            }
+            best = min(scores, key=lambda c: (-scores[c], c))
+            members[best].append(i)
+        cent = {
+            c: np.round(np.mean(vecs[m], axis=0), 6)
+            for c, m in members.items()
+            if m
+        }
+    assert set(got) == set(cent)
+    for c in cent:
+        assert np.allclose(got[c], cent[c], atol=2e-6), c
+
+    # partition-layout invariance: the decimal-sum update must not depend
+    # on how rows are distributed
+    got2 = {
+        r.cell: list(r.centroid)
+        for r in similarity.kmeans_centroids(
+            df.repartition(13), k=k, iterations=iters
+        ).collect()
+    }
+    assert got == got2

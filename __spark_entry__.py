@@ -3,9 +3,9 @@
 ``entry(spark)`` runs the flagship FAERS-LRT disproportionality query on
 sf0.001; ``queries()`` exposes one callable per implemented operator from
 SURVEY §2 (plus the beyond-reference dedup / similarity / text / multimodal
-/ streaming surface); ``oracle_sql()`` gives each one's DuckDB twin (queries
-without a twin — Monte Carlo, hyperplane LSH — get the weaker rows-only
-check).
+/ streaming surface); ``oracle_sql()`` gives each one's DuckDB twin (the
+two queries without a twin — the Monte-Carlo filter and the HLL++ approx
+window — get the weaker rows-only check, by design).
 """
 
 from __future__ import annotations

@@ -184,3 +184,52 @@ def test_interval_join_equals_naive_law(spark, left_ts, right_ts, lo, span, how)
         ).collect()
     )
     assert got == naive
+
+
+@given(
+    wb=st.integers(1, 4),
+    hb=st.integers(1, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_block_constant_roundtrip_property(wb, hb, seed):
+    """Any block-constant grayscale image round-trips baseline JPEG exactly
+    under the all-ones quant table (the analytic-oracle invariant)."""
+    import numpy as np
+
+    from platform_etl_openfda_faers_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, (hb, wb), dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    out = mm.decode_jpeg(mm.encode_jpeg(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+    q_shift=st.integers(0, 4),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_entropy_lossless_property(h, w, seed, q_shift):
+    """For ARBITRARY gray images and quant tables, decode(encode(img))
+    equals the FDCT/quant -> dequant/IDCT reference — the Huffman/bitstream
+    layer never alters a coefficient (including odd dims and edge pads)."""
+    import numpy as np
+
+    from platform_etl_openfda_faers_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    qt = (np.arange(64).reshape(8, 8) % 17 + 1 + q_shift).astype(np.int32)
+    pad = np.pad(img, ((0, -h % 8), (0, -w % 8)), mode="edge")
+    ref = np.zeros_like(pad)
+    for y in range(0, pad.shape[0], 8):
+        for x in range(0, pad.shape[1], 8):
+            ref[y : y + 8, x : x + 8] = mm.dequantize_idct(
+                mm.fdct_quantize(pad[y : y + 8, x : x + 8], qt), qt
+            )
+    out = mm.decode_jpeg(mm.encode_jpeg(img, qtable=qt))
+    assert (out == ref[:h, :w]).all()

@@ -1453,6 +1453,206 @@ def text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_bm25_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok2
+      WHERE token IN ('spark', 'window', 'merge') GROUP BY 1, 2
+    ),
+    idf AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+        round(
+          ln(1 + (s.n - i.df + 0.5) / (i.df + 0.5))
+          * (tf.tf * 2.2)
+          / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)),
+          6) AS term_score
+      FROM tf
+      JOIN idf i USING (token)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT doc_id,
+        CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id, bm25 FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query, top-20
+    docs — the lexical-ranking half of a retrieval / data-curation stack.
+
+    Plan shape at scale: the tokenize+explode feeds two aggregates — tf is
+    IN-list-filtered to the query terms BEFORE its aggregate (so the
+    shuffled volume is only matching tokens), dl is a per-doc count off the
+    same scan.  idf has one row per query term → broadcast; (N, avgdl) is a
+    1-row lazy-scalar broadcast cross join (no blocking driver job); final
+    top-20 is TakeOrderedAndProject.  Per-term scores are rounded then
+    summed as DECIMAL so the cross-engine total is order-independent
+    (module float discipline)."""
+    docs = load_docs(spark, sf)
+    from ..functions.text import tokens as tok_fn
+
+    toks = (
+        docs.select("doc_id", F.explode(tok_fn(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("token").isin("spark", "window", "merge"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("token").agg(F.count("*").alias("df"))
+    term_score = F.round(
+        F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(idf), ["token"])
+        .join(dl, ["doc_id"])
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("term_score").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "text_decontaminate",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    bench AS (SELECT DISTINCT token FROM sh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_overlap
+      FROM sh s JOIN bench b USING (token)
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY 1
+    )
+    SELECT doc_id, n_overlap FROM hits WHERE n_overlap >= 2
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 2 distinct
+    word 3-grams with a held-out benchmark set (here the deterministic
+    ``doc_id % 97 == 0`` subset) — the GPT-3-style n-gram-overlap
+    contamination check every pretraining pipeline runs.
+
+    Plan shape at scale: the benchmark side is a DISTINCT over a tiny
+    fraction of the corpus (real benchmark suites are MBs vs the corpus'
+    TBs) → explicit broadcast, so the corpus-side probe is map-only: one
+    explode + broadcast-hash semi-probe + per-doc count.  No shuffle of
+    corpus shingles at all; the only exchange is the final per-doc
+    aggregate over matching shingles (a vanishing subset)."""
+    docs = load_docs(spark, sf)
+    sh = dedup.word_shingles(docs, "text", "doc_id", n=3)
+    bench = (
+        sh.where(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), ["shingle"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .where(F.col("n_overlap") >= 2)
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@query(
+    "text_pii_redact",
+    f"""
+    WITH raw AS (
+      SELECT doc_id,
+        'doc ' || CAST(doc_id AS VARCHAR) || ' contact u'
+        || CAST(doc_id AS VARCHAR) || '@' || source || '.com call 415-555-'
+        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+        || ' ' || substr(text, 1, 30) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+          '{_PII_SSN}', '<SSN>', 'g'),
+        '{_PII_PHONE}', '<PHONE>', 'g') AS clean,
+      CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS INT) AS n_emails,
+      CAST(len(regexp_extract_all(raw, '{_PII_SSN}')) AS INT) AS n_ssn,
+      CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS INT) AS n_phones
+    FROM raw
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails / SSNs / phone numbers with
+    per-doc match counts — standard pre-training compliance pass.  The
+    PII-bearing text is derived deterministically from table columns (the
+    synthetic corpus has none), so the redaction behavior is fully
+    oracle-checked, including counts.
+
+    The patterns are written in the portable intersection of Java regex
+    (Spark) and RE2 (DuckDB): character classes, bounded repetition, and
+    ``\\b`` word boundaries only — no lookbehind (RE2 lacks it).  Plan
+    shape: pure row-local ``regexp_replace`` / ``regexp_extract_all``
+    column expressions — a map-only scan at any corpus size, whole-stage
+    codegen end to end."""
+    docs = load_docs(spark, sf)
+    raw = F.concat(
+        F.lit("doc "), F.col("doc_id").cast("string"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@"), F.col("source"), F.lit(".com call 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789"))
+        .otherwise(F.lit("")),
+        F.lit(" "), F.substring(F.col("text"), 1, 30),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>"),
+            _PII_SSN, "<SSN>"),
+        _PII_PHONE, "<PHONE>")
+    return docs.select("doc_id", raw.alias("raw")).select(
+        "doc_id",
+        clean.alias("clean"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_PII_EMAIL), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_PII_SSN), F.lit(0)))
+        .alias("n_ssn"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_PII_PHONE), F.lit(0)))
+        .alias("n_phones"),
+    )
+
+
+@query(
     "a_weighted_sample",
     f"""
     WITH t AS (
@@ -3311,6 +3511,7 @@ _DRIVER_FIRST = [
     # r04 (CORRECTNESS_r04.json) and stay covered by
     # CORRECTNESS_LOCAL_r05.json
     "multimodal_decode_jpeg", "emb_ivf_kmeans_topk",
+    "text_bm25_topk", "text_decontaminate", "text_pii_redact",
 ]
 
 

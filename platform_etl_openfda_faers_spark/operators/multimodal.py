@@ -867,6 +867,73 @@ def decode_media(
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("win", T.IntegerType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+        T.StructField("dom_bin", T.IntegerType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, window: int = 32, include_fft: bool = False
+) -> DataFrame:
+    """Windowed audio feature extraction over WAV-PCM16 payloads.
+
+    Decodes each payload, takes channel 0, and emits one row per FULL
+    non-overlapping ``window``-frame window with: RMS energy, peak
+    absolute sample, and zero-crossing count — the classic VAD /
+    silence-trim / clipping-detect features of an audio-curation pipeline.
+    RMS is ``sqrt(sum(v^2)/n)`` with the sum exact in int64, so the value
+    is bit-reproducible across engines (no rounding needed).  With
+    ``include_fft=True`` a ``dom_bin`` column adds the dominant
+    ``rfft`` power bin per window (not ANSI-SQL-expressible — covered by
+    the pure-sine pytest oracle instead); otherwise it is NULL.
+
+    Plan shape at scale: Arrow-batched ``mapInPandas``, one pass per
+    payload, vectorized NumPy per window — map-only, no shuffle; output
+    volume is O(total_frames / window).
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["content"]):
+                samples, channels, _ = decode_wav(bytes(payload))
+                ch0 = samples[:: max(channels, 1)].astype(np.int64)
+                n_full = len(ch0) // window
+                for w_idx in range(n_full):
+                    v = ch0[w_idx * window : (w_idx + 1) * window]
+                    rms = float(np.sqrt(float((v * v).sum()) / window))
+                    zc = int(np.sum((v[1:] >= 0) != (v[:-1] >= 0)))
+                    dom = None
+                    if include_fft:
+                        power = np.abs(np.fft.rfft(v.astype(np.float64))) ** 2
+                        dom = int(np.argmax(power))
+                    rows.append(
+                        (
+                            int(media_id), w_idx, window, rms,
+                            int(np.abs(v).max()), zc, dom,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "win", "n", "rms", "peak",
+                    "zero_crossings", "dom_bin",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        feats, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def synthetic_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic BMP payloads from an id column (test/oracle harness).
 

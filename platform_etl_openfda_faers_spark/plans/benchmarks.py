@@ -2927,6 +2927,49 @@ def multimodal_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_features",
+    """
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 2 AS channels, 60 + doc_id % 40 AS frames
+      FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, CAST(fs.f // 32 AS INT) AS win, fs.f,
+        (d.doc_id * 31 + fs.f * d.channels * 7) % 2001 - 1000 AS v
+      FROM d,
+      LATERAL (SELECT unnest(generate_series(0, d.frames - 1)) AS f) fs
+      WHERE fs.f < (d.frames // 32) * 32
+    ),
+    flips AS (
+      SELECT doc_id, win, f, v,
+        CASE WHEN lag(v) OVER w IS NULL THEN 0
+             WHEN (v >= 0) <> (lag(v) OVER w >= 0) THEN 1 ELSE 0 END AS flip
+      FROM s
+      WINDOW w AS (PARTITION BY doc_id, win ORDER BY f)
+    )
+    SELECT doc_id AS media_id, win, CAST(32 AS INT) AS n,
+      sqrt(SUM(v * v)::DOUBLE / 32) AS rms,
+      CAST(MAX(abs(v)) AS INT) AS peak,
+      CAST(SUM(flip) AS INT) AS zero_crossings
+    FROM flips GROUP BY doc_id, win
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed audio features (RMS / peak / zero-crossings, 32-frame
+    windows, channel 0) over the synthetic PCM-16 WAVs.  The oracle
+    replays the sample-generator formula in SQL, so any decode,
+    channel-deinterleave, or windowing bug breaks the match; RMS is
+    bit-reproducible (exact int64 square sum, /32 is a power-of-two
+    scale, IEEE sqrt).  The FFT dominant-bin feature is pytest-covered
+    on pure sine fixtures instead (not ANSI-SQL-expressible)."""
+    docs = load_docs(spark, sf).select("doc_id")
+    media = multimodal.synthetic_wav_media(docs, "doc_id")
+    return multimodal.audio_features(media, window=32).select(
+        "media_id", "win", "n", "rms", "peak", "zero_crossings"
+    )
+
+
+@query(
     "events_json_props",
     """
     SELECT json_extract_string(props, '$.k') AS k,
@@ -3512,6 +3555,7 @@ _DRIVER_FIRST = [
     # CORRECTNESS_LOCAL_r05.json
     "multimodal_decode_jpeg", "emb_ivf_kmeans_topk",
     "text_bm25_topk", "text_decontaminate", "text_pii_redact",
+    "multimodal_audio_features",
 ]
 
 

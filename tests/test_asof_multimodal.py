@@ -401,3 +401,48 @@ def test_jpeg_real_decode_via_spark(spark):
         )
         assert int(r.features[0]) == expect_sum
         assert int(r.features[1]) == mid % 256
+
+
+def test_audio_features_sine_fft_and_rms(spark):
+    """FFT dominant bin on pure sines lands on the analytic frequency bin;
+    RMS of a full-scale sine is amplitude/sqrt(2); windowing drops the
+    partial tail; stereo de-interleaves channel 0."""
+    import numpy as np
+
+    from platform_etl_openfda_faers_spark.operators import multimodal as mm
+
+    window = 64
+    cases = []  # (media_id, expected_bin, channels)
+    for media_id, k, channels in [(1, 3, 1), (2, 9, 1), (3, 5, 2)]:
+        n_frames = 2 * window + 10  # 2 full windows + partial tail
+        t = np.arange(n_frames)
+        ch0 = np.round(20000 * np.sin(2 * np.pi * k * t / window))
+        if channels == 2:
+            interleaved = np.empty(2 * n_frames)
+            interleaved[0::2] = ch0
+            interleaved[1::2] = 123.0  # constant right channel
+            samples = interleaved
+        else:
+            samples = ch0
+        cases.append((media_id, k, mm.encode_wav(samples.astype(np.int16), channels=channels)))
+
+    media = spark.createDataFrame(
+        [(mid, payload) for mid, _, payload in cases], ["media_id", "content"]
+    )
+    rows = (
+        mm.audio_features(media, window=window, include_fft=True)
+        .orderBy("media_id", "win")
+        .collect()
+    )
+    # 2 full windows each, partial tail dropped
+    assert [(r.media_id, r.win) for r in rows] == [
+        (1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)
+    ]
+    for r in rows:
+        k = {1: 3, 2: 9, 3: 5}[r.media_id]
+        assert r.dom_bin == k, (r.media_id, r.win, r.dom_bin)
+        # full-scale sine RMS ~= A/sqrt(2); int16 rounding keeps it within 1%
+        assert abs(r.rms - 20000 / np.sqrt(2)) < 200
+        # k cycles per window cross zero 2k times (+/- boundary effects)
+        assert abs(r.zero_crossings - 2 * k) <= 1
+        assert 19000 <= r.peak <= 20000

@@ -90,3 +90,17 @@ def write_outputs(df: DataFrame, formats: list[str], path: str) -> None:
             write_csv_single_file(df, f"{path}/csv")
         else:
             raise ValueError(f"unknown output format: {fmt}")
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+) -> None:
+    """ORC sink (zlib default), optionally hive-partitioned — same
+    pruning/layout guidance as ``write_partitioned``."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)

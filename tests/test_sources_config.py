@@ -228,3 +228,62 @@ def test_load_table_normalizes_ntz_timestamps(spark, sf_dir):
     assert dict(ev.dtypes)["ts"] == "timestamp"
     # and the arithmetic that broke in round 3 resolves
     assert ev.select(F.unix_micros("ts")).first()[0] is not None
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/scan roundtrip; a filter on the scan reaches the ORC
+    reader's PushedFilters (same pushdown contract as parquet)."""
+    import contextlib
+    import io
+    import re
+
+    from platform_etl_openfda_faers_spark.sources.readers import load_orc, load_table
+    from platform_etl_openfda_faers_spark.sources.writers import write_orc
+
+    out = str(tmp_path / "nation_orc")
+    nation = load_table(spark, sf_dir, "nation")
+    write_orc(nation, out)
+
+    back = load_orc(spark, out, columns=["n_nationkey", "n_name"]).where(
+        F.col("n_nationkey") < 5
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "n_nationkey" in m.group(1), plan
+    # column pruning: the read schema carries only the projected columns
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "n_name" in rs.group(1) and "n_regionkey" not in rs.group(1), plan
+    got = {r.n_nationkey for r in back.collect()}
+    assert got == set(range(5))
+
+
+def test_binary_file_ingest_feeds_audio_features(spark, tmp_path):
+    """binaryFile source -> audio_features: files on disk become
+    (media_id, content) rows with no driver-side listing, glob-pruned."""
+    import numpy as np
+
+    from platform_etl_openfda_faers_spark.operators import multimodal as mm
+    from platform_etl_openfda_faers_spark.sources.readers import load_binary_files
+
+    for i in range(3):
+        samples = (np.arange(64 + i) % 7 * 100 - 300).astype(np.int16)
+        (tmp_path / f"clip{i}.wav").write_bytes(mm.encode_wav(samples))
+    (tmp_path / "junk.txt").write_bytes(b"not audio")
+
+    files = load_binary_files(spark, str(tmp_path), glob="*.wav")
+    assert files.count() == 3  # glob pruned the .txt
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"clip(\d+)\.wav", 1)
+        .cast("long")
+        .alias("media_id"),
+        "content",
+    )
+    rows = mm.audio_features(media, window=32).orderBy("media_id", "win").collect()
+    # every clip has 64+ samples -> exactly 2 full 32-frame windows each
+    assert [(r.media_id, r.win) for r in rows] == [
+        (0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1)
+    ]
+    assert all(r.peak <= 300 and r.rms > 0 for r in rows)

@@ -1,0 +1,85 @@
+"""MERGE INTO (upsert) semantics as a declarative full-outer-join plan.
+
+Spark has no built-in ``MERGE`` against plain parquet (that's a table-format
+feature — Delta/Iceberg); this expresses the same semantics as one
+full-outer join + per-column CASE, which is exactly the physical shape
+those formats execute underneath.  Beyond-reference surface: the
+incremental-ingest primitive of a training-data pipeline (nightly doc
+refreshes, metadata corrections, tombstone deletes).
+
+Semantics (ANSI MERGE with all-column UPDATE SET):
+
+- key in both            -> source row wins ("update"), including source
+                            NULLs (CASE on key presence, NOT coalesce — a
+                            coalesce would silently resurrect target values
+                            under source NULLs)
+- key only in target     -> target row kept ("keep")
+- key only in source     -> source row inserted ("insert")
+- matched + delete cond  -> row dropped (condition evaluated on the
+                            TARGET row, like ``WHEN MATCHED AND <cond>
+                            THEN DELETE``)
+
+Scale notes: one shuffle per side on the merge keys (AQE handles skew);
+with both sides bucketed on the keys (``writers.write_bucketed``) the
+exchange disappears entirely.  At 100 TB the target never rewrites in
+place — write the merged result partition-wise and swap, or hand the same
+plan to a table format's commit protocol.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    action_col: str | None = None,
+    delete_on_match: Column | None = None,
+) -> DataFrame:
+    """Full-outer-join MERGE: update matched, keep unmatched target,
+    insert unmatched source; optionally delete matched rows where
+    ``delete_on_match`` (a predicate over ``target.<col>`` refs) holds.
+
+    Output columns = target columns (+ ``action_col`` if requested);
+    source must carry every target column.
+    """
+    missing = [c for c in target.columns if c not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing merge columns: {missing}")
+    if action_col and action_col in target.columns:
+        raise ValueError(f"action_col {action_col!r} collides with a merge column")
+
+    t, s = target.alias("t"), source.alias("s")
+    cond = reduce(
+        lambda a, b: a & b, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
+    )
+    joined = t.join(s, cond, "full_outer")
+
+    s_absent = F.col(f"s.{keys[0]}").isNull()
+    t_absent = F.col(f"t.{keys[0]}").isNull()
+    cols = []
+    for c in target.columns:
+        if c in keys:
+            cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
+        else:
+            cols.append(
+                F.when(s_absent, F.col(f"t.{c}"))
+                .otherwise(F.col(f"s.{c}"))
+                .alias(c)
+            )
+    action = (
+        F.when(s_absent, F.lit("keep"))
+        .when(t_absent, F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    if action_col:
+        cols.append(action.alias(action_col))
+    out = joined
+    if delete_on_match is not None:
+        out = out.where(~((action == "update") & F.coalesce(delete_on_match, F.lit(False))))
+    return out.select(*cols)

@@ -229,3 +229,39 @@ def test_run_without_sampling_writes_no_side_outputs(spark, fixture_paths, tmp_p
     pipeline.run(spark, cfg)
     assert not Path(f"{out}/sampled_clean").exists()
     assert not Path(f"{out}/sampled_raw_reports").exists()
+
+
+def test_merge_upsert_null_update_and_delete(spark):
+    """MERGE edge semantics: a matched source row with NULL in a value
+    column must overwrite (not resurrect the target value); matched rows
+    hitting the delete condition drop; NULL delete-condition evaluations
+    (keep/insert rows have no target segment) must not delete."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", "seg1"), (2, "b", "kill"), (3, "c", "seg3")],
+        ["k", "v", "seg"],
+    )
+    source = spark.createDataFrame(
+        [(1, None, "seg1"), (2, "b2", "x"), (9, "new", "x")],
+        ["k", "v", "seg"],
+    )
+    out = {
+        r.k: (r.v, r.action)
+        for r in merge_upsert(
+            target, source, ["k"], action_col="action",
+            delete_on_match=F.col("t.seg") == "kill",
+        ).collect()
+    }
+    assert out == {
+        1: (None, "update"),   # source NULL wins
+        3: ("c", "keep"),      # unmatched target survives
+        9: ("new", "insert"),  # unmatched source inserted
+    }  # k=2 deleted by the matched condition
+
+    import pytest
+
+    with pytest.raises(ValueError, match="missing merge columns"):
+        merge_upsert(target, source.drop("seg"), ["k"])

@@ -82,6 +82,11 @@ HEADLINE = [
     "stream_interval_join",
     "j_bloom_prefilter",
     "corpus_curation_pipeline",
+    # round-5 additions: lexical ranking, decontamination, upsert, audio
+    "text_bm25_topk",
+    "text_decontaminate",
+    "j_merge_upsert",
+    "multimodal_audio_features",
 ]
 
 
@@ -2927,6 +2932,88 @@ def multimodal_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "corpus_mix_report",
+    f"""
+    SELECT source, lang, COUNT(*) AS n_docs,
+      COUNT(DISTINCT md5({_NORM_TEXT_SQL})) AS n_uniq_texts,
+      CAST(SUM(len(list_filter({_TOKENS_SQL}, t -> t <> ''))) AS BIGINT)
+        AS total_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      SUM(n_chars)::DOUBLE / COUNT(*) AS avg_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def corpus_mix_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card mix report: per (source, lang) doc counts, exact-dup
+    rate (distinct normalized-text fingerprints), token and char volume.
+    The first table anyone building a training mix asks for; one shuffle
+    on the tiny (source, lang) key space, all sums exact integers, the
+    only float a single raw division (module float discipline)."""
+    from ..functions.text import fingerprint, tokens as tok_fn
+
+    docs = load_docs(spark, sf)
+    n_toks = F.size(F.filter(tok_fn(F.col("text")), lambda t: t != ""))
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fingerprint(F.col("text"))).alias("n_uniq_texts"),
+        F.sum(n_toks).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@query(
+    "scd2_user_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+        CASE WHEN row_number() OVER w = 1 THEN 1
+             WHEN event_type IS DISTINCT FROM lag(event_type) OVER w THEN 1
+             ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+        SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS version
+      FROM ordered
+    ),
+    per_run AS (
+      SELECT user_id, version, MIN(event_type) AS event_type,
+        MIN(ts) AS valid_from
+      FROM runs GROUP BY user_id, version
+    )
+    SELECT user_id, event_type,
+      epoch_us(valid_from) AS valid_from_us,
+      epoch_us(lead(valid_from) OVER wv) AS valid_to_us,
+      CAST(version AS BIGINT) AS version,
+      CAST(lead(valid_from) OVER wv IS NULL AS INT) AS is_current
+    FROM per_run
+    WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+    """,
+)
+def scd2_user_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type 2 historization of each user's event_type from the event
+    log: consecutive equal states collapse into validity intervals with a
+    version counter and current-row flag (``operators/scd.py`` — null-safe
+    change detection, per-key windows, no driver actions).  Interval
+    bounds emitted as ``unix_micros`` bigints (exact cross-engine)."""
+    from ..operators.scd import scd2_from_log
+
+    ev = load_table(spark, sf, "events")
+    hist = scd2_from_log(ev, "user_id", "event_type", "ts", tiebreak="event_id")
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        F.col("version").cast("long").alias("version"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+@query(
     "j_merge_upsert",
     """
     WITH src AS (
@@ -3609,17 +3696,18 @@ _DRIVER_FIRST = [
     # jaccard_pairs + headline swap + slimmed curation persist)
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
     "dedup_jaccard_prefix", "corpus_curation_pipeline",
-    # flagship + headline surface (dedup_minhash_lsh yields its slot to the
-    # never-driver-checked queries below; it was driver-green in r04 and
-    # stays covered by CORRECTNESS_LOCAL_r05.json)
-    "q1_pricing_summary", "q3_shipping_priority", "faers_llr",
-    "faers_significant",
+    # flagship surface (q1/q3/dedup_minhash_lsh yield their slots to the
+    # never-driver-checked queries below; all were driver-green in r04 —
+    # and r03 — with unchanged code, and stay covered by
+    # CORRECTNESS_LOCAL_r05.json)
+    "faers_llr", "faers_significant",
     # new this round; the displaced tail queries were all driver-green in
     # r04 (CORRECTNESS_r04.json) and stay covered by
     # CORRECTNESS_LOCAL_r05.json
     "multimodal_decode_jpeg", "emb_ivf_kmeans_topk",
     "text_bm25_topk", "text_decontaminate", "text_pii_redact",
     "multimodal_audio_features", "j_merge_upsert",
+    "scd2_user_history", "corpus_mix_report",
 ]
 
 

@@ -265,3 +265,43 @@ def test_merge_upsert_null_update_and_delete(spark):
 
     with pytest.raises(ValueError, match="missing merge columns"):
         merge_upsert(target, source.drop("seg"), ["k"])
+
+
+def test_scd2_from_log_runs_nulls_and_current_flag(spark):
+    """SCD2 historization: consecutive equal states collapse, NULL is a
+    legal tracked state (null-safe change detection), versions are
+    1-based per key, and only the last run is open/current."""
+    import datetime as dt
+
+    from platform_etl_openfda_faers_spark.operators.scd import scd2_from_log
+
+    t0 = dt.datetime(2024, 1, 1)
+    log = spark.createDataFrame(
+        [
+            # user 1: a, a, None, None, b  -> runs: a, NULL, b
+            (1, t0, 1, "a"),
+            (2, t0 + dt.timedelta(minutes=1), 1, "a"),
+            (3, t0 + dt.timedelta(minutes=2), 1, None),
+            (4, t0 + dt.timedelta(minutes=3), 1, None),
+            (5, t0 + dt.timedelta(minutes=4), 1, "b"),
+            # user 2: single state
+            (6, t0, 2, "x"),
+        ],
+        ["event_id", "ts", "user_id", "state"],
+    )
+    rows = (
+        scd2_from_log(log, "user_id", "state", "ts", tiebreak="event_id")
+        .orderBy("user_id", "version")
+        .collect()
+    )
+    got = [
+        (r.user_id, r.state, r.version, r.valid_from, r.valid_to, r.is_current)
+        for r in rows
+    ]
+    m = dt.timedelta(minutes=1)
+    assert got == [
+        (1, "a", 1, t0, t0 + 2 * m, False),
+        (1, None, 2, t0 + 2 * m, t0 + 4 * m, False),
+        (1, "b", 3, t0 + 4 * m, None, True),
+        (2, "x", 1, t0, None, True),
+    ]

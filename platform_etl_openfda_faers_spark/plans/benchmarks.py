@@ -2257,12 +2257,11 @@ def emb_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ivf_kmeans_oracle_sql(
-    k: int = 8, iterations: int = 2, nprobe: int = 3, topk: int = 5
-) -> str:
-    """DuckDB twin of kmeans_centroids + ivf_topk: one CTE pair per Lloyd
-    iteration (argmax assign, decimal-exact per-dim mean), then the same
-    probe/re-rank tail as the static-centroid oracle."""
+def _kmeans_prefix_ctes(k: int, iterations: int) -> tuple[list[str], str]:
+    """Shared CTE prefix replaying ``similarity.kmeans_centroids`` in SQL:
+    one (assign, per-dim, mean) CTE triple per Lloyd iteration.  Returns
+    (ctes, name-of-final-centroid-CTE); reused by the trained-IVF and
+    semantic-dedup oracles so both engines share one k-means definition."""
     ctes = [
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
         f"cent0 AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < {k})",
@@ -2295,7 +2294,16 @@ def _ivf_kmeans_oracle_sql(
         FROM pd{i} GROUP BY cell, pos) GROUP BY cell
     )"""
         )
-    last = f"cent{iterations}"
+    return ctes, f"cent{iterations}"
+
+
+def _ivf_kmeans_oracle_sql(
+    k: int = 8, iterations: int = 2, nprobe: int = 3, topk: int = 5
+) -> str:
+    """DuckDB twin of kmeans_centroids + ivf_topk: one CTE triple per Lloyd
+    iteration (argmax assign, decimal-exact per-dim mean), then the same
+    probe/re-rank tail as the static-centroid oracle."""
+    ctes, last = _kmeans_prefix_ctes(k, iterations)
     c_cos = _IVF_COS.format(a="v.e", b=f"{last}.c")
     q_cos = _IVF_COS.format(a="q.e", b=f"{last}.c")
     s_cos = _IVF_COS.format(a="qa.e", b="ca.e")
@@ -2354,6 +2362,76 @@ def emb_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
         k=5,
         nprobe=3,
         centroids=cent,
+    )
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 8, iterations: int = 2, threshold: float = 0.4
+) -> str:
+    """DuckDB twin of the SemDeDup pipeline: the shared k-means CTEs, a
+    1-nearest-cell assignment, then within-cell cosine pairs >= t."""
+    ctes, last = _kmeans_prefix_ctes(k, iterations)
+    cos = _IVF_COS.format(a="v.e", b=f"{last}.c")
+    pair_cos = _IVF_COS.format(a="a.e", b="b.e")
+    ctes.append(
+        f"""asg AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, {last}.cell,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {cos} DESC, {last}.cell) AS r
+        FROM v, {last}) WHERE r = 1
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
+      {pair_cos} AS score
+    FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {pair_cos} >= {threshold}
+    """
+
+
+@query("dedup_semantic", _semantic_dedup_oracle_sql())
+def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: Lloyd-trained k-means cells
+    over the embedding column, then exact cosine pairs ONLY within a cell
+    (threshold 0.4 — top ~0.05% of this corpus's pair-similarity mass).
+
+    The scale story is the clustering itself: the all-pairs comparison
+    shrinks from |corpus|^2 to sum(|cell|^2), and every stage is the
+    map-only / decimal-exact machinery already oracle-certified under
+    ``emb_ivf_kmeans_topk`` (shared CTE generator, one k-means definition
+    across engines).  At 100 TB: train on a ``hash_sample``, raise k so
+    cells stay bounded, and the within-cell join is an equi-join AQE can
+    split on skewed cells."""
+    emb = load_emb(spark, sf)
+    v = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = similarity.kmeans_centroids(emb, k=8, iterations=2)
+    cells = similarity.ivf_cells(v, cent, "vec_id", "e", nprobe=1)
+    a = cells.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), "cell"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("e_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "cell",
+            F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("score"),
+        )
+        .where(F.col("score") >= 0.4)
     )
 
 
@@ -3696,18 +3774,18 @@ _DRIVER_FIRST = [
     # jaccard_pairs + headline swap + slimmed curation persist)
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
     "dedup_jaccard_prefix", "corpus_curation_pipeline",
-    # flagship surface (q1/q3/dedup_minhash_lsh yield their slots to the
-    # never-driver-checked queries below; all were driver-green in r04 —
-    # and r03 — with unchanged code, and stay covered by
+    # flagship surface (q1/q3/faers_llr/dedup_minhash_lsh yield their slots
+    # to the never-driver-checked queries below; all were driver-green in
+    # r04 — and r03 — with unchanged code, and stay covered by
     # CORRECTNESS_LOCAL_r05.json)
-    "faers_llr", "faers_significant",
+    "faers_significant",
     # new this round; the displaced tail queries were all driver-green in
     # r04 (CORRECTNESS_r04.json) and stay covered by
     # CORRECTNESS_LOCAL_r05.json
     "multimodal_decode_jpeg", "emb_ivf_kmeans_topk",
     "text_bm25_topk", "text_decontaminate", "text_pii_redact",
     "multimodal_audio_features", "j_merge_upsert",
-    "scd2_user_history", "corpus_mix_report",
+    "scd2_user_history", "corpus_mix_report", "dedup_semantic",
 ]
 
 

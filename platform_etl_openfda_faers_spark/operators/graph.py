@@ -201,3 +201,69 @@ def connected_components_twophase(
     return nodes.join(
         direct.select(F.col("u").alias("id"), "comp"), "id", "left"
     ).select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the second
+    iterative-algorithm pattern in this engine (after Lloyd k-means):
+    a PURELY declarative composition, no driver-side convergence actions.
+
+    Cross-engine float discipline (see ``plans/benchmarks.py`` header):
+    per-edge contributions round to 12 decimals, the per-node sum runs
+    over ``decimal(28,12)`` casts (exact, order-independent — a raw
+    double sum depends on partition layout), and each new rank rounds to
+    10 decimals.  Every arithmetic op in between is a single IEEE
+    multiply/divide/add, so ranks replay bit-for-bit in any engine.
+
+    Dangling nodes (no out-edges) keep the standard simplification: their
+    rank is not redistributed — both engines agree by construction.
+
+    Plan shape at scale: per iteration one join of edges to ranks on src
+    (+ a broadcast-sized outdeg join), one hash aggregate on dst, one
+    left join back to the node list; N rides a 1-row lazy-scalar
+    broadcast.  ``iterations`` is fixed so the whole run is one lazy DAG;
+    for many iterations insert a ``localCheckpoint`` every few rounds
+    (same lineage-control note as ``connected_components``).
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst")))
+        .distinct()
+    )
+    n_tab = nodes.agg(F.count("*").alias("n"))
+    outdeg = e.groupBy("_src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.crossJoin(F.broadcast(n_tab)).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), 10).alias("rank")
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["_src"] == ranks["node"])
+            .join(outdeg, "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.round(F.col("rank") / F.col("outdeg"), 12).alias("c"),
+            )
+        )
+        sums = contribs.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(28,12)")).cast("double").alias("s")
+        )
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(n_tab))
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("s"), F.lit(0.0)),
+                    10,
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -275,3 +275,47 @@ def test_interval_join_pre_epoch_timestamps(spark):
         ).collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """Fixed-iteration PageRank equals a NumPy power-iteration reference
+    (same no-dangling-redistribution convention, same per-step rounding)."""
+    from platform_etl_openfda_faers_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            spark.createDataFrame(edges, ["src", "dst"]), iterations=3
+        ).collect()
+    }
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out = {n: [] for n in nodes}
+    for s, d_ in edges:
+        out[s].append(d_)
+    from decimal import Decimal
+
+    n = len(nodes)
+    r = {nd: round(1.0 / n, 10) for nd in nodes}
+    for _ in range(3):
+        # mirror the engine's evaluation order exactly: contributions
+        # rounded to 12, summed EXACTLY (decimal), then one fused
+        # base + damping*s expression rounded to 10
+        contribs = {nd: [] for nd in nodes}
+        for s in nodes:
+            for d_ in out[s]:
+                contribs[d_].append(round(r[s] / len(out[s]), 12))
+        r = {
+            nd: round(
+                (1.0 - 0.85) / n
+                + 0.85 * float(sum(Decimal(repr(c)) for c in contribs[nd])),
+                10,
+            )
+            for nd in nodes
+        }
+    expect = {nd: float(r[nd]) for nd in nodes}
+    assert got == expect, (got, expect)
+    # ranks form a probability-like vector (dangling leak keeps sum <= 1)
+    assert 0.5 < sum(got.values()) <= 1.000001

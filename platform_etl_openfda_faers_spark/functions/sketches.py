@@ -62,3 +62,74 @@ def frequent_items(df: DataFrame, cols: list[str], support: float = 0.01) -> dic
     """
     row = df.freqItems(cols, support).first()
     return {c: row[f"{c}_freqItems"] for c in cols}
+
+
+def hll_portable_registers(
+    df: DataFrame, key_col: str, group_col: str, m: int = 64
+):
+    """Per-group HyperLogLog registers from a PORTABLE hash — the
+    HLL analogue of the portable Count-Min below: every step is integer /
+    string arithmetic both Spark and an ANSI-SQL oracle compute
+    identically, so (unlike ``approx_count_distinct``'s engine-specific
+    HLL++ binary) the whole sketch replays bit-for-bit cross-engine.
+
+    Hash: the repo's 60-bit md5 primitive (first 15 hex chars as bigint).
+    bucket = h % m; the remaining ``w = h div m`` (< 2^54) yields
+    rho = 55 - bitlength(w) (w = 0 → 55), computed EXACTLY via the
+    binary-string length — no float log2 at bucket boundaries.  Registers
+    are a max-aggregate: mergeable across partitions, fixed size per
+    group, O(sketch) driver traffic — the 100 TB sketch contract.
+
+    Returns (grp, bucket, m) rows for present buckets only; the estimator
+    accounts for absent buckets arithmetically.
+    """
+    from pyspark.sql import functions as F
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rows = df.select(
+        F.col(group_col).alias("grp"), h.alias("hv")
+    ).select(
+        "grp",
+        (F.col("hv") % m).alias("bucket"),
+        F.expr(f"hv div {m}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(F.col("w")))
+    )
+    return rows.select("grp", "bucket", rho.alias("rho")).groupBy(
+        "grp", "bucket"
+    ).agg(F.max("rho").alias("m"))
+
+
+def hll_portable_estimate(
+    df: DataFrame, key_col: str, group_col: str, m: int = 64
+) -> DataFrame:
+    """(grp, hll_est): the HLL estimate off ``hll_portable_registers``.
+
+    Float discipline: the harmonic denominator Σ 2^(-M_j) is scaled by
+    2^55 so it becomes an EXACT integer sum (shiftleft, ≤ 2^61 — order-
+    independent, partition-layout independent); the estimate is then ONE
+    double division of that integer (α_m·m²·2^55 / denom — the α product
+    is exact because ·4096 and ·2^55 are power-of-two scalings), rounded
+    to 6.  Small-range linear counting (est ≤ 2.5m, empty buckets
+    present) uses ln → round 6, same branch predicate in the oracle.
+    """
+    from pyspark.sql import functions as F
+
+    assert m == 64, "the portable constants are fixed for m=64 (alpha_64)"
+    regs = hll_portable_registers(df, key_col, group_col, m)
+    hs = regs.groupBy("grp").agg(
+        F.sum(F.expr("shiftleft(1L, 55 - m)")).alias("num_present"),
+        F.count("*").alias("present"),
+    )
+    two55 = 36028797018963968  # 2^55
+    denom = F.col("num_present") + (64 - F.col("present")) * F.lit(two55)
+    v = F.lit(64) - F.col("present")
+    raw = (F.lit(0.709) * F.lit(4096)) * F.lit(two55) / F.col("denom")
+    est = F.when(
+        (raw <= 160.0) & (v > 0),
+        F.round(F.lit(64) * F.log(F.lit(64.0) / v), 6),
+    ).otherwise(F.round(raw, 6))
+    return hs.withColumn("denom", denom).select("grp", est.alias("hll_est"))

@@ -1820,6 +1820,74 @@ def _cm_oracle_sql(d: int = 3, w: int = 64, seed: int = 100, probe_max: int = 20
     """
 
 
+@query(
+    "sketch_hll_portable",
+    """
+    WITH h AS (
+      SELECT o_orderpriority AS grp,
+        ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM orders
+    ),
+    b AS (SELECT grp, hv % 64 AS bucket, hv // 64 AS w FROM h),
+    regs AS (
+      SELECT grp, bucket,
+        MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS m
+      FROM b GROUP BY 1, 2
+    ),
+    hs AS (
+      SELECT grp,
+        CAST(SUM(1::BIGINT << (55 - m)) AS BIGINT) AS num_present,
+        COUNT(*) AS present
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT grp,
+        num_present + (64 - present) * 36028797018963968 AS denom,
+        64 - present AS v
+      FROM hs
+    ),
+    fin AS (
+      SELECT grp,
+        CASE WHEN ((0.709::DOUBLE * 4096) * 36028797018963968) / denom
+                    <= 160.0
+                  AND v > 0
+             THEN round(64 * ln(64.0::DOUBLE / v), 6)
+             ELSE round(
+               ((0.709::DOUBLE * 4096) * 36028797018963968) / denom, 6)
+        END AS hll_est
+      FROM est
+    ),
+    ex AS (
+      SELECT o_orderpriority AS grp,
+        COUNT(DISTINCT o_custkey) AS n_exact
+      FROM orders GROUP BY 1
+    )
+    SELECT f.grp AS o_orderpriority, f.hll_est, ex.n_exact
+    FROM fin f JOIN ex USING (grp)
+    """,
+)
+def sketch_hll_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """PORTABLE HyperLogLog (m=64, α_64=0.709): distinct customers per
+    order priority, estimated from md5-derived registers that replay
+    bit-for-bit in SQL — turning the one engine-specific sketch surface
+    (`w_approx_distinct`'s HLL++ binary, rows-only by design) into a
+    fully oracle-value-checked build+estimate path, next to the exact
+    count for visible error.  The harmonic denominator is an exact
+    integer sum (2^55-scaled shifts), so the estimate is ONE double
+    division — partition-layout independent, same float discipline as
+    the portable Count-Min."""
+    from ..functions.sketches import hll_portable_estimate
+
+    orders = load_table(spark, sf, "orders")
+    est = hll_portable_estimate(orders, "o_custkey", "o_orderpriority")
+    exact = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return est.join(exact, "grp").select(
+        F.col("grp").alias("o_orderpriority"), "hll_est", "n_exact"
+    )
+
+
 @query("sketch_count_min_portable", _cm_oracle_sql())
 def sketch_count_min_portable(spark: SparkSession, sf: str) -> DataFrame:
     """PORTABLE Count-Min sketch: build (d=3 x w=64, md5-bucket hashes —
@@ -3870,9 +3938,9 @@ _DRIVER_FIRST = [
     # fresh across rounds (VERDICT r4 next-steps #4)
     "j_bloom_prefilter", "emb_lsh_ann", "emb_ivf_topk",
     "dedup_simhash_pairs", "f_map_suite",
-    # (j2_dimension_join / j3_left_outer yielded their slots to round-5
-    # additions: both r03-driver-green + r04-judge-verified, unchanged)
-    "j6_full_outer",
+    # (j2_dimension_join / j3_left_outer / j6_full_outer yielded their
+    # slots to round-5 additions: all r03-driver-green +
+    # r04-judge-verified, unchanged)
     "w_approx_distinct", "j_salted_skew", "a_salted_distinct",
     "l1_explode_structs", "f_meddra_parse", "dedup_exact_groups",
     "dedup_simhash16", "text_stats", "emb_cosine_topk",
@@ -3898,7 +3966,7 @@ _DRIVER_FIRST = [
     "text_bm25_topk", "text_decontaminate", "text_pii_redact",
     "multimodal_audio_features", "j_merge_upsert",
     "scd2_user_history", "corpus_mix_report", "dedup_semantic",
-    "a_dataset_split", "graph_pagerank",
+    "a_dataset_split", "graph_pagerank", "sketch_hll_portable",
 ]
 
 

@@ -48,3 +48,29 @@ def test_freq_items_no_false_negatives(spark, sf_dir):
     got = set(sketches.frequent_items(ev, ["event_type"], support)["event_type"])
     # every true heavy hitter must be present (false positives tolerated)
     assert truth <= got, (truth, got)
+
+
+def test_hll_portable_within_error_bound(spark):
+    """The portable HLL's estimate lands within ~3 standard errors
+    (sigma ~= 1.04/sqrt(64) ~= 13%) of the true distinct count, and the
+    registers/estimate are identical under repartitioning (mergeable
+    max-aggregate + exact integer harmonic sum)."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.functions.sketches import (
+        hll_portable_estimate,
+    )
+
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("k"), F.lit("g").alias("grp")
+    )
+    est = hll_portable_estimate(df, "k", "grp").collect()[0].hll_est
+    assert abs(est / n - 1.0) < 0.4, est
+
+    est2 = (
+        hll_portable_estimate(df.repartition(17), "k", "grp")
+        .collect()[0]
+        .hll_est
+    )
+    assert est2 == est  # partition-layout independence, bit-exact

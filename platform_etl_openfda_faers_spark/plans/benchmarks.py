@@ -2434,6 +2434,76 @@ def emb_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "w_funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT v.user_id,
+      epoch_us(v.t_view) AS t_view_us,
+      epoch_us(c.t_click) AS t_click_us,
+      epoch_us(p.t_purchase) AS t_purchase_us,
+      CAST(c.user_id IS NOT NULL AS INT) AS clicked,
+      CAST(p.user_id IS NOT NULL AS INT) AS purchased
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def w_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): first view, first click
+    strictly after it, first purchase strictly after that — per user,
+    with stage-completion flags.  Three staged min-aggregates + key
+    joins; at scale each stage is one shuffle on user_id and all three
+    reuse the same partitioning (no window over raw events — the
+    aggregate runs map-side partial first).  Timestamps emitted as exact
+    ``unix_micros``."""
+    ev = load_table(spark, sf, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t_view").alias("t_view_us"),
+            F.unix_micros("t_click").alias("t_click_us"),
+            F.unix_micros("t_purchase").alias("t_purchase_us"),
+            F.col("t_click").isNotNull().cast("int").alias("clicked"),
+            F.col("t_purchase").isNotNull().cast("int").alias("purchased"),
+        )
+    )
+
+
+@query(
     "a_dataset_split",
     f"""
     WITH b AS (
@@ -3941,7 +4011,10 @@ _DRIVER_FIRST = [
     # (j2_dimension_join / j3_left_outer / j6_full_outer yielded their
     # slots to round-5 additions: all r03-driver-green +
     # r04-judge-verified, unchanged)
-    "w_approx_distinct", "j_salted_skew", "a_salted_distinct",
+    # (w_approx_distinct yielded its slot: rows-only BY DESIGN — a driver
+    # re-check can only re-observe the row count it already certified in
+    # r03; the slot certifies a brand-new oracle-checked query instead)
+    "j_salted_skew", "a_salted_distinct",
     "l1_explode_structs", "f_meddra_parse", "dedup_exact_groups",
     "dedup_simhash16", "text_stats", "emb_cosine_topk",
     "emb_near_dup_exact", "asof_join_events", "stream_tumbling_counts",
@@ -3967,6 +4040,7 @@ _DRIVER_FIRST = [
     "multimodal_audio_features", "j_merge_upsert",
     "scd2_user_history", "corpus_mix_report", "dedup_semantic",
     "a_dataset_split", "graph_pagerank", "sketch_hll_portable",
+    "w_funnel_conversion",
 ]
 
 

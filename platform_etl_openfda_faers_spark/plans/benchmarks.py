@@ -3445,6 +3445,38 @@ def multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "f_from_json_typed",
+    """
+    SELECT event_id,
+      CAST(json_extract(props, '$.k') AS INT) AS k,
+      CAST(json_extract(props, '$.k') AS INT)
+        * CAST(json_extract(props, '$.k') AS INT) AS k_sq,
+      CAST(json_extract(props, '$.missing') AS INT) AS absent
+    FROM events
+    """,
+)
+def f_from_json_typed(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed semi-structured parse: ``from_json`` with an explicit schema
+    (vs ``events_json_props``' stringly ``get_json_object``) — the parse
+    happens ONCE per row into a struct, downstream fields are ordinary
+    typed columns (codegen arithmetic, no re-extraction), and absent
+    fields are typed NULLs.  Map-only at any scale."""
+    ev = load_table(spark, sf, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json(
+            "props", "k INT, missing INT"
+        ).alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") * F.col("p.k")).alias("k_sq"),
+        F.col("p.missing").alias("absent"),
+    )
+
+
+@query(
     "events_json_props",
     """
     SELECT json_extract_string(props, '$.k') AS k,
@@ -4006,8 +4038,10 @@ _DRIVER_FIRST = [
     # the 35 queries the r4 cap rotated OUT (driver-certified last in r03,
     # judge-reverified in r4) — lead with them so driver evidence stays
     # fresh across rounds (VERDICT r4 next-steps #4)
+    # (f_map_suite yielded its slot to a round-5 addition: r03-driver-green
+    # + r04-judge-verified, unchanged)
     "j_bloom_prefilter", "emb_lsh_ann", "emb_ivf_topk",
-    "dedup_simhash_pairs", "f_map_suite",
+    "dedup_simhash_pairs",
     # (j2_dimension_join / j3_left_outer / j6_full_outer yielded their
     # slots to round-5 additions: all r03-driver-green +
     # r04-judge-verified, unchanged)
@@ -4040,7 +4074,7 @@ _DRIVER_FIRST = [
     "multimodal_audio_features", "j_merge_upsert",
     "scd2_user_history", "corpus_mix_report", "dedup_semantic",
     "a_dataset_split", "graph_pagerank", "sketch_hll_portable",
-    "w_funnel_conversion",
+    "w_funnel_conversion", "f_from_json_typed",
 ]
 
 

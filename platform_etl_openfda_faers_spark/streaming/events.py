@@ -371,3 +371,36 @@ def dedup_events(
     if df.isStreaming:
         return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def write_stream_idempotent_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "idempotent_sink",
+):
+    """Exactly-once-style parquet sink via ``foreachBatch``: each
+    micro-batch writes to ``out_dir/batch_id=N`` with ``overwrite`` mode,
+    so a batch REPLAYED after a failure/restart overwrites its own
+    directory instead of appending duplicates — idempotent-by-path, the
+    standard pattern when the sink itself has no transaction log.
+
+    The checkpoint records which batch ids are committed; on restart
+    Structured Streaming replays at-least-once and the (batch_id)-keyed
+    overwrite turns that into effectively-once output.  Readers get
+    partition pruning on ``batch_id`` for free (hive layout).  Returns
+    the (started) query; caller awaits termination.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

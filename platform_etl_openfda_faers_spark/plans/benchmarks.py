@@ -2434,6 +2434,69 @@ def emb_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "a_outlier_zscore",
+    """
+    WITH d AS (
+      SELECT user_id, event_id,
+        CAST(value AS DECIMAL(9,2)) AS dv
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(dv) AS DOUBLE) AS sum_d,
+        CAST(SUM(dv * dv) AS DOUBLE) AS sumsq_d
+      FROM d GROUP BY 1
+    ),
+    st AS (
+      SELECT user_id, n, sum_d / n AS mean,
+        sqrt((sumsq_d - (sum_d * sum_d) / n) / (n - 1)) AS sd
+      FROM s WHERE n > 1
+    )
+    SELECT d.user_id, d.event_id, CAST(d.dv AS DOUBLE) AS v,
+      (CAST(d.dv AS DOUBLE) - st.mean) / st.sd AS z
+    FROM d JOIN st ON d.user_id = st.user_id
+    WHERE abs((CAST(d.dv AS DOUBLE) - st.mean) / st.sd) > 3.0
+    """,
+)
+def a_outlier_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group z-score outlier detection (|z| > 3 on event value within
+    each user) — the standard numeric data-quality gate.  Mean/stddev are
+    derived from EXACT decimal sums (the 2-dp values and their 4-dp
+    squares are exact decimals, so the aggregates are order- and
+    partition-independent), then a fixed chain of single IEEE ops — no
+    `stddev_samp` whose summation order varies by engine.  One shuffle on
+    user_id for the moments, broadcast-sized stats joined back."""
+    ev = load_table(spark, sf, "events")
+    d = ev.select(
+        "user_id", "event_id", F.col("value").cast("decimal(9,2)").alias("dv")
+    )
+    s = d.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("dv").cast("double").alias("sum_d"),
+        F.sum(F.col("dv") * F.col("dv")).cast("double").alias("sumsq_d"),
+    )
+    st = s.where(F.col("n") > 1).select(
+        "user_id",
+        (F.col("sum_d") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("sumsq_d") - (F.col("sum_d") * F.col("sum_d")) / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    z = (F.col("dv").cast("double") - F.col("mean")) / F.col("sd")
+    return (
+        d.join(st, "user_id")
+        .where(F.abs(z) > 3.0)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("dv").cast("double").alias("v"),
+            z.alias("z"),
+        )
+    )
+
+
+@query(
     "w_funnel_conversion",
     """
     WITH v AS (
@@ -2499,6 +2562,79 @@ def w_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
             F.unix_micros("t_purchase").alias("t_purchase_us"),
             F.col("t_click").isNotNull().cast("int").alias("clicked"),
             F.col("t_purchase").isNotNull().cast("int").alias("purchased"),
+        )
+    )
+
+
+@query(
+    "w_resample_ffill",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+        date_trunc('hour', ts) AS hr
+      FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+    ),
+    hourly AS (
+      SELECT user_id, hr, arg_max(value, ts) AS v
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM e GROUP BY 1
+    ),
+    grid AS (
+      SELECT b.user_id, gs.hr
+      FROM bounds b,
+      LATERAL (SELECT unnest(generate_series(b.h0, b.h1,
+        INTERVAL 1 HOUR)) AS hr) gs
+    )
+    SELECT g.user_id, epoch_us(g.hr) AS hr_us,
+      last_value(h.v IGNORE NULLS) OVER (
+        PARTITION BY g.user_id ORDER BY g.hr
+        ROWS UNBOUNDED PRECEDING) AS v_filled,
+      CAST(h.v IS NULL AS INT) AS was_gap
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hr = h.hr
+    """,
+)
+def w_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resampling: hourly grid per user (dense `sequence` over
+    each user's observed span) left-joined to the last observation per
+    hour, gaps forward-filled with `last(..., ignorenulls)` — the
+    standard resample+ffill of feature-engineering pipelines, expressed
+    without any driver-side date loop.  Scale shape: the grid explode is
+    row-local off a per-user bounds aggregate; the fill is one per-user
+    ordered window (a user's span must fit a partition, as for any
+    per-entity series)."""
+    ev = load_table(spark, sf, "events").where(
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp")
+    )
+    e = ev.select(
+        "user_id", "ts", "value", F.date_trunc("hour", "ts").alias("hr")
+    )
+    hourly = e.groupBy("user_id", "hr").agg(
+        F.max_by("value", "ts").alias("v")
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            F.unix_micros("hr").alias("hr_us"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+            F.col("v").isNull().cast("int").alias("was_gap"),
         )
     )
 
@@ -4049,7 +4185,9 @@ _DRIVER_FIRST = [
     # re-check can only re-observe the row count it already certified in
     # r03; the slot certifies a brand-new oracle-checked query instead)
     "j_salted_skew", "a_salted_distinct",
-    "l1_explode_structs", "f_meddra_parse", "dedup_exact_groups",
+    # (l1_explode_structs / f_meddra_parse yielded their slots to round-5
+    # additions: both r03-driver-green + r04-judge-verified, unchanged)
+    "dedup_exact_groups",
     "dedup_simhash16", "text_stats", "emb_cosine_topk",
     "emb_near_dup_exact", "asof_join_events", "stream_tumbling_counts",
     "stream_session_windows", "a_grouping_sets", "f_posexplode_tokens",
@@ -4075,6 +4213,7 @@ _DRIVER_FIRST = [
     "scd2_user_history", "corpus_mix_report", "dedup_semantic",
     "a_dataset_split", "graph_pagerank", "sketch_hll_portable",
     "w_funnel_conversion", "f_from_json_typed",
+    "a_outlier_zscore", "w_resample_ffill",
 ]
 
 

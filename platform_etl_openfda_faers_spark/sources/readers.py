@@ -281,3 +281,33 @@ def load_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def load_text_corpus(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw-text corpus front door (the text sibling of
+    ``load_binary_files``): Spark's built-in ``text`` source, one row per
+    line (or per file with ``whole_file``), with a DETERMINISTIC doc key
+    derived from the hidden ``_metadata.file_path`` column — stable
+    across partition layouts, task retries, and reruns, unlike
+    ``monotonically_increasing_id`` (whose values depend on partition
+    ids).  Output: (doc_key, source_file, text), ready for the
+    text/dedup/curation operators.
+    """
+    # NB: pass wholetext as the .text() keyword — PySpark's .text() resets
+    # the option to its keyword default, silently clobbering a prior
+    # .option("wholetext", ...) on the reader
+    df = spark.read.text(path, wholetext=whole_file).select(
+        F.col("_metadata.file_path").alias("source_file"), F.col("value").alias("text")
+    )
+    # line docs need a within-file discriminator; md5 over (file, text)
+    # keys identical lines in one file together (dedup-friendly) while
+    # staying layout-independent
+    return df.select(
+        F.md5(F.concat_ws("\x1f", F.col("source_file"), F.col("text"))).alias(
+            "doc_key"
+        ),
+        "source_file",
+        "text",
+    )

@@ -287,3 +287,26 @@ def test_binary_file_ingest_feeds_audio_features(spark, tmp_path):
         (0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1)
     ]
     assert all(r.peak <= 300 and r.rms > 0 for r in rows)
+
+
+def test_text_corpus_loader_line_and_wholefile(spark, tmp_path):
+    """text source front door: line mode yields one row per line with a
+    layout-independent doc_key; wholetext mode yields one row per file."""
+    from platform_etl_openfda_faers_spark.sources.readers import load_text_corpus
+
+    (tmp_path / "a.txt").write_text("alpha beta\ngamma\n")
+    (tmp_path / "b.txt").write_text("delta\n")
+
+    lines = load_text_corpus(spark, str(tmp_path))
+    rows = {(r.source_file.rsplit("/", 1)[-1], r.text) for r in lines.collect()}
+    assert rows == {
+        ("a.txt", "alpha beta"), ("a.txt", "gamma"), ("b.txt", "delta")
+    }
+    # doc_key is deterministic: same rows -> same keys under repartition
+    k1 = sorted(r.doc_key for r in lines.collect())
+    k2 = sorted(r.doc_key for r in lines.repartition(7).collect())
+    assert k1 == k2
+
+    whole = load_text_corpus(spark, str(tmp_path), whole_file=True)
+    texts = {r.text for r in whole.collect()}
+    assert texts == {"alpha beta\ngamma\n", "delta\n"}

@@ -1549,6 +1549,65 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_vocab_coverage",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS_SQL}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tf),
+    ranked AS (
+      SELECT token, n,
+        CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rnk,
+        CAST(SUM(n) OVER (ORDER BY n DESC, token
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM tf
+    )
+    SELECT token, n, rnk, cum, cum::DOUBLE / tot.total AS coverage
+    FROM ranked, tot WHERE rnk <= 30
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage curve: top-30 tokens by corpus frequency with
+    cumulative coverage fraction — the first plot anyone training a
+    tokenizer draws.  The ordered running sum is over the VOCAB table
+    (one row per distinct token), not the corpus; at 100 TB a
+    billion-type vocab would make the single-partition window the
+    bottleneck — bucket the running sum by frequency-range prefix
+    aggregation if that ever binds.  Total rides the 1-row lazy
+    scalar; coverage is the single raw division."""
+    from ..functions.text import tokens as tok_fn
+
+    docs = load_docs(spark, sf)
+    tf = (
+        docs.select(F.explode(tok_fn(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tf.agg(F.sum("n").cast("long").alias("total"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = tf.select(
+        "token",
+        "n",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+    ).where(F.col("rnk") <= 30)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n",
+        "rnk",
+        "cum",
+        (F.col("cum").cast("double") / F.col("total")).alias("coverage"),
+    )
+
+
+@query(
     "text_decontaminate",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
@@ -2747,6 +2806,104 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, iterations=3, damping=0.85)
+
+
+@query(
+    "dedup_exact_substrings",
+    f"""
+    WITH g AS (
+      SELECT doc_id, gs.i AS pos,
+        t[gs.i] || ' ' || t[gs.i+1] || ' ' || t[gs.i+2] || ' '
+          || t[gs.i+3] || ' ' || t[gs.i+4] AS gram
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents) toks,
+      LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 4, 0)))
+        AS i) gs
+    ),
+    shared AS (
+      SELECT gram FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos <= COALESCE(MAX(pos + 4) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+          THEN 0 ELSE 1 END AS new_island
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+        SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged
+    )
+    SELECT doc_id, CAST(grp AS BIGINT) AS grp,
+      MIN(pos) AS span_start, MAX(pos + 4) AS span_end,
+      COUNT(*) AS n_grams
+    FROM islands GROUP BY 1, 2
+    """,
+)
+def dedup_exact_substrings(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2021's dedup unit):
+    every word 5-gram occurring in >= 2 documents marks a duplicated
+    region; overlapping/contiguous marked grams merge into maximal spans
+    per doc (gaps-and-islands over gram positions).  The output is the
+    byte-region map an exact-substring-dedup pass would cut.
+
+    Plan shape at scale: one posexplode + (gram) aggregate for the shared
+    set (exactly the inverted-index shape of the Jaccard family — df-cap
+    the gram index the same way for a hot-phrase corpus), a semi-ish join
+    back, and two per-doc ordered windows.  All-integer arithmetic —
+    bit-exact cross-engine."""
+    from ..functions.text import word_ngrams
+
+    k = 5
+    docs = load_docs(spark, sf)
+    g = docs.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("text"), k)).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    shared = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gram")
+    )
+    hits = g.join(shared, "gram").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos")
+            <= F.coalesce(
+                F.max(F.col("pos") + (k - 1)).over(w_prev), F.lit(-1)
+            )
+            + 1,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "doc_id", "pos", F.sum("new_island").over(w_run).alias("grp")
+    )
+    return islands.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        F.max(F.col("pos") + (k - 1)).alias("span_end"),
+        F.count("*").alias("n_grams"),
+    )
 
 
 def _semantic_dedup_oracle_sql(
@@ -4185,10 +4342,10 @@ _DRIVER_FIRST = [
     # re-check can only re-observe the row count it already certified in
     # r03; the slot certifies a brand-new oracle-checked query instead)
     "j_salted_skew", "a_salted_distinct",
-    # (l1_explode_structs / f_meddra_parse yielded their slots to round-5
-    # additions: both r03-driver-green + r04-judge-verified, unchanged)
-    "dedup_exact_groups",
-    "dedup_simhash16", "text_stats", "emb_cosine_topk",
+    # (l1_explode_structs / f_meddra_parse / dedup_exact_groups /
+    # dedup_simhash16 yielded their slots to round-5 additions: all
+    # r03-driver-green + r04-judge-verified, unchanged)
+    "text_stats", "emb_cosine_topk",
     "emb_near_dup_exact", "asof_join_events", "stream_tumbling_counts",
     "stream_session_windows", "a_grouping_sets", "f_posexplode_tokens",
     "f_inline_structs", "multimodal_decode_bmp", "events_json_props",
@@ -4214,6 +4371,7 @@ _DRIVER_FIRST = [
     "a_dataset_split", "graph_pagerank", "sketch_hll_portable",
     "w_funnel_conversion", "f_from_json_typed",
     "a_outlier_zscore", "w_resample_ffill",
+    "dedup_exact_substrings", "text_vocab_coverage",
 ]
 
 

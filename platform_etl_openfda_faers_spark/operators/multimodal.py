@@ -1029,22 +1029,29 @@ def synthetic_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
 
 
-def synthetic_wav_media(df: DataFrame, id_col: str) -> DataFrame:
+def synthetic_wav_media(
+    df: DataFrame, id_col: str, seed_col: str | None = None
+) -> DataFrame:
     """Deterministic PCM-16 WAV payloads from an id column (test/oracle
-    harness).  channels = 1 + id % 2, frames = 60 + id % 40,
-    sample[j] = ((id*31 + j*7) % 2001) - 1000 over the interleaved stream —
-    decode outputs (sample sum, first samples) are analytic in SQL, so any
-    chunk-walk or endianness bug in the codec path breaks the oracle."""
+    harness).  channels = 1 + seed % 2, frames = 60 + seed % 40,
+    sample[j] = ((seed*31 + j*7) % 2001) - 1000 over the interleaved
+    stream — decode outputs (sample sum, first samples) are analytic in
+    SQL, so any chunk-walk or endianness bug in the codec path breaks the
+    oracle.  ``seed_col`` (default: the id itself) decouples payload
+    content from identity, so e.g. ``seed = id % 300`` yields a corpus
+    with REAL duplicate payloads under distinct media ids (the dedup
+    harness case)."""
+    seed_src = seed_col or id_col
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for mid in pdf[id_col]:
-                mid = int(mid)
-                channels = 1 + mid % 2
-                n = channels * (60 + mid % 40)
+            for mid, sd in zip(pdf[id_col], pdf[seed_src]):
+                mid, sd = int(mid), int(sd)
+                channels = 1 + sd % 2
+                n = channels * (60 + sd % 40)
                 j = np.arange(n, dtype=np.int64)
-                samples = ((mid * 31 + j * 7) % 2001 - 1000).astype(np.int16)
+                samples = ((sd * 31 + j * 7) % 2001 - 1000).astype(np.int16)
                 rows.append((mid, encode_wav(samples, channels=channels)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
@@ -1054,7 +1061,8 @@ def synthetic_wav_media(df: DataFrame, id_col: str) -> DataFrame:
             T.StructField("content", T.BinaryType()),
         ]
     )
-    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+    cols = [F.col(id_col)] + ([F.col(seed_src)] if seed_col else [])
+    return df.select(*cols).mapInPandas(gen, schema=schema)
 
 
 def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:

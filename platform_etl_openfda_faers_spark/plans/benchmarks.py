@@ -3770,6 +3770,78 @@ def f_from_json_typed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "media_curation_pipeline",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 300 AS sd FROM documents
+    ),
+    m AS (
+      SELECT doc_id, sd, 1 + sd % 2 AS channels, 60 + sd % 40 AS frames
+      FROM d
+    ),
+    s AS (
+      SELECT m.doc_id, m.sd, m.channels, m.frames,
+        SUM((m.sd * 31 + js.j * 7) % 2001 - 1000) AS sum_v
+      FROM m,
+      LATERAL (SELECT unnest(generate_series(0,
+        m.channels * m.frames - 1)) AS j) js
+      GROUP BY 1, 2, 3, 4
+    ),
+    decoded AS (
+      SELECT doc_id AS media_id, frames AS n_frames,
+        channels AS n_channels,
+        CAST(sum_v AS BIGINT) AS sum_samples,
+        (sd * 31) % 2001 - 1000 AS s0
+      FROM s
+    ),
+    gated AS (SELECT * FROM decoded WHERE n_frames >= 75),
+    deduped AS (
+      SELECT MIN(media_id) AS media_id, n_frames, n_channels,
+        sum_samples, s0
+      FROM gated GROUP BY n_frames, n_channels, sum_samples, s0
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+      CAST(n_frames AS INT) AS n_frames,
+      CAST(n_channels AS INT) AS n_channels, sum_samples
+    FROM deduped
+    ORDER BY sum_samples DESC, media_id LIMIT 20
+    """,
+)
+def media_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end MEDIA curation (the multimodal sibling of
+    `corpus_curation_pipeline`): synthesize WAV payloads with REAL
+    duplicates (payload seed = doc_id % 300 under distinct media ids) →
+    real byte-level decode (`decode_media(fake=False)`) → quality gate
+    (clip length >= 75 frames) → exact dedup on the decoded fingerprint
+    (frames, channels, sample-sum, first-sample), keep-first → top-20 by
+    energy (TakeOrderedAndProject).  The oracle replays the generator
+    arithmetic, so every stage — codec, gate, dedup grouping, ranking —
+    is value-checked as one composition.  Scale shape: decode is
+    Arrow-batched map-only; the dedup is one shuffle on the tiny
+    fingerprint tuple; the top-k never materializes a global sort."""
+    docs = load_docs(spark, sf).select(
+        "doc_id", (F.col("doc_id") % 300).alias("sd")
+    )
+    media = multimodal.synthetic_wav_media(docs, "doc_id", seed_col="sd")
+    dec = multimodal.decode_media(media, fake=False).select(
+        "media_id",
+        F.col("width").alias("n_frames"),
+        "n_channels",
+        F.element_at("features", 1).cast("long").alias("sum_samples"),
+        F.element_at("features", 2).cast("int").alias("s0"),
+    )
+    gated = dec.where(F.col("n_frames") >= 75)
+    deduped = gated.groupBy(
+        "n_frames", "n_channels", "sum_samples", "s0"
+    ).agg(F.min("media_id").alias("media_id"))
+    return (
+        deduped.select("media_id", "n_frames", "n_channels", "sum_samples")
+        .orderBy(F.col("sum_samples").desc(), F.col("media_id").asc())
+        .limit(20)
+    )
+
+
+@query(
     "events_json_props",
     """
     SELECT json_extract_string(props, '$.k') AS k,
@@ -4343,9 +4415,9 @@ _DRIVER_FIRST = [
     # r03; the slot certifies a brand-new oracle-checked query instead)
     "j_salted_skew", "a_salted_distinct",
     # (l1_explode_structs / f_meddra_parse / dedup_exact_groups /
-    # dedup_simhash16 yielded their slots to round-5 additions: all
-    # r03-driver-green + r04-judge-verified, unchanged)
-    "text_stats", "emb_cosine_topk",
+    # dedup_simhash16 / text_stats yielded their slots to round-5
+    # additions: all r03-driver-green + r04-judge-verified, unchanged)
+    "emb_cosine_topk",
     "emb_near_dup_exact", "asof_join_events", "stream_tumbling_counts",
     "stream_session_windows", "a_grouping_sets", "f_posexplode_tokens",
     "f_inline_structs", "multimodal_decode_bmp", "events_json_props",
@@ -4372,6 +4444,7 @@ _DRIVER_FIRST = [
     "w_funnel_conversion", "f_from_json_typed",
     "a_outlier_zscore", "w_resample_ffill",
     "dedup_exact_substrings", "text_vocab_coverage",
+    "media_curation_pipeline",
 ]
 
 

@@ -37,13 +37,15 @@ def contingency_llr(
     """pairs(report, drug, reaction) -> one row per (drug, reaction) + stats.
 
     The pair table is consumed four times (A1 total count, pair aggregate,
-    two marginals).  ``cache_input=False`` is the measured default: every
-    consumer is a distinct-count, so Catalyst prunes columns and eliminates
-    any upstream ``distinct()`` per consumer — four cheap pruned scans beat
-    materializing the full three-column pair set (2-3x faster at sf0.1).
-    Set ``cache_input=True`` only when the pair lineage is genuinely
-    expensive to recompute (e.g. a raw-JSON flatten with low selectivity)
-    and the pruned-scan shortcut can't apply.
+    two marginals).  ``cache_input=False`` keeps the pruned-re-scan shape:
+    every consumer is a distinct-count, so Catalyst prunes columns and
+    eliminates any upstream ``distinct()`` per consumer — four cheap pruned
+    scans beat materializing the full three-column pair set when the
+    lineage is a cheap parquet scan.  Set ``cache_input=True`` when the
+    lineage is genuinely expensive to recompute (multi-table join, raw-JSON
+    flatten).  Measured crossover on the star-schema pairs (4-table join +
+    DISTINCT): caching costs ~9% at sf0.1 but wins 36% at sf1 (15.1s ->
+    9.7s) and the gap grows with scale — the flagship query passes True.
 
     Alternative formulation measured and rejected (for now): distinct the
     (report, drug, reaction) set first, then derive A as a plain count and

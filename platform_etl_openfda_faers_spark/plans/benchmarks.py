@@ -919,8 +919,17 @@ def faers_llr(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship: full FDA-LRT disproportionality (exact contingency + LLR) on
     star-schema pairs: report=order, drug=part brand, reaction=nation."""
     pairs = _faers_pairs(spark, sf)
+    # cache_input: the pair lineage is a 4-table join + DISTINCT consumed by
+    # four aggregates.  Measured crossover: at sf0.1 caching costs ~9%
+    # (3.08s -> 3.36s); at sf1 it WINS 36% (15.1s -> 9.7s) because the
+    # recomputed join dominates — and the gap grows with scale, so the
+    # 100 TB-correct setting is True.
     stage1 = contingency_llr(
-        pairs, report_col="rid", drug_col="drug", reaction_col="reaction"
+        pairs,
+        report_col="rid",
+        drug_col="drug",
+        reaction_col="reaction",
+        cache_input=True,
     )
     return stage1.select(
         "drug",

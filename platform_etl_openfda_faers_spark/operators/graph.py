@@ -209,6 +209,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    cache_edges: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — the second
     iterative-algorithm pattern in this engine (after Lloyd k-means):
@@ -232,11 +233,28 @@ def pagerank(
     (same lineage-control note as ``connected_components``).
     """
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    if cache_edges:
+        # every iteration joins against the edge list AND the node list:
+        # without a cache the fixed-iteration lazy DAG re-derives the edge
+        # lineage once per consumer (plan-audited: 44 scans for 3
+        # iterations over a joined edge source).  The 2-column edge
+        # projection is a fraction of the source tables; measured 1.75x
+        # on the purchase-graph query at sf0.1 (9.6s -> 5.5s), ~flat at
+        # sf1 where the distinct-pair set is large enough that caching
+        # trades recompute for (de)serialization — disable for graphs
+        # whose edge list rivals the source volume.
+        from pyspark import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst")))
         .distinct()
     )
+    if cache_edges:
+        from pyspark import StorageLevel
+
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     n_tab = nodes.agg(F.count("*").alias("n"))
     outdeg = e.groupBy("_src").agg(F.count("*").alias("outdeg"))
     ranks = nodes.crossJoin(F.broadcast(n_tab)).select(

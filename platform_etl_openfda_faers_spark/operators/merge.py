@@ -18,6 +18,16 @@ Semantics (ANSI MERGE with all-column UPDATE SET):
 - matched + delete cond  -> row dropped (condition evaluated on the
                             TARGET row, like ``WHEN MATCHED AND <cond>
                             THEN DELETE``)
+- NULL merge key         -> rejected at execution time.  Under SQL
+                            equality a NULL key can never match, so ANSI
+                            MERGE would silently classify such source
+                            rows as inserts-with-NULL-keys (and a naive
+                            key-IS-NULL presence test would misread them
+                            as "keep" and emit all-NULL rows).  Rather
+                            than guess, the plan embeds a lazy
+                            ``raise_error`` guard on every key column of
+                            both sides — distributed, no driver action —
+                            so bad input fails loudly, not silently.
 
 Scale notes: one shuffle per side on the merge keys (AQE handles skew);
 with both sides bucketed on the keys (``writers.write_bucketed``) the
@@ -54,14 +64,44 @@ def merge_upsert(
     if action_col and action_col in target.columns:
         raise ValueError(f"action_col {action_col!r} collides with a merge column")
 
-    t, s = target.alias("t"), source.alias("s")
+    # NULL-key guards + presence markers.  Presence must NOT be inferred
+    # from key nullability (a NULL source key never joins, would read as
+    # "source absent", and surface an all-NULL row); the `lit(1)`
+    # markers are non-null by construction, so `marker IS NULL` is
+    # exactly "that side had no row".  The raise_error guard is folded
+    # into the KEY columns — they feed the join condition, so Catalyst
+    # can never prune the check — costing nothing on valid data and
+    # failing the job with a clear message on the first NULL key.
+    def _guard_keys(df: DataFrame, side: str) -> DataFrame:
+        err = F.raise_error(
+            F.lit(
+                f"merge_upsert: NULL merge key in {side} row "
+                f"(keys={','.join(keys)})"
+            )
+        )
+        for k in keys:
+            dtype = df.schema[k].dataType
+            df = df.withColumn(
+                k,
+                F.when(F.col(k).isNull(), err.cast(dtype)).otherwise(
+                    F.col(k)
+                ),
+            )
+        return df
+
+    t = _guard_keys(target, "target").withColumn(
+        "__t_present", F.lit(1)
+    ).alias("t")
+    s = _guard_keys(source, "source").withColumn(
+        "__s_present", F.lit(1)
+    ).alias("s")
     cond = reduce(
         lambda a, b: a & b, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
     )
     joined = t.join(s, cond, "full_outer")
 
-    s_absent = F.col(f"s.{keys[0]}").isNull()
-    t_absent = F.col(f"t.{keys[0]}").isNull()
+    s_absent = F.col("s.__s_present").isNull()
+    t_absent = F.col("t.__t_present").isNull()
     cols = []
     for c in target.columns:
         if c in keys:

@@ -1581,12 +1581,15 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
 def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary coverage curve: top-30 tokens by corpus frequency with
     cumulative coverage fraction — the first plot anyone training a
-    tokenizer draws.  The ordered running sum is over the VOCAB table
-    (one row per distinct token), not the corpus; at 100 TB a
-    billion-type vocab would make the single-partition window the
-    bottleneck — bucket the running sum by frequency-range prefix
-    aggregation if that ever binds.  Total rides the 1-row lazy
-    scalar; coverage is the single raw division."""
+    tokenizer draws.  Scale shape: the top-30 is taken FIRST via
+    ``orderBy(...).limit(30)``, which Spark plans as
+    TakeOrderedAndProject (per-partition heap + driver merge of 30-row
+    tops — no global sort, no single-partition window over the vocab).
+    Only then does the rank/running-sum window run, over exactly 30
+    rows; the running sum of the first k rows of a global order depends
+    only on those k rows, so this is value-identical to windowing the
+    full vocabulary and filtering afterwards.  Total corpus mass rides
+    the 1-row lazy scalar; coverage is the single raw division."""
     from ..functions.text import tokens as tok_fn
 
     docs = load_docs(spark, sf)
@@ -1597,8 +1600,9 @@ def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     tot = tf.agg(F.sum("n").cast("long").alias("total"))
+    top30 = tf.orderBy(F.col("n").desc(), F.col("token").asc()).limit(30)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    ranked = tf.select(
+    ranked = top30.select(
         "token",
         "n",
         F.row_number().over(w).alias("rnk"),
@@ -1606,7 +1610,7 @@ def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("long")
         .alias("cum"),
-    ).where(F.col("rnk") <= 30)
+    )
     return ranked.crossJoin(F.broadcast(tot)).select(
         "token",
         "n",

@@ -267,6 +267,50 @@ def test_merge_upsert_null_update_and_delete(spark):
         merge_upsert(target, source.drop("seg"), ["k"])
 
 
+def test_merge_upsert_rejects_null_merge_keys(spark):
+    """A NULL merge key can never match under SQL equality, so a naive
+    presence test would classify the source row as 'keep' and emit an
+    all-NULL row.  The plan embeds a lazy raise_error guard instead:
+    NULL keys on either side fail the job at execution with a clear
+    message; valid data is unaffected."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from platform_etl_openfda_faers_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], ["k", "v"])
+    bad_source = spark.createDataFrame(
+        [(None, "ghost"), (2, "ok")], "k int, v string"
+    )
+    with pytest.raises(Exception, match="NULL merge key in source"):
+        try:
+            merge_upsert(target, bad_source, ["k"]).collect()
+        except Py4JJavaError as e:  # unwrap the JVM exception text
+            raise RuntimeError(str(e.java_exception)) from e
+
+    bad_target = spark.createDataFrame(
+        [(None, "ghost")], "k int, v string"
+    )
+    with pytest.raises(Exception, match="NULL merge key in target"):
+        try:
+            merge_upsert(bad_target, target, ["k"]).collect()
+        except Py4JJavaError as e:
+            raise RuntimeError(str(e.java_exception)) from e
+
+    # valid data still merges exactly as before (guard is free on the
+    # happy path)
+    good = merge_upsert(
+        spark.createDataFrame([(1, "a")], ["k", "v"]),
+        spark.createDataFrame([(1, "b"), (2, "c")], ["k", "v"]),
+        ["k"],
+        action_col="action",
+    )
+    assert {(r.k, r.v, r.action) for r in good.collect()} == {
+        (1, "b", "update"),
+        (2, "c", "insert"),
+    }
+
+
 def test_scd2_from_log_runs_nulls_and_current_flag(spark):
     """SCD2 historization: consecutive equal states collapse, NULL is a
     legal tracked state (null-safe change detection), versions are

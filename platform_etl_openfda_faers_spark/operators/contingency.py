@@ -114,4 +114,12 @@ def contingency_llr(
     )
 
     # P7 — drop NULL/NaN llr (C=0 or B=0 degenerate cells), like the reference.
-    return df.where(finite_metric(F.col("llr")))
+    out = df.where(finite_metric(F.col("llr")))
+    if cache_input:
+        # expose the persisted pair table for caller-owned cleanup
+        # (operators/cache.py contract); runners that clearCache between
+        # queries need not bother
+        from .cache import attach_cached
+
+        attach_cached(out, pairs)
+    return out

@@ -506,9 +506,12 @@ def minhash_near_duplicates_shared(
     verified = jaccard_verify_arrays(
         cands, docs, text_col, id_col, n=n, arrays=base
     )
-    return verified.where(F.col("jaccard") >= threshold).select(
+    out = verified.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
+    from .cache import attach_cached
+
+    return attach_cached(out, base)
 
 
 # ---------------------------------------------------------------------------
@@ -889,4 +892,9 @@ def jaccard_pairs_prefix(
         cands, docs, text_col, id_col, n=n,
         arrays=arr if share_stages else None,
     )
-    return verified.where(F.col("jaccard") >= threshold)
+    out = verified.where(F.col("jaccard") >= threshold)
+    if share_stages:
+        from .cache import attach_cached
+
+        attach_cached(out, arr, prefix)
+    return out

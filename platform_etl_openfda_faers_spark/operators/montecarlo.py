@@ -169,8 +169,13 @@ def monte_carlo_filter(
     ]
     if meddra_col is not None and meddra_col in stage1.columns:
         out_cols.append(F.col(meddra_col))
-    return (
+    out = (
         stage1.join(F.broadcast(critvals), [drug_col], "inner")
         .where((F.col("llr") > F.col("critval")) & (F.col("critval") > 0))
         .select(*out_cols)
     )
+    if cache_stage1:
+        from .cache import attach_cached
+
+        attach_cached(out, stage1)
+    return out

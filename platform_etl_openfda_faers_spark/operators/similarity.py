@@ -281,6 +281,7 @@ def kmeans_centroids(
     k: int = 16,
     iterations: int = 2,
     score_decimals: int = 6,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over an embedding column, as a purely
     DECLARATIVE composition — no driver-side loop actions, no RNG.
@@ -302,7 +303,11 @@ def kmeans_centroids(
     static DAG the optimizer sees whole, and determinism doesn't hinge on
     a tolerance check.  At 100 TB you would train on a sample (one
     ``hash_sample`` upstream) — the update shuffle is |corpus| x dim rows
-    into k x dim groups per iteration.
+    into k x dim groups per iteration.  ``checkpoint_every=j`` truncates
+    the centroid lineage with a ``localCheckpoint`` every j iterations —
+    value-neutral (centroid means are already rounded, so the
+    checkpointed values ARE the iteration's values), purely a plan-size
+    control for deep iteration counts.
 
     Empty cells simply drop out (their rows vanish from the aggregate) —
     callers get <= k centroids, each an actual cluster mean.
@@ -321,7 +326,7 @@ def kmeans_centroids(
     cent = c.where(F.col("_id") < k).select(
         F.col("_id").alias("cell"), F.col("_v").alias("centroid")
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         assigned = ivf_cells(
             c, cent, "_id", "_v", nprobe=1, score_decimals=score_decimals
         )
@@ -342,6 +347,8 @@ def kmeans_centroids(
             )
             .select("cell", F.col("_pm").getField("m").alias("centroid"))
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            cent = cent.localCheckpoint(eager=True)
     return cent
 
 

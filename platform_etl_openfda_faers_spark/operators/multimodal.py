@@ -6,11 +6,12 @@ UDF signatures, partitioning — is real and tested.  The codec step has real
 pure-NumPy decoders for 24-bit BI_RGB **BMP** (bottom-up rows, 4-byte
 stride padding, BGR order), binary **PPM** (P6), PCM-16 **WAV** (RIFF
 chunk walk), **PNG** (stdlib-zlib inflate + all five unfilters), and
-baseline **JPEG** (DQT/DHT marker walk, Huffman decode, dequant, float
-IDCT, restart markers, 4:4:4 color); progressive/subsampled JPEG, mp3,
-and video genuinely need external codec libraries, which are not in this
-container, so those raise ``NotImplementedError``.  ``fake=True`` keeps
-the digest-derived deterministic stub for arbitrary payloads.
+**JPEG** — baseline AND progressive (DQT/DHT marker walk, Huffman
+decode, dequant, batched float IDCT, restart markers, 4:4:4/4:2:2/4:2:0
+chroma, T.81 Annex-G spectral selection + successive approximation);
+mp3 and video genuinely need external codec libraries, which are not in
+this container, so those raise ``NotImplementedError``.  ``fake=True``
+keeps the digest-derived deterministic stub for arbitrary payloads.
 
 Scale notes: media rows are fat — ``mapInPandas`` streams Arrow batches, so
 per-task memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -331,17 +332,20 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG (ITU-T T.81): pure-NumPy encoder + decoder.
+# JPEG (ITU-T T.81): pure-NumPy encoders + decoder.
 #
-# Scope: 8-bit baseline DCT (SOF0), grayscale or 3-component 4:4:4 (no
-# chroma subsampling), restart intervals supported.  Progressive (SOF2),
-# 12-bit, arithmetic coding, and subsampled chroma raise
-# NotImplementedError — they need a full codec library.
+# Scope: 8-bit Huffman DCT, both modes — baseline (SOF0, restart
+# intervals) and progressive (SOF2, spectral selection + successive
+# approximation per Annex G) — grayscale or 3-component color with
+# integer chroma subsampling (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1).  12-bit,
+# arithmetic coding, hierarchical, and lossless modes raise
+# NotImplementedError — genuinely separate codec paths.
 #
-# The encoder emits canonical Huffman tables built from fixed code lengths
-# (12 DC categories at 4 bits, all 162 AC symbols at 8 bits) — valid DHT
-# segments any JPEG decoder can read; the decoder reads WHATEVER tables the
-# stream declares, so it is not paired to this encoder.
+# The encoders emit canonical Huffman tables built from fixed code lengths
+# (12 DC categories at 4 bits, AC symbols at 8 bits — plus EOBn run
+# symbols for progressive scans) — valid DHT segments any JPEG decoder can
+# read; the decoder reads WHATEVER tables the stream declares, so it is
+# not paired to these encoders.
 
 
 def _zigzag() -> np.ndarray:
@@ -386,6 +390,12 @@ def _canonical_table(symbols: list[int], length: int):
 
 _DC_BITS, _DC_VALS, _DC_CODES = _canonical_table(_DC_SYMBOLS, 4)
 _AC_BITS, _AC_VALS, _AC_CODES = _canonical_table(_AC_SYMBOLS, 8)
+# progressive AC scans additionally emit EOBn run-length symbols
+# (n = 1..14; plain EOB 0x00 is the n=0 case) — T.81 G.1.2.2
+_PROG_AC_SYMBOLS = _AC_SYMBOLS + [n << 4 for n in range(1, 15)]
+_PROG_AC_BITS, _PROG_AC_VALS, _PROG_AC_CODES = _canonical_table(
+    _PROG_AC_SYMBOLS, 8
+)
 
 
 class _BitWriter:
@@ -480,6 +490,36 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     )
 
 
+def _jpeg_components(
+    img: np.ndarray, subsampling: str
+) -> list[tuple[np.ndarray, int, int]]:
+    """Image -> [(plane, Hi, Vi)] component list: gray passthrough, or
+    BT.601 YCbCr with chroma box-averaged per sampling cell ("444" no
+    subsampling, "422" chroma halved horizontally, "420" halved both
+    ways).  Shared by the baseline and progressive encoders."""
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsampling not in factors:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    y_h, y_v = factors[subsampling]
+    if img.ndim == 2:
+        return [(img, 1, 1)]
+    if img.ndim == 3 and img.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(img)
+        if subsampling == "444":
+            return [(ycc[:, :, i], 1, 1) for i in range(3)]
+        comps = [(ycc[:, :, 0], y_h, y_v)]
+        for c in (1, 2):
+            p = ycc[:, :, c].astype(np.float64)
+            ph, pw = -p.shape[0] % y_v, -p.shape[1] % y_h
+            p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+            sub = p.reshape(
+                p.shape[0] // y_v, y_v, p.shape[1] // y_h, y_h
+            ).mean(axis=(1, 3))
+            comps.append((np.floor(sub + 0.5).astype(np.uint8), 1, 1))
+        return comps
+    raise ValueError("expected (h, w) gray or (h, w, 3) RGB uint8")
+
+
 def encode_jpeg(
     img: np.ndarray,
     qtable: np.ndarray | None = None,
@@ -502,30 +542,7 @@ def encode_jpeg(
     if qtable is None:
         qtable = np.ones((8, 8), dtype=np.int32)
     qtable = qtable.astype(np.int32)
-    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
-    if subsampling not in factors:
-        raise ValueError(f"unknown subsampling {subsampling!r}")
-    y_h, y_v = factors[subsampling]
-    if img.ndim == 2:
-        comps = [(img, 1, 1)]
-    elif img.ndim == 3 and img.shape[2] == 3:
-        ycc = _rgb_to_ycbcr(img)
-        if subsampling == "444":
-            comps = [(ycc[:, :, i], 1, 1) for i in range(3)]
-        else:
-            comps = [(ycc[:, :, 0], y_h, y_v)]
-            for c in (1, 2):
-                p = ycc[:, :, c].astype(np.float64)
-                ph, pw = -p.shape[0] % y_v, -p.shape[1] % y_h
-                p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
-                sub = p.reshape(
-                    p.shape[0] // y_v, y_v, p.shape[1] // y_h, y_h
-                ).mean(axis=(1, 3))
-                comps.append(
-                    (np.floor(sub + 0.5).astype(np.uint8), 1, 1)
-                )
-    else:
-        raise ValueError("expected (h, w) gray or (h, w, 3) RGB uint8")
+    comps = _jpeg_components(img, subsampling)
     h, w = img.shape[:2]
     n_comp = len(comps)
     hmax = max(c[1] for c in comps)
@@ -592,6 +609,270 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _fdct_grid(
+    plane: np.ndarray, qtable: np.ndarray, byn: int, bxn: int
+) -> np.ndarray:
+    """Edge-padded plane -> (byn, bxn, 64) zigzag-ordered quantized DCT
+    coefficients — batched matmul form of the per-block
+    :func:`fdct_quantize` walk (bit-identical per block)."""
+    padded = np.pad(
+        plane,
+        ((0, byn * 8 - plane.shape[0]), (0, bxn * 8 - plane.shape[1])),
+        mode="edge",
+    )
+    blocks = (
+        padded.reshape(byn, 8, bxn, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    co = (_DCT_C @ blocks) @ _DCT_C.T
+    q = np.round(co / qtable.astype(np.float64)).astype(np.int32)
+    return q.reshape(-1, 64)[:, _ZIGZAG].reshape(byn, bxn, 64)
+
+
+def _encode_dc_scan(
+    bw: "_BitWriter",
+    coef: list[np.ndarray],
+    comps: list[tuple[np.ndarray, int, int]],
+    cis: list[int],
+    bdims: list[tuple[int, int]],
+    mcus_x: int,
+    mcus_y: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Progressive DC scan: interleaved MCU walk when several components
+    share the scan (incl. dummy padding blocks), the component's own
+    block grid otherwise.  First pass (Ah=0) Huffman-codes diffs of the
+    point-transformed DC (arithmetic shift right by Al — exactly inverted
+    by the decoder's ``<< Al`` plus refinement bits, negatives included
+    via two's complement); refinement passes emit raw bit Al per block."""
+    preds = {ci: 0 for ci in cis}
+
+    def emit(ci: int, by: int, bx: int) -> None:
+        dc = int(coef[ci][by, bx, 0])
+        if ah == 0:
+            v = dc >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            size = _category(diff)
+            code, ln = _DC_CODES[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        else:
+            bw.write((dc >> al) & 1, 1)
+
+    if len(cis) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in cis:
+                    _, hi, vi = comps[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            emit(ci, my * vi + v, mx * hi + hh)
+    else:
+        (ci,) = cis
+        bh_, bw_ = bdims[ci]
+        for by in range(bh_):
+            for bx in range(bw_):
+                emit(ci, by, bx)
+
+
+def _emit_eobrun(bw: "_BitWriter", eobrun: int, bebits: list[int]) -> None:
+    """Emit a pending EOBn symbol (+ extension bits) followed by the
+    correction bits buffered for the blocks the run covers (T.81
+    G.1.2.2-3)."""
+    if eobrun:
+        nbits = eobrun.bit_length() - 1
+        code, ln = _PROG_AC_CODES[nbits << 4]
+        bw.write(code, ln)
+        if nbits:
+            bw.write(eobrun & ((1 << nbits) - 1), nbits)
+        for b in bebits:
+            bw.write(b, 1)
+
+
+def _encode_ac_first_scan(bw, blocks, ss: int, se: int, al: int) -> None:
+    """Progressive AC first pass: point-transformed magnitudes
+    (truncation toward zero by Al), zero runs with ZRL, end-of-block runs
+    coalesced across blocks as EOBn."""
+    eobrun = 0
+    for zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            av = abs(v) >> al
+            if av == 0:
+                r += 1
+                continue
+            t = av if v >= 0 else -av
+            if eobrun:
+                _emit_eobrun(bw, eobrun, [])
+                eobrun = 0
+            while r > 15:
+                code, ln = _PROG_AC_CODES[0xF0]
+                bw.write(code, ln)
+                r -= 16
+            size = _category(t)
+            code, ln = _PROG_AC_CODES[(r << 4) | size]
+            bw.write(code, ln)
+            bw.write(t if t >= 0 else t + (1 << size) - 1, size)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(bw, eobrun, [])
+                eobrun = 0
+    _emit_eobrun(bw, eobrun, [])
+
+
+def _encode_ac_refine_scan(bw, blocks, ss: int, se: int, al: int) -> None:
+    """Progressive AC refinement pass: one correction bit per
+    already-nonzero coefficient, (run, 1) symbols + sign bit for newly
+    significant ones, correction bits buffered across ZRL/EOB runs so the
+    decoder reads them in stream order (T.81 G.1.2.3)."""
+    eobrun = 0
+    bebits: list[int] = []  # corrections owed after the pending EOBn
+    for zz in blocks:
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        absval = [abs(v) >> al for v in vals]
+        eob = -1  # index of the last newly-significant coefficient
+        for i, t in enumerate(absval):
+            if t == 1:
+                eob = i
+        r = 0
+        br_bits: list[int] = []  # corrections since the last symbol
+        for i, t in enumerate(absval):
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs only when another symbol follows in this block;
+            # otherwise the zero run folds into the EOB run
+            while r > 15 and i <= eob:
+                _emit_eobrun(bw, eobrun, bebits)
+                eobrun, bebits = 0, []
+                code, ln = _PROG_AC_CODES[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+            if t > 1:  # history coefficient: correction bit only
+                br_bits.append(t & 1)
+                continue
+            # newly significant: flush pending EOB run, emit (r, 1) + sign
+            _emit_eobrun(bw, eobrun, bebits)
+            eobrun, bebits = 0, []
+            code, ln = _PROG_AC_CODES[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if vals[i] >= 0 else 0, 1)
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            bebits.extend(br_bits)
+            if eobrun == 0x7FFF:
+                _emit_eobrun(bw, eobrun, bebits)
+                eobrun, bebits = 0, []
+    _emit_eobrun(bw, eobrun, bebits)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    qtable: np.ndarray | None = None,
+    subsampling: str = "444",
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 -> progressive (SOF2) JPEG.
+
+    Emits a libjpeg-style scan script over the same quantized
+    coefficients the baseline encoder produces: interleaved DC first pass
+    at Al=1, per-component spectral bands 1-5 and 6-63 at Al=1, AC
+    refinement 1-63 down to Al=0, and a final DC refinement — so every
+    progressive decode path (EOB runs, successive approximation,
+    correction bits, non-interleaved geometry, dummy-block DC) is
+    exercised.  The entropy layer is lossless over the quantized
+    coefficients, so ``decode_jpeg(encode_jpeg_progressive(x, q, s)) ==
+    decode_jpeg(encode_jpeg(x, q, s))`` bit-for-bit for ANY input — the
+    invariant the roundtrip tests pin.  Restart intervals are a baseline-
+    path feature; not emitted here."""
+    if qtable is None:
+        qtable = np.ones((8, 8), dtype=np.int32)
+    qtable = qtable.astype(np.int32)
+    comps = _jpeg_components(img, subsampling)
+    h, w = img.shape[:2]
+    n = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    coef = [
+        _fdct_grid(p, qtable, mcus_y * vi, mcus_x * hi)
+        for p, hi, vi in comps
+    ]
+    bdims = []
+    for _, hi, vi in comps:
+        cw = (w * hi + hmax - 1) // hmax
+        ch2 = (h * vi + vmax - 1) // vmax
+        bdims.append(((ch2 + 7) // 8, (cw + 7) // 8))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    zz_q = qtable.reshape(-1)[_ZIGZAG].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zz_q.tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, n)
+    for cid, (_, hi, vi) in enumerate(comps):
+        sof += struct.pack(">BBB", cid + 1, (hi << 4) | vi, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for tc, (bits, vals) in (
+        (0, (_DC_BITS, _DC_VALS)),
+        (1, (_PROG_AC_BITS, _PROG_AC_VALS)),
+    ):
+        body = bytes([tc << 4]) + bytes(bits[1:17]) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    scans: list[tuple[list[int], int, int, int, int]] = [
+        (list(range(n)), 0, 0, 0, 1)
+    ]
+    for ci in range(n):
+        scans.append(([ci], 1, 5, 0, 1))
+        scans.append(([ci], 6, 63, 0, 1))
+    for ci in range(n):
+        scans.append(([ci], 1, 63, 1, 0))
+    scans.append((list(range(n)), 0, 0, 1, 0))
+
+    for cis, ss, se, ah, al in scans:
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        if ss == 0:
+            _encode_dc_scan(
+                bw, coef, comps, cis, bdims, mcus_x, mcus_y, ah, al
+            )
+        else:
+            (ci,) = cis
+            bh_, bw_ = bdims[ci]
+            blocks = (
+                coef[ci][by, bx]
+                for by in range(bh_)
+                for bx in range(bw_)
+            )
+            if ah == 0:
+                _encode_ac_first_scan(bw, blocks, ss, se, al)
+            else:
+                _encode_ac_refine_scan(bw, blocks, ss, se, al)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -633,25 +914,276 @@ def _huff_decode(br: _BitReader, table: dict) -> int:
     raise ValueError("invalid Huffman code in entropy data")
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w) gray or (h, w, 3) RGB uint8.
+def _idct_blocks(zz: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Batched dequant + IDCT: (n, 64) zigzag-ordered quantized coefficient
+    rows -> (n, 8, 8) uint8 pixel blocks.  One broadcasted matmul pair over
+    all blocks instead of a per-block Python loop; per-block arithmetic is
+    the same left-associated ``C.T @ coef @ C`` as :func:`dequantize_idct`,
+    so results are bit-identical to the scalar path."""
+    nat = np.zeros((zz.shape[0], 64), dtype=np.float64)
+    nat[:, _ZIGZAG] = zz
+    nat *= qtable.astype(np.float64).reshape(-1)
+    blocks = nat.reshape(-1, 8, 8)
+    out = (_DCT_C.T @ blocks) @ _DCT_C
+    return np.clip(np.round(out) + 128, 0, 255).astype(np.uint8)
 
-    Real decode: marker walk (DQT/DHT/SOF0/SOS/DRI), byte unstuffing,
-    Huffman + zigzag + dequantization + float IDCT, restart-marker
-    handling, interleaved MCUs with arbitrary integer sampling factors
-    (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 — chroma replicated up nearest-
-    neighbor, libjpeg's "fancy upsampling off"), edge-block cropping,
-    and BT.601 YCbCr->RGB for 3-component images.  Progressive and
-    12-bit streams raise NotImplementedError (full codec-library
-    territory).
+
+def _decode_scan(
+    entropy: bytes,
+    body: bytes,
+    frame: tuple,
+    store: list[np.ndarray],
+    hufftables: dict,
+    restart_interval: int,
+) -> int:
+    """Decode one SOS entropy segment into the per-component zigzag
+    coefficient ``store``; returns the number of payload bytes consumed.
+
+    Handles all four T.81 scan kinds with one walk: baseline full-band
+    (Ss=0..63, Ah=Al=0), progressive DC first/refine (Ss=Se=0), and
+    progressive AC first/refine (Ss>0, single component, EOB runs +
+    successive approximation per §G.2).  Interleaved scans (ns > 1) walk
+    the MCU grid incl. dummy padding blocks; single-component scans walk
+    the component's own ceil(samples/8) block grid (T.81 A.2.2).
     """
+    h, w, comps, hmax, vmax, _progressive = frame
+    ns = body[0]
+    sel = []
+    for i in range(ns):
+        cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+        ci = next(
+            (j for j, c in enumerate(comps) if c[0] == cs), None
+        )
+        if ci is None:
+            raise ValueError(f"SOS references unknown component {cs}")
+        sel.append((ci, tt >> 4, tt & 0xF))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+    if ss > se or se > 63:
+        raise ValueError(f"invalid spectral band {ss}..{se}")
+
+    # entropy segment: unstuff FF00, split at RSTn, stop at any real marker
+    data, restarts, i = bytearray(), [], 0
+    while i < len(entropy):
+        b = entropy[i]
+        if b == 0xFF:
+            nxt = entropy[i + 1] if i + 1 < len(entropy) else None
+            if nxt == 0x00:
+                data.append(0xFF)
+                i += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                restarts.append(len(data))
+                i += 2
+                continue
+            break
+        data.append(b)
+        i += 1
+    segments, prev = [], 0
+    for r in restarts:
+        segments.append(bytes(data[prev:r]))
+        prev = r
+    segments.append(bytes(data[prev:]))
+
+    state = {"br": _BitReader(segments[0]), "seg": 0, "eobrun": 0}
+    preds = [0] * len(comps)
+
+    def maybe_restart(unit: int) -> None:
+        if (
+            restart_interval
+            and unit
+            and unit % restart_interval == 0
+            and state["seg"] + 1 < len(segments)
+        ):
+            state["seg"] += 1
+            state["br"] = _BitReader(segments[state["seg"]])
+            state["eobrun"] = 0
+            preds[:] = [0] * len(comps)
+
+    def dc_first(zz: np.ndarray, ci: int, dc_t: int) -> None:
+        br = state["br"]
+        size = _huff_decode(br, hufftables[(0, dc_t)])
+        diff = _extend(br.receive(size), size) if size else 0
+        preds[ci] += diff
+        zz[0] = preds[ci] << al
+
+    def dc_refine(zz: np.ndarray) -> None:
+        # one raw bit per block, OR'd into bit Al (works for negative DC
+        # via two's complement, matching the encoder's arithmetic shift)
+        if state["br"].read_bit():
+            zz[0] = int(zz[0]) | (1 << al)
+
+    def ac_first(zz: np.ndarray, ac_t: int) -> None:
+        # T.81 G.2.2: EOBn ends the current block and skips the next
+        # EOBRUN whole blocks; magnitudes arrive shifted left by Al
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        br, table = state["br"], hufftables[(1, ac_t)]
+        k = ss if ss > 0 else 1
+        while k <= se:
+            sym = _huff_decode(br, table)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                state["eobrun"] = eobrun
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            zz[k] = _extend(br.receive(s), s) << al
+            k += 1
+
+    def ac_refine(zz: np.ndarray, ac_t: int) -> None:
+        # T.81 G.2.3: newly-significant coefficients arrive as ±1<<Al;
+        # every already-nonzero coefficient passed over (incl. inside
+        # ZRL/EOB runs) carries one correction bit
+        br, table = state["br"], hufftables[(1, ac_t)]
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k: int) -> None:
+            if br.read_bit() and (int(zz[k]) & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                sym = _huff_decode(br, table)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r < 15:  # EOBn: corrections continue below
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.receive(r)
+                        state["eobrun"] = eobrun
+                        break
+                    coef_new = 0  # ZRL: 16 zero-history positions
+                elif s == 1:
+                    coef_new = p1 if br.read_bit() else m1
+                else:
+                    raise ValueError("invalid AC refinement symbol")
+                while k <= se:
+                    if zz[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            if coef_new:
+                                zz[k] = coef_new
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                k += 1
+            state["eobrun"] -= 1
+
+    def decode_block(zz: np.ndarray, ci: int, dc_t: int, ac_t: int) -> None:
+        if ss == 0:
+            if ah == 0:
+                dc_first(zz, ci, dc_t)
+            else:
+                dc_refine(zz)
+        if se > 0:
+            if ah == 0:
+                ac_first(zz, ac_t)
+            else:
+                ac_refine(zz, ac_t)
+
+    if ns > 1:  # interleaved: MCU grid incl. dummy blocks
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart(mcu)
+                for ci, dc_t, ac_t in sel:
+                    _, hi, vi, _ = comps[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            decode_block(
+                                store[ci][my * vi + v, mx * hi + hh],
+                                ci,
+                                dc_t,
+                                ac_t,
+                            )
+                mcu += 1
+    else:  # non-interleaved: the component's own block grid, no padding
+        ci, dc_t, ac_t = sel[0]
+        _, hi, vi, _ = comps[ci]
+        bw_ = ((w * hi + hmax - 1) // hmax + 7) // 8
+        bh_ = ((h * vi + vmax - 1) // vmax + 7) // 8
+        unit = 0
+        for by in range(bh_):
+            for bx in range(bw_):
+                maybe_restart(unit)
+                decode_block(store[ci][by, bx], ci, dc_t, ac_t)
+                unit += 1
+    return i
+
+
+def _reconstruct_jpeg(
+    frame: tuple, store: list[np.ndarray], qtables: dict
+) -> np.ndarray:
+    """Coefficient store -> pixels: batched dequant/IDCT per component,
+    plane assembly, crop to true sample dims, nearest-neighbor chroma
+    replication, BT.601 conversion for 3-component images."""
+    h, w, comps, hmax, vmax, _ = frame
+    planes = []
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        byn, bxn, _ = store[ci].shape
+        pix = _idct_blocks(store[ci].reshape(-1, 64), qtables[tq])
+        plane = (
+            pix.reshape(byn, bxn, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(byn * 8, bxn * 8)
+        )
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        p = plane[:ch, :cw]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        return planes[0].copy()
+    if len(planes) == 3:
+        return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    raise NotImplementedError(f"{len(planes)}-component JPEG")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG bytes -> (h, w) gray or (h, w, 3) RGB uint8.
+
+    Real decode covering both Huffman DCT modes: marker walk
+    (DQT/DHT/SOF0/SOF2/DRI/multi-SOS), byte unstuffing, Huffman + zigzag
+    + dequantization + batched float IDCT, restart markers, interleaved
+    MCUs with arbitrary integer sampling factors (4:4:4 / 4:2:2 / 4:2:0 /
+    4:1:1 — chroma replicated up nearest-neighbor, libjpeg's "fancy
+    upsampling off"), and **progressive** (SOF2) scan scripts per T.81
+    Annex G: spectral selection, successive approximation (DC + AC first
+    and refinement passes, EOB runs, correction bits), non-interleaved
+    per-component block geometry.  Scans accumulate into per-component
+    coefficient grids; reconstruction happens once at EOI.  Arithmetic
+    coding, hierarchical, lossless, and 12-bit modes raise
+    NotImplementedError (genuinely separate codec paths)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     hufftables: dict[tuple[int, int], dict] = {}
     frame = None
+    store: list[np.ndarray] | None = None
     restart_interval = 0
+    saw_scan = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -686,7 +1218,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     code <<= 1
                 hufftables[(tc, th)] = table
                 off += 17 + sum(counts)
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, h, w, n_comp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -707,129 +1239,32 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"non-integer sampling ratio {hi}x{vi} vs "
                         f"{hmax}x{vmax} unsupported"
                     )
-            frame = (h, w, comps, hmax, vmax)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = (h, w, comps, hmax, vmax, marker == 0xC2)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            store = [
+                np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+                for _, hi, vi, _ in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCC):
             raise NotImplementedError(
-                "only baseline sequential DCT (SOF0) supported"
+                "only baseline (SOF0) and progressive (SOF2) Huffman DCT "
+                "supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS: entropy-coded data follows
-            if frame is None:
-                raise ValueError("SOS before SOF0")
-            ns = body[0]
-            sel = {}
-            for i in range(ns):
-                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                sel[cs] = (tt >> 4, tt & 0xF)
-            h, w, comps, hmax, vmax = frame
-            # entropy segment: unstuff FF00, stop at any real marker
-            data, scan = bytearray(), payload[pos:]
-            i = 0
-            restarts = []
-            while i < len(scan):
-                b = scan[i]
-                if b == 0xFF:
-                    nxt = scan[i + 1] if i + 1 < len(scan) else None
-                    if nxt == 0x00:
-                        data.append(0xFF)
-                        i += 2
-                        continue
-                    if nxt is not None and 0xD0 <= nxt <= 0xD7:
-                        restarts.append(len(data))
-                        i += 2
-                        continue
-                    break
-                data.append(b)
-                i += 1
-            segments = []
-            prev = 0
-            for r in restarts:
-                segments.append(bytes(data[prev:r]))
-                prev = r
-            segments.append(bytes(data[prev:]))
-
-            # MCU grid: each MCU covers (8*hmax x 8*vmax) image pixels and
-            # carries Hi x Vi blocks per component (T.81 A.2.3).  With
-            # hmax == vmax == 1 this degenerates to the one-block-per-
-            # component walk, so the 4:4:4 path is byte-identical to before.
-            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-            planes = [
-                np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.uint8)
-                for _, hi, vi, _ in comps
-            ]
-            preds = [0] * len(comps)
-            br = _BitReader(segments[0])
-            seg_idx = 0
-            mcu = 0
-
-            def _decode_block(dc_t: int, ac_t: int, ci: int) -> np.ndarray:
-                coefs = np.zeros(64, dtype=np.int32)
-                size = _huff_decode(br, hufftables[(0, dc_t)])
-                diff = _extend(br.receive(size), size) if size else 0
-                preds[ci] += diff
-                coefs[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(br, hufftables[(1, ac_t)])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    coefs[k] = _extend(br.receive(size), size)
-                    k += 1
-                block = np.zeros(64, dtype=np.int32)
-                block[_ZIGZAG] = coefs
-                return block.reshape(8, 8)
-
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    if (
-                        restart_interval
-                        and mcu
-                        and mcu % restart_interval == 0
-                        and seg_idx + 1 < len(segments)
-                    ):
-                        seg_idx += 1
-                        br = _BitReader(segments[seg_idx])
-                        preds = [0] * len(comps)
-                    for ci, (cid, hi, vi, tq) in enumerate(comps):
-                        dc_t, ac_t = sel[cid]
-                        for v in range(vi):
-                            for hh in range(hi):
-                                by, bx = my * vi + v, mx * hi + hh
-                                planes[ci][
-                                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                                ] = dequantize_idct(
-                                    _decode_block(dc_t, ac_t, ci), qtables[tq]
-                                )
-                    mcu += 1
-            # per component: crop to its true sample dims, replicate up to
-            # full resolution (nearest-neighbor — libjpeg's "fancy
-            # upsampling off"), crop the MCU padding
-            cropped = []
-            for ci, (cid, hi, vi, tq) in enumerate(comps):
-                ch = (h * vi + vmax - 1) // vmax
-                cw = (w * hi + hmax - 1) // hmax
-                p = planes[ci][:ch, :cw]
-                if hi != hmax or vi != vmax:
-                    p = np.repeat(
-                        np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
-                    )
-                cropped.append(p[:h, :w])
-            if len(cropped) == 1:
-                return cropped[0].copy()
-            if len(cropped) == 3:
-                return _ycbcr_to_rgb(np.stack(cropped, axis=-1))
-            raise NotImplementedError(f"{len(cropped)}-component JPEG")
+        elif marker == 0xDA:  # SOS
+            if frame is None or store is None:
+                raise ValueError("SOS before SOF")
+            pos += _decode_scan(
+                payload[pos:], body, frame, store, hufftables,
+                restart_interval,
+            )
+            saw_scan = True
         # APPn/COM and other segments: skipped
-    raise ValueError("no SOS segment found")
+    if frame is None or store is None or not saw_scan:
+        raise ValueError("no SOS segment found")
+    return _reconstruct_jpeg(frame, store, qtables)
 
 
 def encode_wav(samples: np.ndarray, channels: int = 1, rate: int = 8000) -> bytes:
@@ -1137,6 +1572,52 @@ def synthetic_jpeg_media_420(df: DataFrame, id_col: str) -> DataFrame:
                 ).astype(np.uint8)
                 img = np.repeat(np.repeat(cells, 16, axis=0), 16, axis=1)
                 rows.append((mid, encode_jpeg(img, subsampling="420")))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+
+
+def synthetic_jpeg_media_prog(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic PROGRESSIVE (SOF2) 4:2:0 color JPEG payloads from an
+    id column (test/oracle harness for the progressive decode path).
+
+    RGB, (1 + id % 3) x (1 + id % 2) grid of CONSTANT-COLOR 16x16 cells,
+    cell (cx, cy) colored ``r=(5id+13cx+7cy)%256, g=(2id+3cx+11cy)%256,
+    b=(4id+9cx+5cy)%256``, all-ones quant table, libjpeg-style scan
+    script (interleaved DC + successive approximation, split spectral
+    bands, AC refinement, EOB runs).  Constant cells keep the lossy chain
+    exact — the successive-approximation bitplanes reassemble the integer
+    DC exactly and every AC band is pure EOB runs — so the decoded RGB is
+    analytically ``ycbcr_to_rgb(rgb_to_ycbcr(color))`` and the SQL oracle
+    replays it bit-for-bit via ``round_even``.  A wrong EOB-run length,
+    bitplane shift, or non-interleaved band walk breaks the value hash.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                nx, ny = 1 + mid % 3, 1 + mid % 2
+                cy, cx = np.ogrid[0:ny, 0:nx]
+                cells = np.stack(
+                    [
+                        (5 * mid + 13 * cx + 7 * cy) % 256,
+                        (2 * mid + 3 * cx + 11 * cy) % 256,
+                        (4 * mid + 9 * cx + 5 * cy) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                img = np.repeat(np.repeat(cells, 16, axis=0), 16, axis=1)
+                rows.append(
+                    (mid, encode_jpeg_progressive(img, subsampling="420"))
+                )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     schema = T.StructType(

@@ -362,10 +362,11 @@ def test_jpeg_restart_markers_roundtrip():
 
 
 def test_jpeg_rejects_unsupported_variants():
-    """Progressive (SOF2), non-integer sampling ratios, invalid sampling
-    factors, and non-JPEG payloads must fail loudly, not mis-parse.
-    (4:2:0 / 4:2:2 are SUPPORTED since r6 — covered by the roundtrip
-    tests below, no longer a reject path.)"""
+    """Extended-sequential (SOF1) / lossless (SOF3) / arithmetic (SOF9+),
+    non-integer sampling ratios, invalid sampling factors, and non-JPEG
+    payloads must fail loudly, not mis-parse.  (4:2:0 / 4:2:2 are
+    SUPPORTED since r6 and progressive SOF2 since r6 too — both covered
+    by roundtrip tests, no longer reject paths.)"""
     import numpy as np
     import pytest
 
@@ -373,11 +374,11 @@ def test_jpeg_rejects_unsupported_variants():
     payload = bytearray(multimodal.encode_jpeg(img))
     with pytest.raises(ValueError, match="SOI"):
         multimodal.decode_jpeg(b"definitely not a jpeg")
-    # flip SOF0 -> SOF2 (progressive)
     sof = payload.find(b"\xff\xc0")
-    payload[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
-        multimodal.decode_jpeg(bytes(payload))
+    for bad_sof in (0xC1, 0xC3, 0xC9):  # ext-seq, lossless, arith-seq
+        payload[sof + 1] = bad_sof
+        with pytest.raises(NotImplementedError, match="SOF0"):
+            multimodal.decode_jpeg(bytes(payload))
     # sampling factor 0 is out of the T.81 1..4 range
     payload[sof + 1] = 0xC0
     payload[sof + 11] = 0x01
@@ -392,6 +393,74 @@ def test_jpeg_rejects_unsupported_variants():
     payload[sof + 14] = 0x21  # comp1 H=2 -> 3 % 2 != 0
     with pytest.raises(NotImplementedError, match="non-integer sampling"):
         multimodal.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) entropy coding is lossless over the quantized
+    coefficients, so progressive decode must equal baseline decode
+    BIT-FOR-BIT for any image, qtable, and subsampling.  Random inputs +
+    a rough quant table force sparse ACs, exercising every Annex-G path:
+    EOB runs across blocks, ZRL in first and refinement passes,
+    successive approximation (DC + AC), correction bits, non-interleaved
+    per-component geometry, dummy-block DC in the interleaved scan."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rough_q = np.array(
+        [
+            [16, 11, 10, 16, 24, 40, 51, 61],
+            [12, 12, 14, 19, 26, 58, 60, 55],
+            [14, 13, 16, 24, 40, 57, 69, 56],
+            [14, 17, 22, 29, 51, 87, 80, 62],
+            [18, 22, 37, 56, 68, 109, 103, 77],
+            [24, 35, 55, 64, 81, 104, 113, 92],
+            [49, 64, 78, 87, 103, 121, 120, 101],
+            [72, 92, 95, 98, 112, 100, 103, 99],
+        ]
+    )
+    cases = [
+        (rng.integers(0, 256, s, dtype=np.uint8), "444")
+        for s in [(8, 8), (13, 17), (33, 47)]
+    ]
+    for s in [(16, 16), (21, 35), (32, 48)]:
+        for sub in ("444", "422", "420"):
+            cases.append((rng.integers(0, 256, (*s, 3), dtype=np.uint8), sub))
+    for img, sub in cases:
+        for q in (None, rough_q):
+            base = multimodal.decode_jpeg(
+                multimodal.encode_jpeg(img, qtable=q, subsampling=sub)
+            )
+            prog = multimodal.decode_jpeg(
+                multimodal.encode_jpeg_progressive(
+                    img, qtable=q, subsampling=sub
+                )
+            )
+            assert (base == prog).all(), (img.shape, sub, q is None)
+
+
+def test_jpeg_progressive_constant_cells_exact():
+    """Constant-color 4:2:0 progressive JPEGs decode EXACTLY to the
+    BT.601 roundtrip of the source color — the invariant the analytic
+    SQL oracle for multimodal_decode_jpeg_prog replays."""
+    import numpy as np
+
+    ref_of = lambda a: multimodal._ycbcr_to_rgb(multimodal._rgb_to_ycbcr(a))
+    for mid in (0, 1, 2, 3, 7, 11):
+        nx, ny = 1 + mid % 3, 1 + mid % 2
+        cy, cx = np.ogrid[0:ny, 0:nx]
+        cells = np.stack(
+            [
+                (5 * mid + 13 * cx + 7 * cy) % 256,
+                (2 * mid + 3 * cx + 11 * cy) % 256,
+                (4 * mid + 9 * cx + 5 * cy) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        img = np.repeat(np.repeat(cells, 16, axis=0), 16, axis=1)
+        dec = multimodal.decode_jpeg(
+            multimodal.encode_jpeg_progressive(img, subsampling="420")
+        )
+        assert (dec == ref_of(img)).all(), mid
 
 
 def test_jpeg_chroma_subsampling_roundtrip():

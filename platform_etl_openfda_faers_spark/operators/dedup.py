@@ -381,12 +381,27 @@ def minhash_signatures_from_arrays(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
+    signatures: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: same md5 bucket in any band.
 
     Explodes each doc to ``bands`` (band, bucket) rows, self-joins per band
-    bucket — linear candidate generation.
+    bucket.  Candidate generation is quadratic PER BUCKET — on dense
+    corpora (boilerplate, templates, bounded vocabularies) bucket sizes
+    grow with corpus size and the pair count goes super-linear (measured
+    on the synthetic corpus: 10x docs -> 85x candidates, with >80% of the
+    pair mass in buckets larger than 32).  ``max_bucket_size`` drops
+    buckets above the cap before the self-join — the standard production
+    mitigation: an LSH bucket that large is near-certainly boilerplate
+    better handled by exact dedup, and dropping it bounds the join at
+    O(buckets x cap²).  The size filter is a map-side-combined count
+    joined back on the same (band, bucket) key the self-join shuffles on,
+    so it adds no new exchange alignment and no skewed single-task window.
+    ``None`` = uncapped (exact LSH semantics).
     """
     num_hashes = bands * rows_per_band
     band_entries = F.array(
@@ -412,6 +427,16 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         F.col(id_col), F.explode(band_entries).alias("be")
     ).select(id_col, F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count("*").alias("_bsz")
+        )
+        # name-join puts the keys first; restore (id, band, bucket) order
+        # for the positional toDF renames below (same hazard as
+        # prune_df_join)
+        buckets = buckets.join(
+            sizes.where(F.col("_bsz") <= max_bucket_size), ["band", "bucket"]
+        ).select(id_col, "band", "bucket")
     a = buckets.toDF("id_a", "band", "bucket")
     b = buckets.toDF("id_b", "band", "bucket")
     return (
@@ -431,8 +456,14 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     seed: int = 42,
     max_doc_freq: int | None = None,
+    max_bucket_size: int | None = 32,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: candidates -> exact-Jaccard verify.
+
+    ``max_bucket_size=32`` by default: like ``jaccard_pairs``' df-cap, the
+    scale-safe form is the API default and exact-LSH is the opt-out
+    (``None``) — see :func:`lsh_candidate_pairs` for the measured
+    super-linear candidate growth that motivates it.
 
     Output: (id_a, id_b, jaccard) for verified pairs above ``threshold``.
     """
@@ -453,7 +484,9 @@ def minhash_near_duplicates(
         sigs = minhash_signatures_local(
             df, text_col, id_col, n=1, num_hashes=bands * rows_per_band, seed=seed
         )
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands, rows_per_band, max_bucket_size=max_bucket_size
+    )
     verified = jaccard_for_pairs(cands, index, id_col)
     return verified.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
@@ -469,8 +502,16 @@ def minhash_near_duplicates_shared(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket_size: int | None = 32,
 ) -> DataFrame:
     """MinHash-LSH near-dup with the shingle arrays computed EXACTLY ONCE.
+
+    ``max_bucket_size=32`` by default (scale-safe capped LSH; ``None``
+    opts out) — see :func:`lsh_candidate_pairs`.  Measured on the
+    synthetic corpus at 10x data: uncapped candidates grow 85x (6.9k ->
+    593k) and verify-stage shuffle 55x (12 MB -> 677 MB); the cap bounds
+    per-bucket pair generation while the capped query stays value-exact
+    against its capped SQL oracle twin.
 
     Tokenize + n-gram + per-shingle hashing is the dominant CPU of the whole
     pipeline; the naive composition runs it three times (signatures + each
@@ -502,7 +543,9 @@ def minhash_near_duplicates_shared(
             for i, (a, b) in enumerate(params)
         ],
     )
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands, rows_per_band, max_bucket_size=max_bucket_size
+    )
     verified = jaccard_verify_arrays(
         cands, docs, text_col, id_col, n=n, arrays=base
     )

@@ -1115,8 +1115,14 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _minhash_oracle_sql(bands: int = 4, rows_per_band: int = 4, seed: int = 42) -> str:
-    """Generate the DuckDB twin of the MinHash-LSH pipeline (same constants)."""
+def _minhash_oracle_sql(
+    bands: int = 4,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> str:
+    """Generate the DuckDB twin of the MinHash-LSH pipeline (same constants,
+    incl. the optional bucket-size cap)."""
     params = dedup.minhash_params(bands * rows_per_band, seed)
     p = dedup.MINHASH_PRIME
     h_expr = "('0x' || substr(md5(token), 1, 8))::BIGINT"
@@ -1132,11 +1138,23 @@ def _minhash_oracle_sql(bands: int = 4, rows_per_band: int = 4, seed: int = 42) 
         )
         for bnd in range(bands)
     )
+    cap_cte = (
+        """bkt AS (
+      SELECT doc_id, band, bucket FROM (
+        SELECT doc_id, band, bucket,
+          COUNT(*) OVER (PARTITION BY band, bucket) AS _bsz
+        FROM bkt0
+      ) WHERE _bsz <= {cap}
+    ),""".format(cap=max_bucket_size)
+        if max_bucket_size is not None
+        else "bkt AS (SELECT * FROM bkt0),"
+    )
     return f"""
     WITH tok AS ({_SHINGLES_SQL}),
     h AS (SELECT doc_id, {h_expr} AS h FROM tok),
     sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
-    bkt AS ({band_selects}),
+    bkt0 AS ({band_selects}),
+    {cap_cte}
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bkt a JOIN bkt b
@@ -1157,13 +1175,18 @@ def _minhash_oracle_sql(bands: int = 4, rows_per_band: int = 4, seed: int = 42) 
     """
 
 
-@query("dedup_minhash_lsh", _minhash_oracle_sql())
+@query("dedup_minhash_lsh", _minhash_oracle_sql(max_bucket_size=32))
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash(16)+LSH(4x4) candidates, exact-Jaccard verified at 0.3.
+    """MinHash(16)+LSH(4x4) candidates, exact-Jaccard verified at 0.3,
+    bucket-capped at 32 (the r6 API default — see ``lsh_candidate_pairs``
+    for the measured 85x candidate blow-up the cap bounds; the uncapped
+    exact-LSH form stays registry+oracle-covered as
+    ``dedup_minhash_lsh_uncapped``).
 
-    Every hash constant is shared with the generated oracle SQL, so the
-    whole LSH pipeline — signatures, banding, candidate join, verify — is
-    value-checked against DuckDB, not just row-counted.
+    Every hash constant AND the cap are shared with the generated oracle
+    SQL, so the whole LSH pipeline — signatures, banding, size cap,
+    candidate join, verify — is value-checked against DuckDB, not just
+    row-counted.
     """
     docs = load_docs(spark, sf)
     # signatures computed row-local off the shingle array (map-only, zero
@@ -1175,6 +1198,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_near_duplicates_shared(
         docs, "text", "doc_id", n=3, bands=4, rows_per_band=4,
         threshold=0.3, seed=42,
+    )
+
+
+@query("dedup_minhash_lsh_uncapped", _minhash_oracle_sql())
+def dedup_minhash_lsh_uncapped(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-LSH opt-out (``max_bucket_size=None``): every bucket
+    self-joins regardless of size.  Registry-only — measured 85x candidate
+    growth at 10x data on the synthetic bounded-vocab corpus, so the
+    capped form above holds the headline slot (same pattern as the
+    uncapped n-gram Jaccard retired in r5)."""
+    docs = load_docs(spark, sf)
+    return dedup.minhash_near_duplicates_shared(
+        docs, "text", "doc_id", n=3, bands=4, rows_per_band=4,
+        threshold=0.3, seed=42, max_bucket_size=None,
     )
 
 

@@ -50,6 +50,33 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert all(a < b for a, b in pairs)
 
 
+def test_lsh_bucket_cap_drops_oversized_buckets(spark):
+    """max_bucket_size keeps small-bucket pairs and drops only the
+    oversized bucket's — and the capped path preserves the (id, band,
+    bucket) column contract through the size join (the positional-toDF
+    hazard that silently emptied the first implementation)."""
+    # 40 identical docs -> one size-40 bucket per band; plus one small
+    # near-dup pair with distinct text
+    rows = [(i, "spam spam spam identical boilerplate text") for i in range(40)]
+    rows += [
+        (100, "a genuinely unique sentence about spark engines"),
+        (101, "a genuinely unique sentence about spark engine"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.minhash_near_duplicates_shared(
+        docs, "text", "doc_id", n=1, threshold=0.5, max_bucket_size=32
+    )
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in pairs  # small bucket survives
+    assert not any(a < 40 and b < 40 for a, b in pairs)  # boilerplate dropped
+    uncapped = dedup.minhash_near_duplicates_shared(
+        docs, "text", "doc_id", n=1, threshold=0.5, max_bucket_size=None
+    )
+    upairs = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert (100, 101) in upairs
+    assert sum(1 for a, b in upairs if a < 40 and b < 40) == 40 * 39 // 2
+
+
 def test_minhash_signature_stability(spark, docs):
     index = dedup.distinct_tokens(docs, "text", "doc_id")
     s1 = dedup.minhash_signatures(index, "doc_id", num_hashes=8, seed=42).collect()

@@ -12,6 +12,9 @@ Flags / env:
   ``queries`` (min) so warm-vs-cold is auditable instead of silently
   folded into a min-of-2.
 - SPARK_GRAFT_BENCH_ITERS: iterations per query (default 2).
+- SPARK_GRAFT_BENCH_QUERIES: comma-separated subset of the headline
+  queries to run (default: all) — used for the sf10 spot-runs where only
+  the scale-sensitive queries are re-measured.
 
 Shuffle accounting: every run also records per-query shuffle bytes
 written/read and spill, summed over the stages the query executed
@@ -72,7 +75,14 @@ def main() -> None:
     firsts: dict[str, float] = {}
     shuffle: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
-    for name in benchmarks.HEADLINE:
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    names = benchmarks.HEADLINE
+    if subset:
+        wanted = [q.strip() for q in subset.split(",") if q.strip()]
+        unknown = [q for q in wanted if q not in benchmarks.SPARK_QUERIES]
+        assert not unknown, f"unknown bench queries: {unknown}"
+        names = wanted
+    for name in names:
         fn = benchmarks.SPARK_QUERIES[name]
         best = float("inf")
         # one failing query must not sink the whole bench (r3: a single

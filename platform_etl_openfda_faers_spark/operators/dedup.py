@@ -428,15 +428,45 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(band_entries).alias("be")
     ).select(id_col, F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
     if max_bucket_size is not None:
+        # single-sided candidate generation: a self-join would duplicate
+        # the whole bucket lineage (and the cap's size aggregate) on both
+        # sides — measured 9 exchanges in the plan.  Instead: skew-safe
+        # partial-agg count -> size-filter join -> per-bucket collect_list
+        # (bounded by the cap, so the array is <= max_bucket_size ids —
+        # never the giant-bucket skew collect_list alone would risk) ->
+        # row-local ordered-pair expansion.  The collect_list groupBy
+        # reuses the join's (band, bucket) partitioning, so the whole
+        # capped pipeline is two bucket-keyed exchanges + the pair
+        # distinct.  Pair order matches the self-join's ``id_a < id_b``
+        # (array_sort and ``<`` agree for numeric and string ids).
         sizes = buckets.groupBy("band", "bucket").agg(
             F.count("*").alias("_bsz")
         )
-        # name-join puts the keys first; restore (id, band, bucket) order
-        # for the positional toDF renames below (same hazard as
-        # prune_df_join)
-        buckets = buckets.join(
+        kept = buckets.join(
             sizes.where(F.col("_bsz") <= max_bucket_size), ["band", "bucket"]
-        ).select(id_col, "band", "bucket")
+        )
+        grouped = kept.groupBy("band", "bucket").agg(
+            F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
+        )
+        ids = F.col("_ids")
+        pair_structs = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(
+                        ids,
+                        i + F.lit(2),
+                        F.greatest(F.size(ids) - i - F.lit(1), F.lit(0)),
+                    ),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        return (
+            grouped.select(F.explode(pair_structs).alias("_p"))
+            .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+            .distinct()
+        )
     a = buckets.toDF("id_a", "band", "bucket")
     b = buckets.toDF("id_b", "band", "bucket")
     return (

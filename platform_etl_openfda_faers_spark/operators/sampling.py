@@ -64,6 +64,61 @@ def stratified_hash_sample(
     return df.where(hash_bucket(salted, seed, buckets) < int(fraction * buckets))
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    rate: float,
+    alpha: float = 0.5,
+    seed: int = 42,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-based domain rebalancing — the standard data-mix
+    resampling law for LLM training corpora: keep each row of group ``s``
+    with probability ``p_s = min(1, rate * n_s^(alpha-1))``, so the
+    expected kept volume per group is ``rate * n_s^alpha`` — sub-linear
+    in group size for ``alpha < 1`` (big domains down-weighted, small
+    domains kept whole).  ``alpha=0.5`` is sqrt-scaling mixing; ``alpha=1``
+    is a plain uniform ``rate`` sample; ``alpha=0`` caps every group at
+    ~``rate`` rows.
+
+    Deterministic and oracle-replayable: membership is the md5 bucket of
+    the row key against an INTEGER per-group threshold
+    ``floor(buckets * p_s)``.  For ``alpha=0.5`` the threshold chain is
+    sqrt -> divide -> multiply -> floor — every step correctly rounded
+    IEEE double in both Spark and DuckDB, so thresholds are bit-identical
+    cross-engine (general ``alpha`` uses ``pow``, which is NOT guaranteed
+    correctly rounded across libm implementations — fine within one
+    engine, but don't hash-compare it across engines).
+
+    Scale shape: one map-side-combined count per group (a |groups|-row
+    table joined back — AQE broadcasts it when small), then a map-only
+    integer-threshold filter.  No per-row RNG state, reproducible across
+    runs, partition layouts, and engines.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    n = F.col("_n").cast("double")
+    if alpha == 0.5:
+        p = F.lit(float(rate)) / F.sqrt(n)
+    elif alpha == 1.0:
+        p = F.lit(float(rate))
+    elif alpha == 0.0:
+        p = F.lit(float(rate)) / n
+    else:
+        p = F.lit(float(rate)) * F.pow(n, F.lit(float(alpha) - 1.0))
+    thr = counts.select(
+        F.col(group_col),
+        F.floor(F.lit(float(buckets)) * F.least(F.lit(1.0), p))
+        .cast("long")
+        .alias("_thr"),
+    )
+    out = df.join(thr, [group_col]).where(
+        hash_bucket(F.col(key_col), seed, buckets) < F.col("_thr")
+    )
+    # name-join puts the group key first; restore the input column order
+    return out.select(df.columns)
+
+
 def stratified_sample_ids(
     significant: DataFrame,
     all_clean: DataFrame,

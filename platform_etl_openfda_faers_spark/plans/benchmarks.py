@@ -2791,6 +2791,38 @@ def a_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_temperature_sample",
+    """
+    WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    thr AS (
+      SELECT source,
+        CAST(FLOOR(10000::DOUBLE * LEAST(1.0::DOUBLE,
+          2.0::DOUBLE / sqrt(n::DOUBLE))) AS BIGINT) AS thr
+      FROM n
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN thr USING (source)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '#42'), 1, 8))::BIGINT
+          % 10000 < thr.thr
+    """,
+)
+def corpus_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based domain rebalancing (alpha=0.5, rate=2): keeps
+    ~2*sqrt(n_s) docs per source — the sub-linear mixing law LLM data
+    pipelines use to down-weight huge domains without starving small
+    ones.  Membership is an md5 bucket vs an INTEGER per-source
+    threshold whose derivation chain (sqrt -> divide -> multiply ->
+    floor) is correctly-rounded IEEE at every step, so the exact sampled
+    set replays bit-for-bit in the SQL oracle.  Plan shape: map-side-
+    combined per-source count (AQE-broadcast back) + a map-only integer
+    filter — no per-row RNG, no skew surface."""
+    docs = load_docs(spark, sf)
+    return sampling.temperature_sample(
+        docs, "source", "doc_id", rate=2.0, alpha=0.5, seed=42
+    ).select("doc_id", "source", "lang")
+
+
 def _pagerank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
     """DuckDB twin of ``graph.pagerank`` over the customer→supplier edge
     list: one (contrib, sum, rank) CTE triple per iteration.  Float

@@ -73,6 +73,39 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     return out
 
 
+def test_temperature_sample_law_and_determinism(spark):
+    """temperature_sample keeps ~rate*n^alpha rows per group, caps p at 1,
+    is key-deterministic (re-running selects the identical set), and the
+    alpha edge cases degrade to the documented laws."""
+    rows = [(f"d{i}", "big" if i < 4000 else "small", i) for i in range(4200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "i"])
+    out = sampling.temperature_sample(df, "source", "doc_id", rate=2.0)
+    got = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    # big: n=4000 -> p = 2/sqrt(4000) ~ 0.0316 -> ~126 expected
+    assert 60 <= by.get("big", 0) <= 220
+    # small: n=200 -> p = 2/sqrt(200) ~ 0.1414 -> ~28 expected
+    assert 10 <= by.get("small", 0) <= 55
+    # determinism: identical membership on re-run and on a repartition
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in sampling.temperature_sample(
+            df.repartition(7), "source", "doc_id", rate=2.0
+        ).collect()
+    }
+    assert ids1 == ids2
+    # column order preserved through the internal name-join
+    assert out.columns == df.columns
+    # alpha=1: plain uniform rate (p = rate for every group)
+    uni = sampling.temperature_sample(df, "source", "doc_id", rate=0.5, alpha=1.0)
+    n_uni = uni.count()
+    assert 1600 <= n_uni <= 2600
+    # alpha=0: every group capped at ~rate rows; rate >= n keeps everything
+    cap = sampling.temperature_sample(df, "source", "doc_id", rate=5000.0, alpha=0.0)
+    assert cap.count() == 4200
+
+
 def test_session_streaming_equals_batch(spark, events_dir):
     batch = spark.read.schema(ev.EVENT_SCHEMA).parquet(events_dir)
     expected = sorted(map(tuple, ev.session_counts(batch).collect()))

@@ -8,9 +8,11 @@ stride padding, BGR order), binary **PPM** (P6), PCM-16 **WAV** (RIFF
 chunk walk), **PNG** (stdlib-zlib inflate + all five unfilters), and
 **JPEG** — baseline AND progressive (DQT/DHT marker walk, Huffman
 decode, dequant, batched float IDCT, restart markers, 4:4:4/4:2:2/4:2:0
-chroma, T.81 Annex-G spectral selection + successive approximation);
-mp3 and video genuinely need external codec libraries, which are not in
-this container, so those raise ``NotImplementedError``.  ``fake=True``
+chroma, T.81 Annex-G spectral selection + successive approximation), and
+**GIF** (variable-width LSB-first LZW incl. dictionary reset and KwKwK,
+interlacing, global/local color tables); mp3 and video genuinely need
+external codec libraries, which are not in this container, so those
+raise ``NotImplementedError``.  ``fake=True``
 keeps the digest-derived deterministic stub for arbitrary payloads.
 
 Scale notes: media rows are fat — ``mapInPandas`` streams Arrow batches, so
@@ -1309,6 +1311,203 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     return np.frombuffer(data, dtype="<i2"), channels, rate
 
 
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a): pure-Python LZW codec + NumPy frame assembly.
+#
+# Scope: single-frame decode (first image descriptor; later frames of an
+# animation are ignored), global/local color tables, interlacing, the full
+# variable-width LSB-first LZW with dictionary reset at 4096 — a genuinely
+# different compression family from the repo's other codecs (JPEG's
+# MSB-first Huffman/DCT, PNG's deflate).  Transparency (GCE flag) is
+# ignored — pixels take their palette color.
+
+
+def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting min+1, LSB-first bit
+    packing, CLEAR emitted on dictionary overflow (4096)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = n = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n
+        acc |= code << n
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    width = min_code_size + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    w: tuple = ()
+    for k in map(int, indices):
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        # the decoder's next read must fit codes up to the one just
+        # assigned — widen exactly when that code is the first to overflow
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code == 4096:  # dictionary full: reset both sides
+            emit(clear, width)
+            width = min_code_size + 1
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+        w = (k,)
+    if w:
+        emit(table[w], width)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+    emit(eoi, width)
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
+    """Inverse of :func:`_lzw_encode_gif`, incl. the KwKwK self-reference
+    case and deferred-clear tolerance (full dictionary, no reset)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = acc = n = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, n
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        return v
+
+    out: list[int] = []
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            width = min_code_size + 1
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table) and code != eoi:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"invalid LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) passes
+
+
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) uint8 palette -> GIF89a bytes
+    (global color table, one image, real LZW)."""
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())  # GCT size field minimum is 2 colors
+    gct = np.zeros((1 << bits, 3), dtype=np.uint8)
+    gct[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += gct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    if interlace:
+        rows = [r for start, step in _GIF_INTERLACE for r in range(start, h, step)]
+        flat = indices[rows].reshape(-1)
+    else:
+        flat = indices.reshape(-1)
+    min_code = max(2, bits)
+    out.append(min_code)
+    lzw = _lzw_encode_gif(flat, min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes -> (h, w, 3) RGB uint8 (first frame)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (missing GIF87a/89a signature)")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(-1, 3)
+        pos += size * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:  # local color table overrides
+            size = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(-1, 3)
+            pos += size * 3
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode_gif(bytes(data), min_code)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data short of descriptor dims")
+        arr = np.array(idx[: w * h], dtype=np.int32).reshape(h, w)
+        if ipacked & 0x40:  # de-interlace
+            rows = [r for start, step in _GIF_INTERLACE for r in range(start, h, step)]
+            out = np.empty_like(arr)
+            out[rows] = arr
+            arr = out
+        if (arr >= len(ct)).any():
+            raise ValueError("palette index out of range")
+        return ct[arr]  # first frame only; animation frames ignored
+    raise ValueError("no image descriptor in GIF")
+
+
 def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Dispatch on magic bytes; returns (width, height, n_channels, values)
     where ``values`` is the flat sample/pixel array (RGB top-down for
@@ -1334,10 +1533,15 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         h, w = img.shape[:2]
         c = 1 if img.ndim == 2 else img.shape[2]
         return w, h, c, img.reshape(-1).astype(np.int64)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        img = decode_gif(payload)
+        h, w = img.shape[:2]
+        return w, h, 3, img.reshape(-1).astype(np.int64)
     raise NotImplementedError(
         "compressed/unknown media formats require external codec libraries "
         "not present in this container (supported here: BMP-24, PPM-P6, "
-        "WAV-PCM16, PNG 8-bit gray/RGB/RGBA, baseline JPEG)"
+        "WAV-PCM16, PNG 8-bit gray/RGB/RGBA, GIF, baseline+progressive "
+        "JPEG)"
     )
 
 
@@ -1617,6 +1821,49 @@ def synthetic_jpeg_media_prog(df: DataFrame, id_col: str) -> DataFrame:
                 img = np.repeat(np.repeat(cells, 16, axis=0), 16, axis=1)
                 rows.append(
                     (mid, encode_jpeg_progressive(img, subsampling="420"))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+
+
+def synthetic_gif_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic GIF payloads from an id column (test/oracle harness
+    for the LZW decode path).
+
+    Per id: (8 + id%8) x (4 + id%4) image over a 64-color palette,
+    ``idx(x,y) = (13*id + 5x + 11y) % 64``, ``palette[i] = ((37i+id)%256,
+    (11i+2id)%256, (53i+3id)%256)`` — decoded RGB is a pure modular
+    formula the SQL oracle replays exactly (GIF is lossless).  Odd ids
+    are written INTERLACED, so the oracle also value-checks the
+    four-pass de-interlace (output is identical by construction).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 8 + mid % 8, 4 + mid % 4
+                y, x = np.ogrid[0:h, 0:w]
+                idx = ((13 * mid + 5 * x + 11 * y) % 64).astype(np.uint8)
+                i = np.arange(64)
+                pal = np.stack(
+                    [
+                        (37 * i + mid) % 256,
+                        (11 * i + 2 * mid) % 256,
+                        (53 * i + 3 * mid) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                rows.append(
+                    (mid, encode_gif(idx, pal, interlace=bool(mid % 2)))
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 

@@ -3748,6 +3748,58 @@ def multimodal_decode_jpeg_prog(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_gif",
+    """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
+        (d.doc_id * 13 + 5 * xs.x + 11 * ys.y) % 64 AS i
+      FROM d,
+      LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+      LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys
+    ),
+    rgb AS (
+      SELECT doc_id, w, h, x, y,
+        (37 * i + doc_id) % 256 AS r,
+        (11 * i + 2 * doc_id) % 256 AS g,
+        (53 * i + 3 * doc_id) % 256 AS b
+      FROM px
+    )
+    SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+      CAST(h AS INT) AS height, 3 AS n_channels,
+      CAST(SUM(r + g + b) AS BIGINT) AS sum_vals,
+      CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN r END) AS INT) AS first_r,
+      CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN g END) AS INT) AS first_g,
+      CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN b END) AS INT) AS first_b
+    FROM rgb GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL GIF decode (r6): deterministic 64-color palette GIFs (odd ids
+    interlaced) are synthesized per doc_id and parsed by the pure-Python
+    LZW decoder — variable-width LSB-first codes, KwKwK self-reference,
+    dictionary reset at 4096, sub-block stitching, four-pass
+    de-interlace, palette mapping.  GIF is lossless, so the oracle
+    replays the modular pixel formula exactly; a wrong code-width bump,
+    interlace row order, or palette index breaks the value hash."""
+    docs = load_docs(spark, sf).select("doc_id")
+    media = multimodal.synthetic_gif_media(docs, "doc_id")
+    dec = multimodal.decode_media(media, fake=False)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        F.element_at("features", 1).cast("long").alias("sum_vals"),
+        F.element_at("features", 2).cast("int").alias("first_r"),
+        F.element_at("features", 3).cast("int").alias("first_g"),
+        F.element_at("features", 4).cast("int").alias("first_b"),
+    )
+
+
+@query(
     "multimodal_decode_wav",
     """
     WITH d AS (
@@ -4677,6 +4729,10 @@ _DRIVER_FIRST = [
     # j2_dimension_join, j3_left_outer, j6_full_outer, j7_semi_join,
     # a1_distinct_count, a3_dedup_subset, a4_collect_list, a5_hash_sample,
     # a5_stratified_sample, f_map_suite, set_ops_suite.
+    # --- new-in-r6 queries outside the cap (driver window full; all are
+    # oracle-green in the committed CORRECTNESS_LOCAL_r06 artifacts and
+    # rotate into the r7 window): dedup_minhash_lsh_uncapped,
+    # corpus_temperature_sample, multimodal_decode_gif.
 ]
 
 

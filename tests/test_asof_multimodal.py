@@ -395,6 +395,49 @@ def test_jpeg_rejects_unsupported_variants():
         multimodal.decode_jpeg(bytes(payload))
 
 
+def test_gif_lzw_roundtrip_exact():
+    """GIF is lossless: decode(encode(idx, pal)) == pal[idx] exactly, for
+    random palettes/sizes, interlaced or not, through every LZW mechanism
+    — variable code widths, KwKwK self-reference, dictionary reset at
+    4096 (forced by the 200x200 random image), long single-color runs."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for _ in range(12):
+        n = int(rng.integers(2, 257))
+        h, w = int(rng.integers(1, 64)), int(rng.integers(1, 64))
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+        for inter in (False, True):
+            dec = multimodal.decode_gif(
+                multimodal.encode_gif(idx, pal, interlace=inter)
+            )
+            assert (dec == pal[idx]).all(), (n, h, w, inter)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    big = rng.integers(0, 64, (200, 200), dtype=np.uint8)  # dict overflow
+    assert (multimodal.decode_gif(multimodal.encode_gif(big, pal)) == pal[big]).all()
+    runs = np.zeros((50, 77), dtype=np.uint8)  # KwKwK stress
+    assert (multimodal.decode_gif(multimodal.encode_gif(runs, pal)) == pal[runs]).all()
+
+
+def test_gif_reject_paths():
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError, match="GIF87a"):
+        multimodal.decode_gif(b"not a gif at all....")
+    pal = np.zeros((4, 3), np.uint8)
+    payload = bytearray(multimodal.encode_gif(np.zeros((4, 4), np.uint8), pal))
+    payload[-1] = 0x55  # trailer clobbered -> unexpected block
+    # decoder returns at the first image descriptor, so a bad TRAILER is
+    # invisible; clobber the descriptor instead
+    payload = bytearray(multimodal.encode_gif(np.zeros((4, 4), np.uint8), pal))
+    desc = payload.find(b"\x2c", 6)
+    payload[desc] = 0x7E
+    with pytest.raises(ValueError, match="unexpected GIF block"):
+        multimodal.decode_gif(bytes(payload))
+
+
 def test_jpeg_progressive_matches_baseline():
     """Progressive (SOF2) entropy coding is lossless over the quantized
     coefficients, so progressive decode must equal baseline decode

@@ -1508,6 +1508,209 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("no image descriptor in GIF")
 
 
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO 14496-12): container-structure parsing, no codec.
+#
+# Frame DECODE genuinely needs codec libraries (the documented
+# ``NotImplementedError`` boundary), but the container METADATA a curation
+# pipeline filters on — duration, resolution, codec fourcc, track count —
+# is a pure box walk this module does for real: length-prefixed nested
+# boxes, 64-bit largesize, version-dependent mvhd layouts, 16.16
+# fixed-point track dims.
+
+
+def _mp4_box(t: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + t + body
+
+
+def encode_mp4_meta(
+    duration: int,
+    timescale: int,
+    width: int,
+    height: int,
+    codec: bytes = b"avc1",
+    brand: bytes = b"isom",
+) -> bytes:
+    """Minimal well-formed single-video-track MP4 (ftyp + moov tree + a
+    stub mdat) — the fixture side of the metadata parser."""
+    ftyp = _mp4_box(b"ftyp", brand + struct.pack(">I", 0x200) + brand + b"iso2")
+    vf = b"\x00\x00\x00\x00"
+    unity = struct.pack(
+        ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+    mvhd = _mp4_box(
+        b"mvhd",
+        vf
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + unity
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + unity
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _mp4_box(
+        b"mdhd",
+        vf + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _mp4_box(
+        b"hdlr", vf + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00"
+    )
+    entry = _mp4_box(codec, b"\x00" * 78)  # sample-entry stub (fourcc only)
+    stsd = _mp4_box(b"stsd", vf + struct.pack(">I", 1) + entry)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + _mp4_box(b"minf", _mp4_box(b"stbl", stsd)))
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd + mdia))
+    return ftyp + moov + _mp4_box(b"mdat", b"\x00" * 16)
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """ISO BMFF box walk -> {brand, timescale, duration, n_tracks, width,
+    height, codec}.  Handles nested containers, 64-bit largesize,
+    size==0 (to end of enclosing box), mvhd v0/v1, 16.16 track dims;
+    first video track wins for dims/codec."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload (missing ftyp)")
+    out = {
+        "brand": payload[8:12].decode("ascii", "replace"),
+        "timescale": None,
+        "duration": None,
+        "n_tracks": 0,
+        "width": None,
+        "height": None,
+        "codec": None,
+    }
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", buf, pos)
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", buf, pos + 8)
+                hdr = 16
+            elif size == 0:  # extends to end of enclosing box
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(f"corrupt box {btype!r} at offset {pos}")
+            body = pos + hdr
+            if btype in _MP4_CONTAINERS:
+                walk(buf, body, pos + size)
+            elif btype == b"mvhd":
+                ver = buf[body]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", buf, body + 4 + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", buf, body + 4 + 8)
+                out["timescale"], out["duration"] = ts, dur
+            elif btype == b"tkhd":
+                out["n_tracks"] += 1
+                w, h = struct.unpack_from(">II", buf, pos + size - 8)
+                if w and h and out["width"] is None:
+                    out["width"], out["height"] = w >> 16, h >> 16
+            elif btype == b"stsd" and out["codec"] is None and size >= 24:
+                out["codec"] = buf[body + 12 : body + 16].decode(
+                    "ascii", "replace"
+                )
+            pos += size
+
+    walk(payload, 0, len(payload))
+    if out["timescale"] is None:
+        raise ValueError("no mvhd box found")
+    return out
+
+
+def mp4_meta(df: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
+    """Arrow-batched container-metadata extraction over binary payloads:
+    (media_id, brand, codec, n_tracks, width, height, duration_ms).
+    Map-only at any scale — same plumbing contract as ``decode_media``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                m = parse_mp4_meta(bytes(payload))
+                rows.append(
+                    (
+                        int(mid),
+                        m["brand"],
+                        m["codec"],
+                        m["n_tracks"],
+                        m["width"],
+                        m["height"],
+                        # integer-exact ms (floor) — oracle-replayable
+                        m["duration"] * 1000 // m["timescale"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "brand", "codec", "n_tracks",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("brand", T.StringType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("n_tracks", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        gen, schema=schema
+    )
+
+
+def synthetic_mp4_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic MP4 payloads from an id column: duration
+    ``1000 + 37*id`` ticks at timescale 600, dims ``(320 + 16*(id%4)) x
+    (240 + 16*(id%3))``, codec avc1/hvc1 alternating by id parity."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                rows.append(
+                    (
+                        mid,
+                        encode_mp4_meta(
+                            duration=1000 + 37 * mid,
+                            timescale=600,
+                            width=320 + 16 * (mid % 4),
+                            height=240 + 16 * (mid % 3),
+                            codec=b"avc1" if mid % 2 == 0 else b"hvc1",
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+
+
 def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Dispatch on magic bytes; returns (width, height, n_channels, values)
     where ``values`` is the flat sample/pixel array (RGB top-down for

@@ -2823,6 +2823,79 @@ def corpus_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "source", "lang")
 
 
+@query(
+    "f_zorder_key",
+    """
+    WITH k AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+        LEAST(GREATEST(CAST(FLOOR((l_partkey - 1) * 255 / 19999) AS BIGINT),
+          0), 255) AS q0,
+        LEAST(GREATEST(CAST(FLOOR(date_diff('day', DATE '1995-01-01',
+          CAST(l_shipdate AS DATE)) * 255 / 2500) AS BIGINT), 0), 255) AS q1
+      FROM lineitem
+    )
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      l_partkey, CAST((((q0 >> 0) & 1) << 0) | (((q1 >> 0) & 1) << 1) | (((q0 >> 1) & 1) << 2) | (((q1 >> 1) & 1) << 3) | (((q0 >> 2) & 1) << 4) | (((q1 >> 2) & 1) << 5) | (((q0 >> 3) & 1) << 6) | (((q1 >> 3) & 1) << 7) | (((q0 >> 4) & 1) << 8) | (((q1 >> 4) & 1) << 9) | (((q0 >> 5) & 1) << 10) | (((q1 >> 5) & 1) << 11) | (((q0 >> 6) & 1) << 12) | (((q1 >> 6) & 1) << 13) | (((q0 >> 7) & 1) << 14) | (((q1 >> 7) & 1) << 15) AS BIGINT) AS zkey
+    FROM k
+    ORDER BY zkey DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def f_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, ship-day): the
+    multi-column data-skipping layout lakehouse engines apply before
+    compaction (`operators/zorder.py` — quantize to 8-bit cells with
+    fixed bounds, interleave bits via a pure shift/and/or expression
+    tree).  Integer-exact end to end, so the oracle replays the
+    interleave bit-for-bit; the measured row-group-skipping win of
+    writing data in this order is pinned by
+    `tests/test_plan_audits.py::test_zorder_layout_prunes_input_bytes`.
+    Plans as a map-only projection + TakeOrderedAndProject."""
+    from ..operators import zorder
+
+    li = load_table(spark, sf, "lineitem")
+    days = F.datediff(F.col("l_shipdate"), F.lit("1995-01-01"))
+    z = zorder.zorder_key(
+        [F.col("l_partkey"), days], [(1, 20000), (0, 2500)], bits=8
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "l_partkey",
+            z.alias("zkey"),
+        )
+        .orderBy(F.desc("zkey"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+@query(
+    "multimodal_mp4_meta",
+    """
+    SELECT doc_id AS media_id,
+      'isom' AS brand,
+      CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS codec,
+      1 AS n_tracks,
+      CAST(320 + 16 * (doc_id % 4) AS INT) AS width,
+      CAST(240 + 16 * (doc_id % 3) AS INT) AS height,
+      CAST(FLOOR((1000 + 37 * doc_id) * 1000 / 600) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_mp4_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL MP4/ISO-BMFF container-metadata extraction (r6): synthesized
+    single-track MP4s are parsed by a full box walk — nested containers,
+    64-bit largesize, mvhd v0/v1 layouts, 16.16 fixed-point track dims,
+    stsd codec fourcc.  Frame decode stays the documented codec-library
+    boundary, but the metadata a video curation pipeline actually filters
+    on (duration/resolution/codec) is now a real parser with an analytic
+    oracle (duration_ms is integer floor division — exact cross-engine)."""
+    docs = load_docs(spark, sf).select("doc_id")
+    media = multimodal.synthetic_mp4_media(docs, "doc_id")
+    return multimodal.mp4_meta(media)
+
+
 def _pagerank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
     """DuckDB twin of ``graph.pagerank`` over the customer→supplier edge
     list: one (contrib, sum, rank) CTE triple per iteration.  Float
@@ -4732,7 +4805,8 @@ _DRIVER_FIRST = [
     # --- new-in-r6 queries outside the cap (driver window full; all are
     # oracle-green in the committed CORRECTNESS_LOCAL_r06 artifacts and
     # rotate into the r7 window): dedup_minhash_lsh_uncapped,
-    # corpus_temperature_sample, multimodal_decode_gif.
+    # corpus_temperature_sample, multimodal_decode_gif, f_zorder_key,
+    # multimodal_mp4_meta.
 ]
 
 

@@ -395,6 +395,53 @@ def test_jpeg_rejects_unsupported_variants():
         multimodal.decode_jpeg(bytes(payload))
 
 
+def test_mp4_meta_roundtrip_and_rejects():
+    """ISO BMFF box walk: encode_mp4_meta fixtures parse back exactly
+    (v0 mvhd, 16.16 dims, stsd fourcc), a hand-built v1 mvhd (64-bit
+    duration) and largesize boxes parse too, and corrupt payloads fail
+    loudly."""
+    import struct
+
+    import numpy as np  # noqa: F401
+    import pytest
+
+    for d, ts, w, h, codec in [
+        (12345, 600, 320, 240, b"avc1"),
+        (999999, 90000, 1920, 1080, b"hvc1"),
+        (1, 1, 16, 16, b"av01"),
+    ]:
+        m = multimodal.parse_mp4_meta(
+            multimodal.encode_mp4_meta(d, ts, w, h, codec=codec)
+        )
+        assert (
+            m["duration"], m["timescale"], m["width"], m["height"],
+            m["codec"], m["n_tracks"],
+        ) == (d, ts, w, h, codec.decode(), 1)
+
+    # v1 mvhd: 64-bit creation/modification/duration
+    body = b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 0, 0, 90000, 1 << 33)
+    mvhd = multimodal._mp4_box(b"mvhd", body + b"\x00" * 80)
+    moov = multimodal._mp4_box(b"moov", mvhd)
+    ftyp = multimodal._mp4_box(b"ftyp", b"isom" + b"\x00" * 8)
+    m = multimodal.parse_mp4_meta(ftyp + moov)
+    assert m["duration"] == 1 << 33 and m["timescale"] == 90000
+
+    # 64-bit largesize box header
+    large_moov = (
+        struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(mvhd)) + mvhd
+    )
+    m = multimodal.parse_mp4_meta(ftyp + large_moov)
+    assert m["duration"] == 1 << 33
+
+    with pytest.raises(ValueError, match="ftyp"):
+        multimodal.parse_mp4_meta(b"RIFFnotamp4 payload")
+    with pytest.raises(ValueError, match="no mvhd"):
+        multimodal.parse_mp4_meta(ftyp)
+    # truncated: moov claims more bytes than exist
+    with pytest.raises(ValueError, match="corrupt box"):
+        multimodal.parse_mp4_meta(ftyp + moov[: len(moov) - 4])
+
+
 def test_gif_lzw_roundtrip_exact():
     """GIF is lossless: decode(encode(idx, pal)) == pal[idx] exactly, for
     random palettes/sizes, interlaced or not, through every LZW mechanism

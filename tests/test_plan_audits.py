@@ -162,3 +162,37 @@ def test_runtime_blacklist_anti_join_shuffles_only_aggregates(spark, sf_dir):
     b = _run_bytes(spark, benchmarks.j1_blacklist_anti(spark, sf_dir))
     assert b["shuffle_write"] == b["shuffle_read"], b
     assert 0 < b["shuffle_write"] < 100_000, b
+
+
+def test_zorder_layout_prunes_input_bytes(spark, tmp_path):
+    """The point of Z-ordering: a two-column box filter over a Z-ordered
+    parquet layout must read far fewer bytes than the same filter over an
+    insertion-ordered layout (row-group min/max skipping works in BOTH
+    dimensions), with identical results.  Insertion order is adversarial
+    here: x cycles every 1000 rows, so every row group spans the full x
+    AND y domains and nothing can be skipped."""
+    from platform_etl_openfda_faers_spark.operators import zorder
+    from platform_etl_openfda_faers_spark.plans.metrics import StageMetrics
+
+    df = spark.range(300_000).select(
+        (F.col("id") % 1000).alias("x"),
+        (F.abs(F.hash(F.col("id"))) % 1000).alias("y"),
+        F.col("id").alias("v"),
+    )
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    opts = {"parquet.block.size": str(128 * 1024)}
+    df.repartition(4).write.options(**opts).parquet(plain)
+    zorder.zorder_repartition(
+        df, ["x", "y"], [(0, 999), (0, 999)], bits=8, num_partitions=4
+    ).write.options(**opts).parquet(zed)
+    flt = "x BETWEEN 100 AND 120 AND y BETWEEN 200 AND 220"
+    m = StageMetrics(spark)
+    got = {}
+    for name, path in (("plain", plain), ("zed", zed)):
+        m.snapshot()
+        cnt = spark.read.parquet(path).where(flt).count()
+        got[name] = (cnt, m.delta()["input_bytes"])
+    assert got["plain"][0] == got["zed"][0] > 0
+    # the z-ordered layout must read under half the bytes (measured
+    # locally it reads ~a tenth; 0.5 keeps the assertion robust)
+    assert got["zed"][1] < got["plain"][1] * 0.5, got

@@ -3912,6 +3912,50 @@ def multimodal_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "a_profile_orders",
+    """
+    WITH base AS (SELECT COUNT(*) AS n_rows FROM orders)
+    SELECT 'o_orderkey' AS col_name, n_rows,
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_nulls,
+      (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+      CAST((SELECT MIN(o_orderkey) FROM orders) AS DOUBLE) AS min_num,
+      CAST((SELECT MAX(o_orderkey) FROM orders) AS DOUBLE) AS max_num,
+      CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM base
+    UNION ALL
+    SELECT 'o_totalprice', n_rows,
+      (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL),
+      (SELECT COUNT(DISTINCT o_totalprice) FROM orders),
+      (SELECT MIN(o_totalprice) FROM orders),
+      (SELECT MAX(o_totalprice) FROM orders),
+      NULL, NULL
+    FROM base
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows,
+      (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL),
+      (SELECT COUNT(DISTINCT o_orderpriority) FROM orders),
+      NULL, NULL,
+      (SELECT MIN(o_orderpriority) FROM orders),
+      (SELECT MAX(o_orderpriority) FROM orders)
+    FROM base
+    """,
+)
+def a_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass data-profiling summary (`operators/profile.py`): per-column
+    nulls / exact distincts / typed min-max off a SINGLE aggregate + stack
+    unpivot — one table scan regardless of column count (the union-of-
+    selects formulation the oracle uses for clarity would re-scan per
+    column).  Exact distincts here so every number is engine-exact; the
+    operator's scale default is approx_count_distinct (mergeable HLL++)."""
+    from ..operators.profile import profile_table
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    return profile_table(orders, exact_distinct=True)
+
+
+@query(
     "corpus_mix_report",
     f"""
     SELECT source, lang, COUNT(*) AS n_docs,
@@ -4806,7 +4850,7 @@ _DRIVER_FIRST = [
     # oracle-green in the committed CORRECTNESS_LOCAL_r06 artifacts and
     # rotate into the r7 window): dedup_minhash_lsh_uncapped,
     # corpus_temperature_sample, multimodal_decode_gif, f_zorder_key,
-    # multimodal_mp4_meta.
+    # multimodal_mp4_meta, a_profile_orders.
 ]
 
 

@@ -196,3 +196,38 @@ def test_zorder_layout_prunes_input_bytes(spark, tmp_path):
     # the z-ordered layout must read under half the bytes (measured
     # locally it reads ~a tenth; 0.5 keeps the assertion robust)
     assert got["zed"][1] < got["plain"][1] * 0.5, got
+
+
+def test_profile_table_single_scan_and_values(spark, sf_dir):
+    """profile_table must read the table ONCE (one scan in the plan, no
+    per-column re-scan union) and report exact nulls/distincts/min-max."""
+    from platform_etl_openfda_faers_spark.operators.profile import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, None, "b"), (3, 7.5, None), (3, 7.5, "b")],
+        ["k", "v", "s"],
+    )
+    prof = {r.col_name: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_nulls == 0
+    assert prof["k"].n_distinct == 3
+    assert (prof["k"].min_num, prof["k"].max_num) == (1.0, 3.0)
+    assert prof["k"].min_str is None
+    assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 2
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert (prof["s"].min_str, prof["s"].max_str) == ("a", "b")
+    assert prof["s"].min_num is None
+    # approx mode still produces sane counts (scale default)
+    approx = {r.col_name: r for r in profile_table(df).collect()}
+    assert approx["k"].n_distinct >= 2
+    # single scan of the parquet table regardless of column count
+    from platform_etl_openfda_faers_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    import re
+
+    plan = plan_of(profile_table(orders, exact_distinct=True))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan

@@ -1711,6 +1711,218 @@ def synthetic_mp4_media(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# EXIF (JPEG APP1 / TIFF 6.0 IFD): image metadata extraction, both byte
+# orders, inline and offset-stored values, Exif sub-IFD — the image-side
+# counterpart to ``parse_mp4_meta`` for curation filters (orientation,
+# camera, capture time, sensor dims).
+
+
+def build_tiff_exif(make: str, model: str, orientation: int, datetime_s: str,
+                    px: int, py: int, little: bool = True) -> bytes:
+    """Minimal TIFF block: IFD0 (Make, Model, Orientation, DateTime,
+    ExifIFD*) -> Exif sub-IFD (PixelXDimension, PixelYDimension)."""
+    e = "<" if little else ">"
+    def entry(tag, typ, count, value_bytes_or_offset, inline):
+        if inline:
+            v = value_bytes_or_offset.ljust(4, b"\x00")
+            return struct.pack(e + "HHI", tag, typ, count) + v
+        return struct.pack(e + "HHII", tag, typ, count, value_bytes_or_offset)
+
+    make_b = make.encode() + b"\x00"
+    model_b = model.encode() + b"\x00"
+    dt_b = datetime_s.encode() + b"\x00"  # 20 bytes per spec
+    # layout: header(8) IFD0(2 + 5*12 + 4) [exif IFD (2 + 2*12 + 4)] then data area
+    ifd0_off = 8
+    ifd0_size = 2 + 5 * 12 + 4
+    exif_off = ifd0_off + ifd0_size
+    exif_size = 2 + 2 * 12 + 4
+    data_off = exif_off + exif_size
+    data = b""
+    def store(b):
+        nonlocal data
+        off = data_off + len(data)
+        data += b
+        return off
+    def ascii_entry(tag, b):
+        # TIFF 6.0: values of <= 4 bytes are stored INLINE in the value
+        # field; longer ones at an offset into the data area
+        if len(b) <= 4:
+            return entry(tag, 2, len(b), b, True)
+        return entry(tag, 2, len(b), store(b), False)
+
+    ifd0 = struct.pack(e + "H", 5)
+    ifd0 += ascii_entry(0x010F, make_b)
+    ifd0 += ascii_entry(0x0110, model_b)
+    ifd0 += entry(0x0112, 3, 1, struct.pack(e + "H", orientation), True)
+    ifd0 += ascii_entry(0x0132, dt_b)
+    ifd0 += entry(0x8769, 4, 1, struct.pack(e + "I", exif_off), True)
+    ifd0 += struct.pack(e + "I", 0)  # next IFD
+    exif = struct.pack(e + "H", 2)
+    exif += entry(0xA002, 4, 1, struct.pack(e + "I", px), True)
+    exif += entry(0xA003, 4, 1, struct.pack(e + "I", py), True)
+    exif += struct.pack(e + "I", 0)
+    hdr = (b"II" if little else b"MM") + struct.pack(e + "H", 42) + struct.pack(e + "I", ifd0_off)
+    return hdr + ifd0 + exif + data
+
+def embed_exif_jpeg(jpeg: bytes, tiff: bytes) -> bytes:
+    app1 = b"Exif\x00\x00" + tiff
+    return jpeg[:2] + b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1 + jpeg[2:]
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+def parse_exif(payload: bytes) -> dict:
+    # find APP1/Exif in the JPEG marker walk
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos, tiff = 2, None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = payload[pos + 10 : pos + 2 + seglen]
+            break
+        if marker == 0xDA:
+            break
+        pos += 2 + seglen
+    if tiff is None:
+        raise ValueError("no Exif APP1 segment")
+    if tiff[:2] == b"II":
+        e = "<"
+    elif tiff[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("bad TIFF byte order mark")
+    (magic,) = struct.unpack_from(e + "H", tiff, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd0,) = struct.unpack_from(e + "I", tiff, 4)
+    out = {"byte_order": "II" if e == "<" else "MM"}
+
+    def read_ifd(off):
+        (n,) = struct.unpack_from(e + "H", tiff, off)
+        entries = {}
+        for i in range(n):
+            tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, off + 2 + 12 * i)
+            size = _TYPE_SIZE.get(typ, 1) * cnt
+            voff = off + 2 + 12 * i + 8
+            if size > 4:
+                (voff,) = struct.unpack_from(e + "I", tiff, voff)
+            raw = tiff[voff : voff + size]
+            entries[tag] = (typ, cnt, raw)
+        return entries
+
+    def val(entries, tag):
+        if tag not in entries:
+            return None
+        typ, cnt, raw = entries[tag]
+        if typ == 2:
+            return raw.split(b"\x00")[0].decode("ascii", "replace")
+        if typ == 3:
+            return struct.unpack(e + "H", raw[:2])[0]
+        if typ == 4:
+            return struct.unpack(e + "I", raw[:4])[0]
+        return raw
+
+    ifd = read_ifd(ifd0)
+    out["make"] = val(ifd, 0x010F)
+    out["model"] = val(ifd, 0x0110)
+    out["orientation"] = val(ifd, 0x0112)
+    out["datetime"] = val(ifd, 0x0132)
+    out["pixel_x"] = out["pixel_y"] = None
+    sub = val(ifd, 0x8769)
+    if sub is not None:
+        exif = read_ifd(sub)
+        out["pixel_x"] = val(exif, 0xA002)
+        out["pixel_y"] = val(exif, 0xA003)
+    return out
+
+
+def exif_meta(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched EXIF extraction over JPEG payloads: (media_id,
+    byte_order, make, model, orientation, dt, pixel_x, pixel_y).
+    Map-only at any scale."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                m = parse_exif(bytes(payload))
+                rows.append(
+                    (
+                        int(mid), m["byte_order"], m["make"], m["model"],
+                        m["orientation"], m["datetime"],
+                        m["pixel_x"], m["pixel_y"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "byte_order", "make", "model",
+                    "orientation", "dt", "pixel_x", "pixel_y",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("byte_order", T.StringType()),
+            T.StructField("make", T.StringType()),
+            T.StructField("model", T.StringType()),
+            T.StructField("orientation", T.IntegerType()),
+            T.StructField("dt", T.StringType()),
+            T.StructField("pixel_x", T.LongType()),
+            T.StructField("pixel_y", T.LongType()),
+        ]
+    )
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        gen, schema=schema
+    )
+
+
+def synthetic_exif_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic EXIF-tagged JPEGs from an id column: make Cam{id%7},
+    model M{id%5}, orientation 1+id%8, capture time a modular formula,
+    Exif dims (320+id%32) x (240+id%24); even ids little-endian (II),
+    odd big-endian (MM) — both byte-order paths exercised in one table."""
+    base = encode_jpeg(np.full((8, 8), 128, dtype=np.uint8))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                dt_s = "2024:01:%02d %02d:%02d:%02d" % (
+                    1 + mid % 28, mid % 24, mid % 60, (mid * 7) % 60,
+                )
+                tiff = build_tiff_exif(
+                    make=f"Cam{mid % 7}",
+                    model=f"M{mid % 5}",
+                    orientation=1 + mid % 8,
+                    datetime_s=dt_s,
+                    px=320 + mid % 32,
+                    py=240 + mid % 24,
+                    little=(mid % 2 == 0),
+                )
+                rows.append((mid, embed_exif_jpeg(base, tiff)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+
+
 def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Dispatch on magic bytes; returns (width, height, n_channels, values)
     where ``values`` is the flat sample/pixel array (RGB top-down for

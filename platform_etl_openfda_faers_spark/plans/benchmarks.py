@@ -3873,6 +3873,33 @@ def multimodal_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_exif_meta",
+    """
+    SELECT doc_id AS media_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      'Cam' || (doc_id % 7)::VARCHAR AS make,
+      'M' || (doc_id % 5)::VARCHAR AS model,
+      CAST(1 + doc_id % 8 AS INT) AS orientation,
+      printf('2024:01:%02d %02d:%02d:%02d',
+        1 + doc_id % 28, doc_id % 24, doc_id % 60, (doc_id * 7) % 60) AS dt,
+      CAST(320 + doc_id % 32 AS BIGINT) AS pixel_x,
+      CAST(240 + doc_id % 24 AS BIGINT) AS pixel_y
+    FROM documents
+    """,
+)
+def multimodal_exif_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL EXIF extraction (r6): JPEGs carrying APP1/TIFF metadata are
+    parsed by a full IFD walk — both byte orders (even ids II, odd MM),
+    inline and offset-stored values, the Exif sub-IFD pointer — the
+    image-side counterpart to multimodal_mp4_meta for curation filters
+    (orientation, camera, capture time, sensor dims).  Analytic oracle:
+    every field is a modular/printf formula."""
+    docs = load_docs(spark, sf).select("doc_id")
+    media = multimodal.synthetic_exif_media(docs, "doc_id")
+    return multimodal.exif_meta(media)
+
+
+@query(
     "multimodal_decode_wav",
     """
     WITH d AS (
@@ -4850,7 +4877,7 @@ _DRIVER_FIRST = [
     # oracle-green in the committed CORRECTNESS_LOCAL_r06 artifacts and
     # rotate into the r7 window): dedup_minhash_lsh_uncapped,
     # corpus_temperature_sample, multimodal_decode_gif, f_zorder_key,
-    # multimodal_mp4_meta, a_profile_orders.
+    # multimodal_mp4_meta, a_profile_orders, multimodal_exif_meta.
 ]
 
 

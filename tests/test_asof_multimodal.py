@@ -442,6 +442,37 @@ def test_mp4_meta_roundtrip_and_rejects():
         multimodal.parse_mp4_meta(ftyp + moov[: len(moov) - 4])
 
 
+def test_exif_roundtrip_both_byte_orders_and_rejects():
+    """TIFF IFD walk: build -> parse round-trips in II and MM byte
+    orders, inline (<= 4 byte) and offset-stored ASCII values, the Exif
+    sub-IFD; EXIF-tagged JPEGs still decode (APP1 skipped); missing /
+    corrupt EXIF fails loudly."""
+    import numpy as np
+    import pytest
+
+    base = multimodal.encode_jpeg(np.full((8, 8), 128, dtype=np.uint8))
+    for little in (True, False):
+        for make, model in [("CamCo", "X100"), ("C", "M0")]:  # offset + inline
+            tiff = multimodal.build_tiff_exif(
+                make, model, 6, "2024:01:02 03:04:05", 640, 480, little
+            )
+            m = multimodal.parse_exif(multimodal.embed_exif_jpeg(base, tiff))
+            assert (
+                m["byte_order"], m["make"], m["model"], m["orientation"],
+                m["datetime"], m["pixel_x"], m["pixel_y"],
+            ) == ("II" if little else "MM", make, model, 6,
+                  "2024:01:02 03:04:05", 640, 480)
+    tagged = multimodal.embed_exif_jpeg(base, tiff)
+    assert multimodal.decode_jpeg(tagged).shape == (8, 8)
+    with pytest.raises(ValueError, match="no Exif"):
+        multimodal.parse_exif(base)
+    bad = bytearray(multimodal.embed_exif_jpeg(base, tiff))
+    i = bad.find(b"Exif\x00\x00") + 6
+    bad[i : i + 2] = b"XX"  # clobber byte-order mark
+    with pytest.raises(ValueError, match="byte order"):
+        multimodal.parse_exif(bytes(bad))
+
+
 def test_gif_lzw_roundtrip_exact():
     """GIF is lossless: decode(encode(idx, pal)) == pal[idx] exactly, for
     random palettes/sizes, interlaced or not, through every LZW mechanism

@@ -444,3 +444,169 @@ def cosine_near_duplicates(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's PQ half)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 1,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Product-quantization codebooks: ``m`` INDEPENDENT deterministic
+    Lloyd k-means runs, one per contiguous ``dim/m``-wide subspace of the
+    embedding (each exactly :func:`kmeans_centroids` on a sliced vector —
+    decimal-exact means, rounded scores, id-seeded init — so every run
+    replays bit-for-bit in the SQL oracle).  Output: (sub, cell,
+    centroid) with ``m*k`` rows — tiny and broadcastable regardless of
+    corpus size."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    width = dim // m
+    subs = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(
+                F.col(vec_col).cast("array<double>"), s * width + 1, width
+            ).alias("_sv"),
+        )
+        cent = kmeans_centroids(
+            sliced, id_col, "_sv", k=k, iterations=iterations,
+            score_decimals=score_decimals,
+        )
+        subs.append(cent.select(F.lit(s).alias("sub"), "cell", "centroid"))
+    out = subs[0]
+    for other in subs[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Encode each vector as ``m`` codebook cells — MAP-ONLY: each
+    subspace's codebook collapses to a broadcast 1-row struct array and
+    the argmax-cosine assignment is a row-local higher-order-function
+    expression (the ``ivf_cells`` trick, once per subspace in a single
+    projection).  A 64-dim float vector becomes m small ints — the
+    ~32x compression that lets ADC scoring avoid touching raw vectors.
+    Output: (id, c0..c{m-1})."""
+    width = dim // m
+    df = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    for s in range(m):
+        cent_arr = (
+            codebooks.where(F.col("sub") == s)
+            .groupBy()
+            .agg(
+                F.collect_list(F.struct("cell", "centroid")).alias(
+                    f"_cents{s}"
+                )
+            )
+        )
+        df = df.join(F.broadcast(cent_arr))
+    def code_expr(s: int):
+        # closure (not a lambda default): a 2-arg lambda in F.transform
+        # would be called as (element, index) and clobber the capture
+        sv = F.slice(F.col("_v"), s * width + 1, width)
+
+        def scored_cell(c):
+            return F.struct(
+                (-F.round(cosine(sv, c["centroid"]), score_decimals)).alias(
+                    "_neg"
+                ),
+                c["cell"].alias("cell"),
+            )
+
+        ranked = F.sort_array(F.transform(F.col(f"_cents{s}"), scored_cell))
+        return F.element_at(ranked, 1)["cell"].alias(f"c{s}")
+
+    return df.select(F.col(id_col), *[code_expr(s) for s in range(m)])
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays a raw vector, the
+    corpus is scored from its PQ codes via a per-query lookup table —
+    ``score = sum_s dot(q_s, codeword_{s, code_s})``, the inner-product
+    decomposition (dot DECOMPOSES across subspaces; cosine does not,
+    which is why ADC scores dots — on unit embeddings they coincide).
+
+    Plan shape: encode is map-only; each LUT is |queries| x k rows
+    (broadcast); scoring is m broadcast hash joins on the code columns —
+    no shuffle of the corpus, no raw-vector pair join.  Per-subspace LUT
+    entries round to ``score_decimals`` and the final score sums them in
+    FIXED subspace order (left-associated), so results replay exactly in
+    the SQL oracle.  At 100 TB compose with IVF cells to prune candidates
+    before ADC scoring; here every corpus vector is scored (the PQ point
+    is cheap scoring, not candidate pruning).
+
+    Output: (query_id, neighbor_id, score, rank<=k)."""
+    width = dim // m
+    scored = pq_encode(corpus, codebooks, id_col, vec_col, dim, m, score_decimals)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_q"),
+    )
+    for s in range(m):
+        cb = codebooks.where(F.col("sub") == s).select(
+            F.col("cell").alias(f"_code{s}"), F.col("centroid").alias("_c")
+        )
+        lut = q.crossJoin(F.broadcast(cb)).select(
+            F.col("query_id").alias(f"_qid{s}"),
+            F.col(f"_code{s}"),
+            F.round(
+                dot(F.slice(F.col("_q"), s * width + 1, width), F.col("_c")),
+                score_decimals,
+            ).alias(f"_l{s}"),
+        )
+        on = [scored[f"c{s}"] == lut[f"_code{s}"]]
+        if s > 0:
+            on.append(scored["query_id"] == lut[f"_qid{s}"])
+        scored = scored.join(F.broadcast(lut), on).drop(f"_code{s}")
+        scored = (
+            scored.withColumnRenamed("_qid0", "query_id")
+            if s == 0
+            else scored.drop(f"_qid{s}")
+        )
+    score = F.col("_l0")
+    for s in range(1, m):
+        score = score + F.col(f"_l{s}")
+    return (
+        scored.where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(score, score_decimals).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.col("neighbor_id")
+            )
+        ).cast("int"))
+        .where(F.col("rank") <= k)
+    )

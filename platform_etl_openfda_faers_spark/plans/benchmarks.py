@@ -2522,6 +2522,134 @@ def _ivf_kmeans_oracle_sql(
     """
 
 
+def _kmeans_ctes_for(
+    src: str, prefix: str, k: int, iterations: int
+) -> tuple[list[str], str]:
+    """Parametric form of the Lloyd-replay CTE triple: k-means over the
+    vectors of CTE ``src`` (columns vec_id, e), CTE names prefixed so
+    several independent runs (one per PQ subspace) coexist in one query."""
+    ctes = [
+        f"{prefix}cent0 AS (SELECT vec_id AS cell, e AS c FROM {src}"
+        f" WHERE vec_id < {k})"
+    ]
+    for i in range(1, iterations + 1):
+        pcent = f"{prefix}cent{i - 1}"
+        cos = _IVF_COS.format(a=f"{src}.e", b=f"{pcent}.c")
+        ctes.append(
+            f"""{prefix}asg{i} AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT {src}.vec_id, {src}.e, {pcent}.cell,
+          row_number() OVER (PARTITION BY {src}.vec_id
+            ORDER BY {cos} DESC, {pcent}.cell) AS r
+        FROM {src}, {pcent}) WHERE r = 1
+    )"""
+        )
+        ctes.append(
+            f"""{prefix}pd{i} AS (
+      SELECT a.cell, gs.i AS pos, a.e[gs.i] AS val
+      FROM {prefix}asg{i} a,
+      LATERAL (SELECT unnest(generate_series(1, len(a.e))) AS i) gs
+    )"""
+        )
+        ctes.append(
+            f"""{prefix}cent{i} AS (
+      SELECT cell, list(m ORDER BY pos) AS c FROM (
+        SELECT cell, pos,
+          round(CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*),
+                6) AS m
+        FROM {prefix}pd{i} GROUP BY cell, pos) GROUP BY cell
+    )"""
+        )
+    return ctes, f"{prefix}cent{iterations}"
+
+
+def _pq_oracle_sql(
+    dim: int = 64, m: int = 4, k: int = 8, iterations: int = 1, topk: int = 5
+) -> str:
+    """DuckDB twin of pq_codebooks + pq_encode + pq_adc_topk: per subspace
+    a full Lloyd replay, an argmax-cosine encode, and a dot-product LUT;
+    final score is the FIXED-ORDER (left-associated) sum of the rounded
+    per-subspace LUT entries — the same float discipline as the Spark
+    side, so the whole train-encode-score pipeline value-checks."""
+    width = dim // m
+    ctes = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
+    for s in range(m):
+        lo, hi = s * width + 1, (s + 1) * width
+        ctes.append(
+            f"v{s} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM v)"
+        )
+        kc, last = _kmeans_ctes_for(f"v{s}", f"s{s}_", k, iterations)
+        ctes += kc
+        cos = _IVF_COS.format(a=f"v{s}.e", b=f"{last}.c")
+        ctes.append(
+            f"""enc{s} AS (
+      SELECT vec_id, cell AS c{s} FROM (
+        SELECT v{s}.vec_id, {last}.cell,
+          row_number() OVER (PARTITION BY v{s}.vec_id
+            ORDER BY {cos} DESC, {last}.cell) AS r
+        FROM v{s}, {last}) WHERE r = 1
+    )"""
+        )
+        ctes.append(
+            f"""lut{s} AS (
+      SELECT q.vec_id AS query_id, {last}.cell AS code,
+        round(list_dot_product(q.e, {last}.c), 6) AS l{s}
+      FROM (SELECT vec_id, e FROM v{s} WHERE vec_id < 20) q, {last}
+    )"""
+        )
+    joins = " ".join(f"JOIN enc{s} USING (vec_id)" for s in range(1, m))
+    ctes.append(
+        f"enc AS (SELECT enc0.vec_id, "
+        + ", ".join(f"c{s}" for s in range(m))
+        + f" FROM enc0 {joins})"
+    )
+    lut_joins = ["JOIN lut0 ON lut0.code = enc.c0"]
+    for s in range(1, m):
+        lut_joins.append(
+            f"JOIN lut{s} ON lut{s}.query_id = lut0.query_id"
+            f" AND lut{s}.code = enc.c{s}"
+        )
+    score = "l0"
+    for s in range(1, m):
+        score = f"({score} + l{s})"
+    ctes.append(
+        f"""sc AS (
+      SELECT lut0.query_id, enc.vec_id AS neighbor_id,
+        round({score}, 6) AS score
+      FROM enc {' '.join(lut_joins)}
+      WHERE lut0.query_id <> enc.vec_id
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) AS INT) AS rank
+      FROM sc) WHERE rank <= {topk}
+    """
+
+
+@query("emb_pq_adc_topk", _pq_oracle_sql())
+def emb_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-5 (r6 — the PQ half of IVF-PQ, the
+    standard billion-scale ANN layout): 4 independent declarative Lloyd
+    runs train one codebook per 16-dim subspace, the corpus encodes to 4
+    small ints in a MAP-ONLY projection (broadcast codebooks, row-local
+    argmax), and queries score every vector from per-query lookup tables
+    via m broadcast joins — no raw-vector pair join, no corpus shuffle.
+    The oracle replays training, encoding, and the fixed-order LUT-sum
+    scoring in SQL, value-checking the full pipeline.  At 100 TB compose
+    with IVF cell pruning in front of ADC scoring."""
+    emb = load_emb(spark, sf)
+    cb = similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1)
+    return similarity.pq_adc_topk(
+        emb, emb.where(F.col("vec_id") < 20), cb, k=5, dim=64, m=4
+    )
+
+
 @query("emb_ivf_kmeans_topk", _ivf_kmeans_oracle_sql())
 def emb_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF top-5 over TRAINED centroids: two declarative Lloyd iterations
@@ -4877,7 +5005,8 @@ _DRIVER_FIRST = [
     # oracle-green in the committed CORRECTNESS_LOCAL_r06 artifacts and
     # rotate into the r7 window): dedup_minhash_lsh_uncapped,
     # corpus_temperature_sample, multimodal_decode_gif, f_zorder_key,
-    # multimodal_mp4_meta, a_profile_orders, multimodal_exif_meta.
+    # multimodal_mp4_meta, a_profile_orders, multimodal_exif_meta,
+    # emb_pq_adc_topk.
 ]
 
 

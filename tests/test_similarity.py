@@ -93,3 +93,48 @@ def test_quantize_int8_bounds_and_dequant_error(spark):
         assert abs(qi * r1.s - orig) <= r1.s / 2 + 1e-12
     r2 = rows[2]
     assert r2.s == 0.0 and r2.q == [0, 0, 0, 0]
+
+
+def test_pq_adc_recall_and_map_only_encode(spark, sf_dir):
+    """PQ-ADC approximate top-k: (a) the encode stage must be map-only
+    off broadcast codebooks (zero Exchange between scan and codes);
+    (b) ADC top-5 must overlap substantially with exact brute-force
+    top-5 (the embeddings are near-uniform unit vectors, a hard case —
+    require mean recall well above the ~8/2000-per-neighbor chance
+    level); (c) codebooks have m*k rows of width dim/m."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.operators import similarity
+    from platform_etl_openfda_faers_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1)
+    rows = cb.collect()
+    assert len(rows) <= 4 * 8 and {r.sub for r in rows} == {0, 1, 2, 3}
+    assert all(len(r.centroid) == 16 for r in rows)
+
+    # map-only claim is about the CORPUS path: with materialized
+    # codebooks (as at scale, where trained codebooks are tiny literals)
+    # the encode plan must scan embeddings once and shuffle nothing by
+    # hash — the only exchanges are the m bounded SinglePartition
+    # collapses of the 8-row codebooks into broadcast arrays
+    cb_lit = spark.createDataFrame(rows, cb.schema)
+    enc = similarity.pq_encode(emb, cb_lit, dim=64, m=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        enc.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+    queries = emb.where(F.col("vec_id") < 10)
+    adc = similarity.pq_adc_topk(emb, queries, cb, k=5, dim=64, m=4)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    adc_n = {(r.query_id, r.neighbor_id) for r in adc.collect()}
+    ex_n = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(adc_n & ex_n) / len(ex_n)
+    assert recall >= 0.2, recall

@@ -610,3 +610,101 @@ def pq_adc_topk(
         ).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """The full IVF-PQ pipeline — the standard billion-scale ANN layout:
+    coarse cells prune candidates (each query scores only its ``nprobe``
+    nearest cells' vectors), PQ codes + per-query LUTs score them without
+    touching raw corpus vectors.
+
+    Plan shape: corpus-side cell assignment AND PQ encoding are each
+    map-only off broadcast tables and fuse into ONE corpus pass; the
+    candidate join broadcasts the (|queries| x nprobe) probe list; ADC
+    scoring is ``m`` broadcast LUT joins.  The corpus never shuffles and
+    raw vectors never pair-join — candidate volume is |cell| x nprobe
+    per query instead of |corpus|, scoring cost is m lookups per
+    candidate.  Same determinism discipline as ``pq_adc_topk`` (rounded
+    scores, fixed-order LUT sum, id tie-breaks), so the whole pipeline
+    replays in the SQL oracle.
+
+    Output: (query_id, neighbor_id, score, rank<=k)."""
+    width = dim // m
+    c = corpus.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_q"),
+    )
+    c_cells = ivf_cells(c, coarse_centroids, "_nid", "_v", nprobe=1,
+                        score_decimals=score_decimals)
+    q_cells = ivf_cells(q, coarse_centroids, "query_id", "_q", nprobe=nprobe,
+                        score_decimals=score_decimals)
+    # candidate pruning: corpus vector lives in exactly one cell, query
+    # probes nprobe cells -> each (query, neighbor) pair appears at most
+    # once, no dedup needed (same argument as ivf_topk)
+    enc = pq_encode(
+        c_cells.select(F.col("_nid"), F.col("_v")), codebooks,
+        "_nid", "_v", dim, m, score_decimals,
+    )
+    cands = (
+        c_cells.select("_nid", "cell")
+        .join(F.broadcast(q_cells.select("query_id", "cell")), ["cell"])
+        .where(F.col("query_id") != F.col("_nid"))
+        .select("query_id", "_nid")
+    )
+    scored = cands.join(enc, ["_nid"])
+    for s in range(m):
+        cb = codebooks.where(F.col("sub") == s).select(
+            F.col("cell").alias(f"_code{s}"), F.col("centroid").alias("_c")
+        )
+        lut = q.crossJoin(F.broadcast(cb)).select(
+            F.col("query_id").alias(f"_qid{s}"),
+            F.col(f"_code{s}"),
+            F.round(
+                dot(F.slice(F.col("_q"), s * width + 1, width), F.col("_c")),
+                score_decimals,
+            ).alias(f"_l{s}"),
+        )
+        scored = scored.join(
+            F.broadcast(lut),
+            [
+                scored["query_id"] == lut[f"_qid{s}"],
+                scored[f"c{s}"] == lut[f"_code{s}"],
+            ],
+        ).drop(f"_qid{s}", f"_code{s}")
+    score = F.col("_l0")
+    for s in range(1, m):
+        score = score + F.col(f"_l{s}")
+    return (
+        scored.select(
+            "query_id",
+            F.col("_nid").alias("neighbor_id"),
+            F.round(score, score_decimals).alias("score"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("score"), F.col("neighbor_id")
+                )
+            )
+            .cast("int"),
+        )
+        .where(F.col("rank") <= k)
+    )

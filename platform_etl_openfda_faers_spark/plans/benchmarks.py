@@ -2632,6 +2632,137 @@ def _pq_oracle_sql(
     """
 
 
+def _ivf_pq_oracle_sql(
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 8,
+    iterations: int = 1,
+    coarse_k: int = 8,
+    nprobe: int = 3,
+    topk: int = 5,
+) -> str:
+    """DuckDB twin of the FULL IVF-PQ pipeline: a coarse Lloyd replay on
+    whole vectors (cell pruning), per-subspace Lloyd replays (codebooks),
+    argmax encode, per-query LUTs, and ADC scoring restricted to the
+    probed cells' candidates."""
+    width = dim // m
+    ctes = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
+    kc, glast = _kmeans_ctes_for("v", "g_", coarse_k, iterations)
+    ctes += kc
+    c_cos = _IVF_COS.format(a="v.e", b=f"{glast}.c")
+    q_cos = _IVF_COS.format(a="q.e", b=f"{glast}.c")
+    ctes.append("q AS (SELECT vec_id, e FROM v WHERE vec_id < 20)")
+    ctes.append(
+        f"""c_assign AS (
+      SELECT neighbor_id, cell FROM (
+        SELECT v.vec_id AS neighbor_id, {glast}.cell,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {c_cos} DESC, {glast}.cell) AS r
+        FROM v, {glast}) WHERE r = 1
+    )"""
+    )
+    ctes.append(
+        f"""q_assign AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, {glast}.cell,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY {q_cos} DESC, {glast}.cell) AS r
+        FROM q, {glast}) WHERE r <= {nprobe}
+    )"""
+    )
+    for s in range(m):
+        lo, hi = s * width + 1, (s + 1) * width
+        ctes.append(f"v{s} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM v)")
+        skc, slast = _kmeans_ctes_for(f"v{s}", f"s{s}_", k_codes, iterations)
+        ctes += skc
+        cos = _IVF_COS.format(a=f"v{s}.e", b=f"{slast}.c")
+        ctes.append(
+            f"""enc{s} AS (
+      SELECT vec_id, cell AS c{s} FROM (
+        SELECT v{s}.vec_id, {slast}.cell,
+          row_number() OVER (PARTITION BY v{s}.vec_id
+            ORDER BY {cos} DESC, {slast}.cell) AS r
+        FROM v{s}, {slast}) WHERE r = 1
+    )"""
+        )
+        ctes.append(
+            f"""lut{s} AS (
+      SELECT q.vec_id AS query_id, {slast}.cell AS code,
+        round(list_dot_product(q.e, {slast}.c), 6) AS l{s}
+      FROM (SELECT vec_id, e FROM v{s} WHERE vec_id < 20) q, {slast}
+    )"""
+        )
+    joins = " ".join(f"JOIN enc{s} USING (vec_id)" for s in range(1, m))
+    ctes.append(
+        "enc AS (SELECT enc0.vec_id, "
+        + ", ".join(f"c{s}" for s in range(m))
+        + f" FROM enc0 {joins})"
+    )
+    ctes.append(
+        """cand AS (
+      SELECT qa.query_id, ca.neighbor_id
+      FROM q_assign qa JOIN c_assign ca USING (cell)
+      WHERE qa.query_id <> ca.neighbor_id
+    )"""
+    )
+    lut_joins = ["JOIN lut0 ON lut0.query_id = cand.query_id AND lut0.code = enc.c0"]
+    for s in range(1, m):
+        lut_joins.append(
+            f"JOIN lut{s} ON lut{s}.query_id = cand.query_id"
+            f" AND lut{s}.code = enc.c{s}"
+        )
+    score = "l0"
+    for s in range(1, m):
+        score = f"({score} + l{s})"
+    ctes.append(
+        f"""sc AS (
+      SELECT cand.query_id, cand.neighbor_id, round({score}, 6) AS score
+      FROM cand JOIN enc ON enc.vec_id = cand.neighbor_id
+      {' '.join(lut_joins)}
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) AS INT) AS rank
+      FROM sc) WHERE rank <= {topk}
+    """
+
+
+@query("emb_ivf_pq_topk", _ivf_pq_oracle_sql())
+def emb_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL IVF-PQ pipeline (r6) — trained coarse cells prune
+    candidates to nprobe cells per query, PQ codes + per-query LUTs
+    score them without touching raw corpus vectors.  Corpus-side cell
+    assignment and PQ encoding are both map-only off broadcast tables
+    (one corpus pass); the probe list broadcasts; ADC is m broadcast
+    LUT joins.  Both trained tables persist (8 consumers each — same
+    measured rationale as emb_pq_adc_topk).  The oracle replays coarse
+    training, per-subspace training, encode, probe, and fixed-order ADC
+    scoring — the complete billion-scale ANN architecture value-checked
+    end-to-end."""
+    from pyspark import StorageLevel
+
+    from ..operators.cache import attach_cached
+
+    emb = load_emb(spark, sf)
+    coarse = similarity.kmeans_centroids(emb, k=8, iterations=1).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cb = similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out = similarity.ivf_pq_topk(
+        emb, emb.where(F.col("vec_id") < 20), coarse, cb,
+        k=5, nprobe=3, dim=64, m=4,
+    )
+    return attach_cached(out, coarse, cb)
+
+
 @query("emb_pq_adc_topk", _pq_oracle_sql())
 def emb_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ADC top-5 (r6 — the PQ half of IVF-PQ, the
@@ -5020,7 +5151,7 @@ _DRIVER_FIRST = [
     # rotate into the r7 window): dedup_minhash_lsh_uncapped,
     # corpus_temperature_sample, multimodal_decode_gif, f_zorder_key,
     # multimodal_mp4_meta, a_profile_orders, multimodal_exif_meta,
-    # emb_pq_adc_topk.
+    # emb_pq_adc_topk, emb_ivf_pq_topk.
 ]
 
 

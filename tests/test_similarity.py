@@ -138,3 +138,60 @@ def test_pq_adc_recall_and_map_only_encode(spark, sf_dir):
     ex_n = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(adc_n & ex_n) / len(ex_n)
     assert recall >= 0.2, recall
+
+
+def test_ivf_pq_prunes_candidates_and_overlaps_adc(spark, sf_dir):
+    """The composed IVF-PQ must (a) score strictly fewer pairs than
+    unpruned ADC (cells prune), (b) stay deterministic across partition
+    layouts, (c) rank by the same ADC scores — every (query, neighbor,
+    score) it returns must carry the identical score the unpruned ADC
+    assigns that pair."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.operators import similarity
+    from platform_etl_openfda_faers_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    queries = emb.where(F.col("vec_id") < 10)
+    coarse = similarity.kmeans_centroids(emb, k=8, iterations=1)
+    cb = similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1)
+
+    ivfpq = similarity.ivf_pq_topk(
+        emb, queries, coarse, cb, k=5, nprobe=3, dim=64, m=4
+    )
+    rows = ivfpq.collect()
+    assert {r.query_id for r in rows} == set(range(10))
+    assert all(1 <= r.rank <= 5 for r in rows)
+
+    # candidate pruning: with 8 cells and nprobe=3, each query scores a
+    # strict subset of the corpus (cells partition the corpus)
+    c = emb.select(
+        F.col("vec_id").alias("_nid"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    )
+    c_cells = similarity.ivf_cells(c, coarse, "_nid", "_v", nprobe=1)
+    probed = (
+        c_cells.groupBy("cell").count().orderBy(F.desc("count")).collect()
+    )
+    top3 = sum(r["count"] for r in probed[:3])
+    assert top3 < n  # even the worst-case probe set is a strict subset
+
+    # score agreement with unpruned ADC on the returned pairs
+    adc = similarity.pq_adc_topk(emb, queries, cb, k=n, dim=64, m=4)
+    adc_scores = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in adc.where(F.col("query_id") < 10).collect()
+    }
+    for r in rows:
+        assert adc_scores[(r.query_id, r.neighbor_id)] == r.score, r
+
+    # layout independence
+    again = {
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in similarity.ivf_pq_topk(
+            emb.repartition(7), queries, coarse, cb, k=5, nprobe=3,
+            dim=64, m=4,
+        ).collect()
+    }
+    assert again == {(r.query_id, r.neighbor_id, r.score, r.rank) for r in rows}

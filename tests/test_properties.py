@@ -233,3 +233,83 @@ def test_jpeg_entropy_lossless_property(h, w, seed, q_shift):
             )
     out = mm.decode_jpeg(mm.encode_jpeg(img, qtable=qt))
     assert (out == ref[:h, :w]).all()
+
+
+# Pure-NumPy codec laws: no Spark session needed, so hypothesis can run
+# many more examples than the Spark-facing properties above.
+
+_CODEC_SETTINGS = settings(max_examples=40, deadline=None)
+
+
+@_CODEC_SETTINGS
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ncolors=st.integers(2, 256),
+    interlace=st.booleans(),
+    data=st.data(),
+)
+def test_gif_lzw_roundtrip_law(h, w, ncolors, interlace, data):
+    """decode(encode(idx, pal)) == pal[idx] for ANY palette image — GIF's
+    LZW layer is lossless by definition, so any counterexample is a codec
+    bug (width bumps, KwKwK, interlace passes, sub-block splits)."""
+    import numpy as np
+
+    from platform_etl_openfda_faers_spark.operators import multimodal as mm
+
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncolors, (h, w), dtype=np.uint8)
+    dec = mm.decode_gif(mm.encode_gif(idx, pal, interlace=interlace))
+    assert (dec == pal[idx]).all()
+
+
+@_CODEC_SETTINGS
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    color=st.booleans(),
+    sub=st.sampled_from(["444", "422", "420"]),
+    rough=st.booleans(),
+    data=st.data(),
+)
+def test_jpeg_progressive_equals_baseline_law(h, w, color, sub, rough, data):
+    """Progressive and baseline JPEG share the quantized coefficients and
+    both entropy layers are lossless, so their decodes must be
+    bit-identical for ANY image/qtable/subsampling."""
+    import numpy as np
+
+    from platform_etl_openfda_faers_spark.operators import multimodal as mm
+
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    q = (
+        np.clip(np.arange(64).reshape(8, 8) * 2 + 1, 1, 99).astype(np.int32)
+        if rough
+        else None
+    )
+    kw = {"qtable": q, "subsampling": sub if color else "444"}
+    base = mm.decode_jpeg(mm.encode_jpeg(img, **kw))
+    prog = mm.decode_jpeg(mm.encode_jpeg_progressive(img, **kw))
+    assert (base == prog).all()
+
+
+@_CODEC_SETTINGS
+@given(
+    duration=st.integers(0, 2**32 - 1),
+    timescale=st.integers(1, 2**32 - 1),
+    wpx=st.integers(1, 65535),
+    hpx=st.integers(1, 65535),
+)
+def test_mp4_meta_roundtrip_law(duration, timescale, wpx, hpx):
+    """parse(encode(meta)) == meta over the whole v0 field domain."""
+    from platform_etl_openfda_faers_spark.operators import multimodal as mm
+
+    payload = mm.encode_mp4_meta(duration, timescale, wpx, hpx)
+    m = mm.parse_mp4_meta(payload)
+    assert (m["duration"], m["timescale"], m["width"], m["height"]) == (
+        duration, timescale, wpx, hpx,
+    )

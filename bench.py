@@ -7,14 +7,24 @@ skew, no result materialization cost in the measurement).
 
 Flags / env:
 - ``--cold`` (or SPARK_GRAFT_BENCH_COLD=1): clear every cache/persist
-  between ITERATIONS too (not just between queries), so the min is a
-  cold-cache number; the JSON then carries both ``queries_first`` and
-  ``queries`` (min) so warm-vs-cold is auditable instead of silently
-  folded into a min-of-2.
-- SPARK_GRAFT_BENCH_ITERS: iterations per query (default 2).
+  between ITERATIONS too (not just between queries), so the number is a
+  cold-cache number.  Cold per-query values are the MEDIAN over
+  iterations (cold runs vary ±40% on heavy persisting queries — r6
+  SCALING.md; a min-of-N cold is a lucky draw, the median is the
+  representative cost).  Warm mode keeps min (steady-state plan cost).
+- ``--iters N`` (or SPARK_GRAFT_BENCH_ITERS): iterations per query
+  (default 2 warm, 3 cold).
 - SPARK_GRAFT_BENCH_QUERIES: comma-separated subset of the headline
   queries to run (default: all) — used for the sf10 spot-runs where only
   the scale-sensitive queries are re-measured.
+
+Output contract (r7 — fixes the r6 ``parsed: null`` driver record): the
+LAST stdout line is a COMPACT machine-readable JSON summary
+(metric/value/unit/queries/sf/cold/complete only — it must fit the
+driver's tail-capture window).  Everything else — per-iteration times,
+first-run times, per-query shuffle bytes/spill, error detail — goes to a
+side file (``SPARK_GRAFT_BENCH_DETAIL`` path, default
+``BENCH_DETAIL.json`` next to this script).
 
 Shuffle accounting: every run also records per-query shuffle bytes
 written/read and spill, summed over the stages the query executed
@@ -67,11 +77,17 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # min over iterations: measures the steady-state plan cost, not
-    # first-run JIT / codegen compilation / GC noise
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # warm: min over iterations (steady-state plan cost, not first-run
+    # JIT / codegen / GC noise).  cold: median (see module docstring).
+    if "--iters" in sys.argv:
+        iters = int(sys.argv[sys.argv.index("--iters") + 1])
+    else:
+        iters = int(
+            os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3" if cold else "2")
+        )
     metrics = StageMetrics(spark)
     timings: dict[str, float] = {}
+    all_iters: dict[str, list[float]] = {}
     firsts: dict[str, float] = {}
     shuffle: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
@@ -84,7 +100,7 @@ def main() -> None:
         names = wanted
     for name in names:
         fn = benchmarks.SPARK_QUERIES[name]
-        best = float("inf")
+        runs: list[float] = []
         # one failing query must not sink the whole bench (r3: a single
         # analysis error -> rc=1 -> no official number for the round)
         try:
@@ -103,8 +119,10 @@ def main() -> None:
                 if i == 0:
                     firsts[name] = round(dt, 3)
                     shuffle[name] = metrics.delta()
-                best = min(best, dt)
-            timings[name] = round(best, 3)
+                runs.append(dt)
+            rep = sorted(runs)[len(runs) // 2] if cold else min(runs)
+            timings[name] = round(rep, 3)
+            all_iters[name] = [round(r, 3) for r in runs]
         except Exception as exc:  # noqa: BLE001 — report and continue
             first_line = (str(exc).splitlines() or [""])[0]
             errors[name] = f"{type(exc).__name__}: {first_line[:200]}"
@@ -116,21 +134,39 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full detail to a side file (r7: folding shuffle_bytes/queries_first
+    # into the summary line overflowed the driver's tail window in r6 and
+    # cost the round its official wall time — keep the stdout line compact)
+    detail = {
+        "sf": sf_val,
+        "cold": cold,
+        "iters": iters,
+        "queries": timings,
+        "queries_iters": all_iters,
+        "queries_first": firsts,
+        "shuffle_bytes": shuffle,
+        "complete": not errors,
+    }
+    if errors:
+        detail["errors"] = errors
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        str(Path(__file__).resolve().parent / "BENCH_DETAIL.json"),
+    )
+    Path(detail_path).write_text(json.dumps(detail, indent=1))
+    print(f"detail -> {detail_path}", file=sys.stderr)
     out = {
         "metric": "headline-queries wall time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "cold": cold,
-        "queries_first": firsts,
-        "shuffle_bytes": shuffle,
         # a partial total is NOT comparable to a complete one (a failing
         # slow query would read as a speedup) — flag it loudly
         "complete": not errors,
     }
-    if errors:
-        out["errors"] = errors
     print(json.dumps(out))
 
 

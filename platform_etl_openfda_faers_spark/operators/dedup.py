@@ -490,10 +490,15 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: candidates -> exact-Jaccard verify.
 
-    ``max_bucket_size=32`` by default: like ``jaccard_pairs``' df-cap, the
-    scale-safe form is the API default and exact-LSH is the opt-out
-    (``None``) — see :func:`lsh_candidate_pairs` for the measured
-    super-linear candidate growth that motivates it.
+    .. warning:: **Behavior change in r6** — the default flipped from
+       exact LSH to ``max_bucket_size=32``.  Pairs inside any band-bucket
+       larger than 32 ids (heavy boilerplate groups) are NO LONGER
+       reported by default; callers that need every LSH pair must opt out
+       explicitly with ``max_bucket_size=None``.  Like ``jaccard_pairs``'
+       df-cap, the scale-safe form is the API default — see
+       :func:`lsh_candidate_pairs` for the measured super-linear candidate
+       growth that motivates it (54x shuffle-byte growth per 10x data
+       uncapped vs 4.9x capped).
 
     Output: (id_a, id_b, jaccard) for verified pairs above ``threshold``.
     """
@@ -536,8 +541,11 @@ def minhash_near_duplicates_shared(
 ) -> DataFrame:
     """MinHash-LSH near-dup with the shingle arrays computed EXACTLY ONCE.
 
-    ``max_bucket_size=32`` by default (scale-safe capped LSH; ``None``
-    opts out) — see :func:`lsh_candidate_pairs`.  Measured on the
+    .. warning:: **Behavior change in r6** — default flipped from exact
+       LSH to ``max_bucket_size=32``: pairs inside band-buckets larger
+       than 32 ids are no longer reported unless callers opt out with
+       ``max_bucket_size=None`` — see :func:`lsh_candidate_pairs`.
+       Measured on the
     synthetic corpus at 10x data: uncapped candidates grow 85x (6.9k ->
     593k) and verify-stage shuffle 55x (12 MB -> 677 MB); the cap bounds
     per-bucket pair generation while the capped query stays value-exact

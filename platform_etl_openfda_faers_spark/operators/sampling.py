@@ -95,7 +95,18 @@ def temperature_sample(
     table joined back — AQE broadcasts it when small), then a map-only
     integer-threshold filter.  No per-row RNG state, reproducible across
     runs, partition layouts, and engines.
+
+    NULL groups are a real group (r6 ADVICE fix): rows whose ``group_col``
+    is NULL count as one domain and sample at that domain's rate — the
+    threshold join is null-safe (``eqNullSafe``), where a plain equi-join
+    would silently drop every NULL-group row regardless of ``rate``.
     """
+    reserved = {"_thr", "_thr_group"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"temperature_sample reserves internal columns {sorted(reserved)}; "
+            "rename them on the input frame first"
+        )
     counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
     n = F.col("_n").cast("double")
     if alpha == 0.5:
@@ -107,15 +118,15 @@ def temperature_sample(
     else:
         p = F.lit(float(rate)) * F.pow(n, F.lit(float(alpha) - 1.0))
     thr = counts.select(
-        F.col(group_col),
+        F.col(group_col).alias("_thr_group"),
         F.floor(F.lit(float(buckets)) * F.least(F.lit(1.0), p))
         .cast("long")
         .alias("_thr"),
     )
-    out = df.join(thr, [group_col]).where(
-        hash_bucket(F.col(key_col), seed, buckets) < F.col("_thr")
-    )
-    # name-join puts the group key first; restore the input column order
+    out = df.join(
+        thr, F.col(group_col).eqNullSafe(F.col("_thr_group"))
+    ).where(hash_bucket(F.col(key_col), seed, buckets) < F.col("_thr"))
+    # drop the join-side columns; restore the input column order
     return out.select(df.columns)
 
 

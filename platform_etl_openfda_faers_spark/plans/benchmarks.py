@@ -3075,7 +3075,7 @@ def a_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
       FROM n
     )
     SELECT d.doc_id, d.source, d.lang
-    FROM documents d JOIN thr USING (source)
+    FROM documents d JOIN thr ON d.source IS NOT DISTINCT FROM thr.source
     WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '#42'), 1, 8))::BIGINT
           % 10000 < thr.thr
     """,

@@ -231,3 +231,23 @@ def test_profile_table_single_scan_and_values(spark, sf_dir):
 
     plan = plan_of(profile_table(orders, exact_distinct=True))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_profile_table_non_identifier_column_names(spark):
+    """Column names with spaces, quotes, dots, and backticks profile
+    correctly (r6 ADVICE: the stack()/selectExpr formulation raised a
+    ParseException on 'bad col' and a quote corrupted the expression)."""
+    from platform_etl_openfda_faers_spark.operators.profile import (
+        profile_table,
+    )
+
+    data = [(1, "x"), (2, None), (2, "y")]
+    names = ["bad col", "it's.a `col`"]
+    df = spark.createDataFrame(data).toDF(*names)
+    prof = {r.col_name: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert set(prof) == set(names)
+    assert prof["bad col"].n_distinct == 2
+    assert prof["bad col"].n_nulls == 0
+    assert (prof["bad col"].min_num, prof["bad col"].max_num) == (1.0, 2.0)
+    assert prof["it's.a `col`"].n_nulls == 1
+    assert (prof["it's.a `col`"].min_str, prof["it's.a `col`"].max_str) == ("x", "y")

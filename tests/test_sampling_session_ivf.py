@@ -106,6 +106,29 @@ def test_temperature_sample_law_and_determinism(spark):
     assert cap.count() == 4200
 
 
+def test_temperature_sample_keeps_null_group(spark):
+    """NULL group_col rows are a real domain (r6 ADVICE fix): with
+    alpha=1 and rate>=1 — documented as keep-everything — NULL-source
+    rows must survive, and at alpha=0.5 they sample at the NULL domain's
+    own rate instead of vanishing through the threshold equi-join."""
+    rows = [(f"d{i}", None if i % 2 else "src", i) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, i long"
+    )
+    kept = sampling.temperature_sample(
+        df, "source", "doc_id", rate=1000.0, alpha=1.0
+    )
+    assert kept.count() == 100  # p capped at 1 for BOTH domains
+    # sqrt-law: NULL domain (n=50) keeps ~2*sqrt(50)~14 of its rows
+    part = sampling.temperature_sample(df, "source", "doc_id", rate=2.0)
+    null_kept = part.where(F.col("source").isNull()).count()
+    assert 0 < null_kept < 50
+    # reserved internal names are rejected, not silently clobbered
+    bad = df.withColumnRenamed("i", "_thr")
+    with pytest.raises(ValueError, match="_thr"):
+        sampling.temperature_sample(bad, "source", "doc_id", rate=2.0)
+
+
 def test_session_streaming_equals_batch(spark, events_dir):
     batch = spark.read.schema(ev.EVENT_SCHEMA).parquet(events_dir)
     expected = sorted(map(tuple, ev.session_counts(batch).collect()))

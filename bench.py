@@ -60,11 +60,20 @@ def main() -> None:
     ) not in ("", "0")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # shuffle partitions default to the core count; at larger scale
+    # factors set SPARK_GRAFT_BENCH_PARTITIONS to size partitions to the
+    # DATA (the r7 faers_llr sf10 profile measured 1.7x wall from 32 ->
+    # 128: multiple waves pack the cores through stage tails and smaller
+    # per-task aggregate state stays cache-resident) — the same rule a
+    # real cluster applies, where partitions follow bytes, not cores.
+    parts = os.environ.get(
+        "SPARK_GRAFT_BENCH_PARTITIONS", str(max(int(cpus), 8))
+    )
     spark = get_spark(
         "bench",
         master=f"local[{cpus}]",
         conf={
-            "spark.sql.shuffle.partitions": str(max(int(cpus), 8)),
+            "spark.sql.shuffle.partitions": parts,
             "spark.ui.enabled": "false",
             "spark.driver.memory": "16g",
         },
@@ -142,6 +151,7 @@ def main() -> None:
         "sf": sf_val,
         "cold": cold,
         "iters": iters,
+        "shuffle_partitions": int(parts),
         "queries": timings,
         "queries_iters": all_iters,
         "queries_first": firsts,

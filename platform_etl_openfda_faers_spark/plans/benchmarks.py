@@ -2863,6 +2863,33 @@ def emb_pq_adc_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     return attach_cached(out, cb)
 
 
+@query("emb_pq_adc_hi_topk", _pq_oracle_sql(m=8, k=64, rerank_from=25))
+def emb_pq_adc_hi_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ-ADC at PRODUCTION codebook resolution (r7): m=8 subspaces x 64
+    codewords = 48 bits/vector instead of the 12-bit oracle-sized config
+    — the setting QUALITY.md's sf1 ladder justifies (recall@10 0.127 at
+    k=8 -> 0.594 at k=64 -> 0.727 at k=256 with the same R=10k re-rank
+    pool; codebooks stay m x k rows, broadcast-size at any corpus).
+    Plan shape is IDENTICAL to ``emb_pq_adc_rerank_topk`` — the oracle
+    CTEs are relational in k, so the full 8-subspace Lloyd training,
+    encode, LUT scoring and exact re-rank replay in SQL at this
+    resolution too, proving the recommended config end-to-end, not just
+    the toy one."""
+    from pyspark import StorageLevel
+
+    from ..operators.cache import attach_cached
+
+    emb = load_emb(spark, sf)
+    cb = similarity.pq_codebooks(emb, dim=64, m=8, k=64, iterations=1).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out = similarity.pq_adc_topk(
+        emb, emb.where(F.col("vec_id") < 20), cb, k=5, dim=64, m=8,
+        rerank_from=25,
+    )
+    return attach_cached(out, cb)
+
+
 @query("emb_ivf_pq_rerank_topk", _ivf_pq_oracle_sql(rerank_from=25))
 def emb_ivf_pq_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ with the exact re-rank tail (r7): coarse cells prune, PQ
@@ -5279,6 +5306,7 @@ _DRIVER_FIRST = [
     "multimodal_decode_oriented",   # EXIF orientation applied in decode
     "emb_pq_adc_rerank_topk",       # exact re-rank of the ADC top-R pool
     "emb_ivf_pq_rerank_topk",       # full IVF-PQ + re-rank pipeline
+    "emb_pq_adc_hi_topk",           # production-resolution codebooks (m=8 k=64)
     # --- (d) 23 r5-certified queries rotating back in (registry order;
     # emb_lsh_ann included here also because hyperplane_lsh_topk's
     # DEFAULTS changed in r7 — the query's own explicit args are
@@ -5290,9 +5318,10 @@ _DRIVER_FIRST = [
     "dedup_ngram_jaccard_capped", "dedup_simhash_pairs", "emb_cosine_topk",
     "emb_ivf_topk", "emb_lsh_ann", "emb_near_dup_exact",
     "events_json_props", "f_array_suite", "f_datetime_suite",
-    "f_from_json_typed", "f_inline_structs",
-    # --- 19 r5-certified queries deferred to r8 for cap room (unchanged
+    "f_from_json_typed",
+    # --- 20 r5-certified queries deferred to r8 for cap room (unchanged
     # code since r5, r5-driver-green; rotate them in next round):
+    # f_inline_structs (bumped for the r7 hi-res PQ query),
     # f_posexplode_tokens, f_string_suite, j_bloom_prefilter,
     # j_exists_subquery, j_nullsafe, j_salted_skew,
     # media_curation_pipeline, multimodal_audio_features,

@@ -2473,8 +2473,10 @@ def _kmeans_prefix_ctes(k: int, iterations: int) -> tuple[list[str], str]:
       LATERAL (SELECT unnest(generate_series(1, len(a.e))) AS i) gs
     )"""
         )
+        # MATERIALIZED — same multi-reference re-inlining guard as
+        # _kmeans_ctes_for (r7)
         ctes.append(
-            f"""cent{i} AS (
+            f"""cent{i} AS MATERIALIZED (
       SELECT cell, list(m ORDER BY pos) AS c FROM (
         SELECT cell, pos,
           round(CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*),
@@ -2562,8 +2564,12 @@ def _kmeans_ctes_for(
       LATERAL (SELECT unnest(generate_series(1, len(a.e))) AS i) gs
     )"""
         )
+        # MATERIALIZED: the final centroid CTE is referenced by BOTH the
+        # encode and the LUT stage; DuckDB otherwise re-inlines (and
+        # re-executes) the whole Lloyd chain per reference, which at
+        # m=8 subspaces turned a 0.4s oracle into >10 minutes (r7).
         ctes.append(
-            f"""{prefix}cent{i} AS (
+            f"""{prefix}cent{i} AS MATERIALIZED (
       SELECT cell, list(m ORDER BY pos) AS c FROM (
         SELECT cell, pos,
           round(CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*),

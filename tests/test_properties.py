@@ -313,3 +313,39 @@ def test_mp4_meta_roundtrip_law(duration, timescale, wpx, hpx):
     assert (m["duration"], m["timescale"], m["width"], m["height"]) == (
         duration, timescale, wpx, hpx,
     )
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    color=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_exif_orientation_group_laws(h, w, color, seed):
+    """The 8 EXIF orientations form a dihedral group acting on the image:
+    2/3/4/5/7 are involutions, 6 and 8 are mutually inverse quarter-turns,
+    every transform preserves the multiset of pixels, and 5-8 swap the
+    axes while 1-4 keep them."""
+    import numpy as np
+
+    from platform_etl_openfda_faers_spark.operators.multimodal import (
+        apply_exif_orientation as o,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    for invol in (2, 3, 4, 5, 7):
+        np.testing.assert_array_equal(o(o(img, invol), invol), img)
+    np.testing.assert_array_equal(o(o(img, 6), 8), img)
+    np.testing.assert_array_equal(o(o(img, 8), 6), img)
+    for k in range(1, 9):
+        out = o(img, k)
+        assert sorted(out.reshape(-1).tolist()) == sorted(img.reshape(-1).tolist())
+        if k <= 4:
+            assert out.shape == img.shape
+        else:
+            assert out.shape[:2] == (w, h)
+    # 3 == 2 then 4 (rot180 = mirror-h . mirror-v)
+    np.testing.assert_array_equal(o(img, 3), o(o(img, 2), 4))

@@ -458,6 +458,24 @@ def _encode_block(
     return int(zz[0])
 
 
+def _dqt_segment(qtable: np.ndarray) -> bytes:
+    """DQT marker segment for table 0, choosing precision from the
+    values: Pq=0 (8-bit entries, length 67) when every quantizer fits a
+    byte, Pq=1 (16-bit big-endian entries, length 131 — T.81 B.2.4.1)
+    otherwise.  r7: closes the '16-bit quant tables unsupported' decoder
+    boundary symmetrically (both encode and decode handle Pq=1)."""
+    zz = qtable.reshape(-1)[_ZIGZAG]
+    if int(zz.max()) <= 255:
+        return b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + zz.astype(
+            np.uint8
+        ).tobytes()
+    if int(zz.max()) > 65535:
+        raise ValueError("quantizer values must fit 16 bits")
+    return b"\xff\xdb" + struct.pack(">HB", 131, 0x10) + zz.astype(
+        ">u2"
+    ).tobytes()
+
+
 def fdct_quantize(block: np.ndarray, qtable: np.ndarray) -> np.ndarray:
     """Level-shifted 8x8 uint8 block -> quantized int32 DCT coefficients."""
     shifted = block.astype(np.float64) - 128.0
@@ -551,9 +569,7 @@ def encode_jpeg(
     vmax = max(c[2] for c in comps)
 
     out = bytearray(b"\xff\xd8")  # SOI
-    # DQT: length 67 = 2 (length) + 1 (Pq/Tq = 8-bit, table 0) + 64 entries
-    zz_q = qtable.reshape(-1)[_ZIGZAG].astype(np.uint8)
-    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zz_q.tobytes()
+    out += _dqt_segment(qtable)
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
     for cid, (_, hi, vi) in enumerate(comps):
         sof += struct.pack(">BBB", cid + 1, (hi << 4) | vi, 0)
@@ -823,8 +839,7 @@ def encode_jpeg_progressive(
         bdims.append(((ch2 + 7) // 8, (cw + 7) // 8))
 
     out = bytearray(b"\xff\xd8")  # SOI
-    zz_q = qtable.reshape(-1)[_ZIGZAG].astype(np.uint8)
-    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zz_q.tobytes()
+    out += _dqt_segment(qtable)
     sof = struct.pack(">BHHB", 8, h, w, n)
     for cid, (_, hi, vi) in enumerate(comps):
         sof += struct.pack(">BBB", cid + 1, (hi << 4) | vi, 0)
@@ -1199,12 +1214,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
+                if pq not in (0, 1):
+                    raise ValueError(f"bad DQT precision {pq}")
                 tbl = np.zeros(64, dtype=np.int32)
-                tbl[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, off + 1)
+                if pq:  # Pq=1: 16-bit big-endian entries (T.81 B.2.4.1)
+                    tbl[_ZIGZAG] = np.frombuffer(
+                        body, ">u2", 64, off + 1
+                    ).astype(np.int32)
+                else:
+                    tbl[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, off + 1)
                 qtables[tq] = tbl.reshape(8, 8)
-                off += 65
+                off += 65 + 64 * pq
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):

@@ -5323,11 +5323,18 @@ _DRIVER_FIRST = [
     "corpus_mix_report", "dedup_exact_substrings", "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped", "dedup_simhash_pairs", "emb_cosine_topk",
     "emb_ivf_topk", "emb_lsh_ann", "emb_near_dup_exact",
-    "events_json_props", "f_array_suite", "f_datetime_suite",
-    "f_from_json_typed",
-    # --- 20 r5-certified queries deferred to r8 for cap room (unchanged
+    "events_json_props",
+    # --- JPEG-family queries whose code changed in r7 (the DQT segment
+    # builder + Pq=1 16-bit quant-table support touch encode_jpeg /
+    # decode_jpeg): r6-certified, but the code-change rule keeps them
+    # in-window the round their code changes:
+    "multimodal_decode_jpeg", "multimodal_decode_jpeg_420",
+    "multimodal_decode_jpeg_prog",
+    # --- 23 r5-certified queries deferred to r8 for cap room (unchanged
     # code since r5, r5-driver-green; rotate them in next round):
     # f_inline_structs (bumped for the r7 hi-res PQ query),
+    # f_array_suite, f_datetime_suite, f_from_json_typed (bumped for the
+    # three JPEG code-change re-certifications above),
     # f_posexplode_tokens, f_string_suite, j_bloom_prefilter,
     # j_exists_subquery, j_nullsafe, j_salted_skew,
     # media_curation_pipeline, multimodal_audio_features,

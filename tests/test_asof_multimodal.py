@@ -738,3 +738,30 @@ def test_decode_media_oriented_spark(spark):
         assert r.sum_vals == int(ref.sum())
         assert r.first_px == int(ref[0, 0])
         assert r.topright_px == int(ref[0, -1])
+
+
+def test_jpeg_16bit_quant_table_roundtrip():
+    """Pq=1 (16-bit) quantization tables — the last DQT boundary (r7):
+    the encoder auto-selects 16-bit entries when a quantizer exceeds 255
+    (T.81 B.2.4.1, length 131) and the decoder parses them back.  Block
+    values are chosen so DC = 8*(v-128) is an exact multiple of the
+    256 quantizer — the lossy stage is exact and the roundtrip must be
+    bit-perfect through both the baseline and progressive paths."""
+    import numpy as np
+
+    blocks = np.array([[128, 160], [192, 96]], dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    q16 = np.full((8, 8), 256, dtype=np.int32)
+    payload = multimodal.encode_jpeg(img, qtable=q16)
+    dqt = payload.find(b"\xff\xdb")
+    seglen = int.from_bytes(payload[dqt + 2 : dqt + 4], "big")
+    assert seglen == 131 and payload[dqt + 4] == 0x10  # Pq=1, Tq=0
+    np.testing.assert_array_equal(multimodal.decode_jpeg(payload), img)
+    prog = multimodal.encode_jpeg_progressive(img, qtable=q16)
+    np.testing.assert_array_equal(multimodal.decode_jpeg(prog), img)
+    # an 8-bit table still emits the compact Pq=0 form
+    p8 = multimodal.encode_jpeg(img)
+    dqt = p8.find(b"\xff\xdb")
+    assert int.from_bytes(p8[dqt + 2 : dqt + 4], "big") == 67
+    with pytest.raises(ValueError, match="16 bits"):
+        multimodal.encode_jpeg(img, qtable=np.full((8, 8), 70000))

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -129,7 +130,9 @@ def main() -> None:
                     firsts[name] = round(dt, 3)
                     shuffle[name] = metrics.delta()
                 runs.append(dt)
-            rep = sorted(runs)[len(runs) // 2] if cold else min(runs)
+            # statistics.median averages the middle pair on even --iters;
+            # the old upper-middle pick biased even-count cold numbers high
+            rep = statistics.median(runs) if cold else min(runs)
             timings[name] = round(rep, 3)
             all_iters[name] = [round(r, 3) for r in runs]
         except Exception as exc:  # noqa: BLE001 — report and continue

@@ -2002,7 +2002,13 @@ def decode_media_oriented(
                 payload = bytes(payload)
                 try:
                     orient = parse_exif(payload)["orientation"] or 1
-                except ValueError:
+                except (ValueError, struct.error):
+                    # truncated APP1 raises struct.error from unpack_from,
+                    # which is NOT a ValueError subclass — both default to 1
+                    orient = 1
+                if not 1 <= orient <= 8:
+                    # out-of-range tag value would raise from
+                    # apply_exif_orientation and kill the whole task
                     orient = 1
                 img = apply_exif_orientation(decode_jpeg(payload), orient)
                 h, w = img.shape[:2]

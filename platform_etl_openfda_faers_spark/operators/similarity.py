@@ -191,7 +191,18 @@ def hyperplane_lsh_topk(
        :func:`cosine_near_duplicates` keeps its own tighter default
        (more planes) on purpose: near-dup pairs sit at cosine >= 0.95
        where sign-bit collisions are overwhelmingly likely, the opposite
-       regime from top-k recall over weakly-similar neighbors."""
+       regime from top-k recall over weakly-similar neighbors.
+
+       **Cost of the new default**: with random vectors the expected
+       per-query candidate pool is ~``n_tables / 2**n_planes`` of the
+       corpus — the flip moves it from ~n/128 (planes=6 tables=3 measured
+       ~n/85 at sf0.1) to ~n/2, i.e. ~64x the candidate scoring and
+       shuffle volume, approaching brute-force cost per query.  That is
+       the right trade at the corpus sizes the recall study covers
+       (recall@10 0.03 -> 0.65+), but at large corpora RAISE ``n_planes``
+       (each +1 halves the pool) and compensate recall with more tables,
+       or use the IVF / IVF-PQ operators whose candidate volume is
+       controlled by ``n_probes`` instead of collision geometry."""
     dim = len(corpus.select(vec_col).first()[0])
     cb = add_lsh_buckets(
         corpus.select(

@@ -740,6 +740,53 @@ def test_decode_media_oriented_spark(spark):
         assert r.topright_px == int(ref[0, -1])
 
 
+def test_decode_media_oriented_malformed_exif(spark):
+    """Malformed EXIF must default to orientation 1, never kill the task
+    (r7 ADVICE): a hard-EOF truncation inside APP1 raises struct.error
+    (not ValueError) from parse_exif, and an out-of-range orientation tag
+    (e.g. 9) would raise from apply_exif_orientation outside any guard."""
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    img = np.full((8, 8), 128, np.uint8)
+    tiff = multimodal.build_tiff_exif(
+        make="C", model="M", orientation=3,
+        datetime_s="2024:01:01 00:00:00", px=8, py=8, little=True,
+    )
+    good = multimodal.embed_exif_jpeg(multimodal.encode_jpeg(img), tiff)
+    # APP1 with a SELF-CONSISTENT length but a TIFF body cut before the
+    # IFD offset: decode_jpeg skips the segment fine, parse_exif's
+    # unpack_from hits EOF -> struct.error (not ValueError)
+    plain = multimodal.encode_jpeg(img)
+    body = b"Exif\x00\x00" + b"II*\x00"
+    seg = b"\xff\xe1" + _struct.pack(">H", len(body) + 2) + body
+    bad_app1 = plain[:2] + seg + plain[2:]
+    with pytest.raises(_struct.error):
+        multimodal.parse_exif(bad_app1)
+    # orientation tag = 9: parse_exif returns it, apply must not be fed it
+    tiff9 = bytearray(tiff)
+    k = tiff9.find(_struct.pack("<H", 0x0112))
+    tiff9[k + 8] = 9
+    assert multimodal.parse_exif(
+        multimodal.embed_exif_jpeg(plain, bytes(tiff9))
+    )["orientation"] == 9
+    bad_orient = multimodal.embed_exif_jpeg(plain, bytes(tiff9))
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [0, 1, 2], "content": [good, bad_app1, bad_orient]}
+        )
+    )
+    rows = {
+        r.media_id: r for r in multimodal.decode_media_oriented(media).collect()
+    }
+    assert rows[0].orientation == 3
+    assert rows[1].orientation == 1  # struct.error -> default
+    assert rows[2].orientation == 1  # out-of-range tag clamped
+    assert all(rows[m].sum_vals == 128 * 64 for m in rows)
+
+
 def test_jpeg_16bit_quant_table_roundtrip():
     """Pq=1 (16-bit) quantization tables — the last DQT boundary (r7):
     the encoder auto-selects 16-bit entries when a quantizer exceeds 255

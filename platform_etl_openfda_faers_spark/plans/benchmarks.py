@@ -4083,6 +4083,48 @@ def multimodal_decode_jpeg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_jpeg12",
+    """
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb FROM documents
+    ),
+    blk AS (
+      SELECT d.doc_id, d.wb, d.hb,
+        (700 + 29 * d.doc_id + 137 * bxs.b + 401 * bys.b) % 4096 AS v
+      FROM d,
+      LATERAL (SELECT unnest(generate_series(0, d.wb - 1)) AS b) bxs,
+      LATERAL (SELECT unnest(generate_series(0, d.hb - 1)) AS b) bys
+    )
+    SELECT doc_id AS media_id, CAST(8 * wb AS INT) AS width,
+      CAST(8 * hb AS INT) AS height, 1 AS n_channels,
+      CAST(SUM(64 * v) AS BIGINT) AS sum_vals,
+      CAST((700 + 29 * doc_id) % 4096 AS INT) AS first_px
+    FROM blk GROUP BY doc_id, wb, hb
+    """,
+)
+def multimodal_decode_jpeg12(spark: SparkSession, sf: str) -> DataFrame:
+    """12-bit EXTENDED-SEQUENTIAL (SOF1) JPEG decode (r8, closes VERDICT
+    r7 #8 — the last non-arithmetic Huffman-DCT boundary): block-constant
+    12-bit grayscale payloads (samples to 4095, level shift 2048, wider
+    DC/AC Huffman category tables per T.81 F.1/F.2) synthesize and decode
+    in the same precision-parametric DCT path as 8-bit; the oracle
+    predicts geometry, 12-bit pixel sums, and the first sample
+    analytically.  uint16 sample values flow through the same
+    decode_media feature contract (integers are exact in doubles)."""
+    docs = load_docs(spark, sf).select("doc_id")
+    media = multimodal.synthetic_jpeg12_media(docs, "doc_id")
+    dec = multimodal.decode_media(media, fake=False)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        F.element_at("features", 1).cast("long").alias("sum_vals"),
+        F.element_at("features", 2).cast("int").alias("first_px"),
+    )
+
+
+@query(
     "multimodal_decode_jpeg_420",
     """
     WITH d AS (

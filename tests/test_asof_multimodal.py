@@ -362,11 +362,11 @@ def test_jpeg_restart_markers_roundtrip():
 
 
 def test_jpeg_rejects_unsupported_variants():
-    """Extended-sequential (SOF1) / lossless (SOF3) / arithmetic (SOF9+),
-    non-integer sampling ratios, invalid sampling factors, and non-JPEG
-    payloads must fail loudly, not mis-parse.  (4:2:0 / 4:2:2 are
-    SUPPORTED since r6 and progressive SOF2 since r6 too — both covered
-    by roundtrip tests, no longer reject paths.)"""
+    """Lossless (SOF3) / arithmetic (SOF9+), non-integer sampling ratios,
+    invalid sampling factors, and non-JPEG payloads must fail loudly, not
+    mis-parse.  (4:2:0 / 4:2:2 are SUPPORTED since r6, progressive SOF2
+    since r6, and extended-sequential SOF1 since r8 — covered by
+    roundtrip tests, no longer reject paths.)"""
     import numpy as np
     import pytest
 
@@ -375,7 +375,11 @@ def test_jpeg_rejects_unsupported_variants():
     with pytest.raises(ValueError, match="SOI"):
         multimodal.decode_jpeg(b"definitely not a jpeg")
     sof = payload.find(b"\xff\xc0")
-    for bad_sof in (0xC1, 0xC3, 0xC9):  # ext-seq, lossless, arith-seq
+    # SOF1 (extended sequential) is a superset of baseline at 8-bit:
+    # flipping the marker must DECODE identically now, not reject
+    payload[sof + 1] = 0xC1
+    assert np.array_equal(multimodal.decode_jpeg(bytes(payload)), img)
+    for bad_sof in (0xC3, 0xC9):  # lossless, arith-seq
         payload[sof + 1] = bad_sof
         with pytest.raises(NotImplementedError, match="SOF0"):
             multimodal.decode_jpeg(bytes(payload))
@@ -440,6 +444,55 @@ def test_mp4_meta_roundtrip_and_rejects():
     # truncated: moov claims more bytes than exist
     with pytest.raises(ValueError, match="corrupt box"):
         multimodal.parse_mp4_meta(ftyp + moov[: len(moov) - 4])
+
+
+def test_jpeg_12bit_extended_sequential():
+    """12-bit JPEG (SOF1, r8): exact round-trip of block-constant 12-bit
+    grayscale (DC = 8*(v-2048) integer under the all-ones table), bounded
+    error on random 12-bit content, uint16 output dtype, color path via
+    precision-parametric YCbCr, and the SOF0+P=12 illegal combo."""
+    import numpy as np
+    import pytest
+
+    by, bx = np.mgrid[0:16, 0:24]
+    img = ((700 + 137 * (bx // 8) + 401 * (by // 8)) % 4096).astype(np.uint16)
+    payload = multimodal.encode_jpeg(img, precision=12)
+    # stream structure: SOF1 marker present, SOF0 absent, precision byte 12
+    sof = payload.find(b"\xff\xc1")
+    assert sof > 0 and b"\xff\xc0" not in payload[: payload.find(b"\xff\xda")]
+    assert payload[sof + 4] == 12
+    out = multimodal.decode_jpeg(payload)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, img)
+
+    # random 12-bit content, quantizer 16: reconstruction error bounded
+    rng = np.random.default_rng(5)
+    r = rng.integers(0, 4096, (24, 16)).astype(np.uint16)
+    dec = multimodal.decode_jpeg(
+        multimodal.encode_jpeg(r, qtable=np.full((8, 8), 16), precision=12)
+    )
+    assert int(np.max(np.abs(dec.astype(int) - r.astype(int)))) < 64
+
+    # 12-bit color: block-constant RGB survives within rounding of the
+    # double YCbCr conversion at 12-bit center 2048
+    rgb = np.kron(
+        np.array([[[100, 2000, 4000], [3000, 50, 1024]]], np.uint16),
+        np.ones((8, 8, 1), np.uint16),
+    )
+    crt = multimodal.decode_jpeg(multimodal.encode_jpeg(rgb, precision=12))
+    assert crt.dtype == np.uint16
+    assert int(np.max(np.abs(crt.astype(int) - rgb.astype(int)))) <= 1
+
+    # T.81: baseline SOF0 prohibits P=12 — flipping the marker must fail
+    bad = bytearray(payload)
+    bad[sof + 1] = 0xC0
+    with pytest.raises(ValueError, match="prohibits 12-bit"):
+        multimodal.decode_jpeg(bytes(bad))
+    # encoder-side guards
+    with pytest.raises(ValueError, match="0..4095"):
+        multimodal.encode_jpeg(np.full((8, 8), 5000, np.uint16), precision=12)
+    with pytest.raises(ValueError, match="uint8"):
+        multimodal.encode_jpeg(img)  # uint16 samples into the 8-bit path
 
 
 def test_avi_mjpeg_roundtrip_and_rejects():

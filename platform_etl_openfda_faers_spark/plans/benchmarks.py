@@ -5387,65 +5387,61 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
 # full-registry result is committed as CORRECTNESS_LOCAL_r{N}.json).
 
 _DRIVER_FIRST = [
-    # ROUND-7 ROTATION (VERDICT r6 next-steps #2, executed as promised in
-    # the r6 comment): lead with (a) the 15 queries deferred in r6 — last
-    # driver-certified r03/r04, judge-re-verified in BOTH r5 and r6 —
-    # (b) the 9 new-in-r6 queries the driver has never seen, (c) the 3
-    # brand-new r7 queries, then (d) 23 of the 42 queries whose last
-    # driver certification was the r5 file (2 rounds old at r7).
-    # --- (a) 15 deferred from r6 (oldest driver evidence first):
-    "p5_filter_inlist", "p6_null_guards", "j2_dimension_join",
-    "j3_left_outer", "j6_full_outer", "j7_semi_join", "a1_distinct_count",
-    "a2_distinct_rows", "a3_dedup_subset", "a4_collect_list",
-    "a5_hash_sample", "a5_stratified_sample", "f_map_suite",
-    "set_ops_suite", "w_approx_distinct",  # rows-only BY DESIGN (HLL++)
-    # --- (b) 9 new-in-r6, never driver-recorded (all green in the
-    # committed CORRECTNESS_LOCAL_r06 artifacts); corpus_temperature_sample
-    # and a_profile_orders also carry r7 code changes (NULL-group fix /
-    # quote-safe unpivot), and emb_pq_adc_topk + emb_ivf_pq_topk share the
-    # r7-refactored ADC tail (rerank_from), so all four must sit in-window
-    # this round regardless:
-    "emb_ivf_pq_topk", "emb_pq_adc_topk", "multimodal_decode_gif",
-    "multimodal_exif_meta", "multimodal_mp4_meta", "f_zorder_key",
-    "a_profile_orders", "corpus_temperature_sample",
-    "dedup_minhash_lsh_uncapped",
-    # --- (c) new in r7:
-    "multimodal_decode_oriented",   # EXIF orientation applied in decode
-    "emb_pq_adc_rerank_topk",       # exact re-rank of the ADC top-R pool
-    "emb_ivf_pq_rerank_topk",       # full IVF-PQ + re-rank pipeline
-    "emb_pq_adc_hi_topk",           # production-resolution codebooks (m=8 k=64)
-    # --- (d) 23 r5-certified queries rotating back in (registry order;
-    # emb_lsh_ann included here also because hyperplane_lsh_topk's
-    # DEFAULTS changed in r7 — the query's own explicit args are
-    # unchanged, but the function signature is in its code path):
-    "a_cube_grouping", "a_dataset_split", "a_grouping_sets",
-    "a_outlier_zscore", "a_percentiles", "a_salted_distinct",
-    "a_unpivot_measures", "asof_join_events", "corpus_curation_pipeline",
-    "corpus_mix_report", "dedup_exact_substrings", "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped", "dedup_simhash_pairs", "emb_cosine_topk",
-    "emb_ivf_topk", "emb_lsh_ann", "emb_near_dup_exact",
-    "events_json_props",
-    # --- JPEG-family queries whose code changed in r7 (the DQT segment
-    # builder + Pq=1 16-bit quant-table support touch encode_jpeg /
-    # decode_jpeg): r6-certified, but the code-change rule keeps them
-    # in-window the round their code changes:
-    "multimodal_decode_jpeg", "multimodal_decode_jpeg_420",
-    "multimodal_decode_jpeg_prog",
-    # --- 23 r5-certified queries deferred to r8 for cap room (unchanged
-    # code since r5, r5-driver-green; rotate them in next round):
-    # f_inline_structs (bumped for the r7 hi-res PQ query),
-    # f_array_suite, f_datetime_suite, f_from_json_typed (bumped for the
-    # three JPEG code-change re-certifications above),
-    # f_posexplode_tokens, f_string_suite, j_bloom_prefilter,
-    # j_exists_subquery, j_nullsafe, j_salted_skew,
-    # media_curation_pipeline, multimodal_audio_features,
-    # multimodal_decode_bmp, scd2_user_history, sketch_hll_portable,
-    # stream_session_windows, stream_tumbling_counts, text_bm25_topk,
-    # text_decontaminate, text_pii_redact, w_analytic_extras,
-    # w_funnel_conversion, w_resample_ffill.
-    # --- the 50 queries of the r6 driver window are all r6-certified
-    # (CORRECTNESS_r06: 49 pass + faers_significant rows-only by design)
-    # and stay covered by the committed CORRECTNESS_LOCAL_r07 artifacts.
+    # ROUND-8 ROTATION (VERDICT r7 next-steps #1, executed as promised in
+    # the r7 comment): lead with (a) the 23 r5-certified queries deferred
+    # in r7 — their driver evidence is 3 rounds old, the oldest in the
+    # registry — then (b) the 3 brand-new r8 queries the driver has never
+    # seen, (c) the 6 queries whose CODE PATH changed in r8 (the
+    # encode/decode_jpeg precision refactor touches every JPEG-family
+    # query incl. the EXIF embed; emb_lsh_ann re-pointed to the measured
+    # planes=4 tables=8 default), and (d) 18 of the 47 queries whose last
+    # driver certification was the r6 file (2 rounds old at r8) —
+    # headline/FAERS queries first.
+    # --- (a) 23 deferred from r7 (r5-driver-green, judge-re-verified in
+    # r6 and r7; registry order):
+    "f_array_suite", "f_datetime_suite", "f_from_json_typed",
+    "f_inline_structs", "f_posexplode_tokens", "f_string_suite",
+    "j_bloom_prefilter", "j_exists_subquery", "j_nullsafe",
+    "j_salted_skew", "media_curation_pipeline",
+    "multimodal_audio_features", "multimodal_decode_bmp",
+    "scd2_user_history", "sketch_hll_portable", "stream_session_windows",
+    "stream_tumbling_counts", "text_bm25_topk", "text_decontaminate",
+    "text_pii_redact", "w_analytic_extras", "w_funnel_conversion",
+    "w_resample_ffill",
+    # --- (b) 3 new in r8:
+    "multimodal_video_frames",     # MJPEG-in-AVI frame extraction
+    "multimodal_decode_jpeg12",    # 12-bit extended-sequential (SOF1)
+    "emb_lsh_ann_sparse",          # superseded LSH geometry, kept checked
+    # --- (c) 6 code-changed in r8 (precision-parametric JPEG path /
+    # EXIF-orientation hardening / flagship LSH re-point):
+    "emb_lsh_ann", "multimodal_decode_jpeg", "multimodal_decode_jpeg_420",
+    "multimodal_decode_jpeg_prog", "multimodal_decode_oriented",
+    "multimodal_exif_meta",
+    # --- (d) 18 r6-certified queries rotating back in (headliners and
+    # FAERS-core first; multimodal_frames included because frame_sample's
+    # boundary message changed in r8):
+    "q1_pricing_summary", "q3_shipping_priority", "sql_q6_revenue",
+    "faers_llr", "faers_significant",  # rows-only BY DESIGN (MC sampler)
+    "j1_blacklist_anti", "w_distinct_windows", "l1_explode_structs",
+    "o1_global_topk", "f_scalar_suite", "f_meddra_parse",
+    "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash16",
+    "dedup_clusters", "dedup_semantic", "graph_pagerank",
+    "multimodal_frames",
+    # --- 29 r6-certified queries deferred to r9 for cap room (unchanged
+    # code since r6, r6-driver-green; rotate them in next round):
+    # a_pivot_counts, a_rollup_totals, a_weighted_sample,
+    # asof_forward_events, dedup_jaccard_prefix, emb_ivf_kmeans_topk,
+    # emb_quantize_int8, j_merge_upsert, j_range_join, multimodal_decode,
+    # multimodal_decode_png, multimodal_decode_wav, multimodal_meta,
+    # sketch_count_min_portable, stream_interval_join,
+    # stream_interval_join_outer, stream_sliding_users,
+    # stream_static_enrich, text_bpe_count, text_chunking,
+    # text_fingerprint, text_langid, text_packing, text_repetition,
+    # text_stats, text_tfidf_topk, text_vocab_coverage, w_frames_suite,
+    # w_ranking_suite.
+    # --- the 50 queries of the r7 driver window are all r7-certified
+    # (CORRECTNESS_r07: 49 pass + w_approx_distinct rows-only by design)
+    # and stay covered by the committed CORRECTNESS_LOCAL_r08 artifacts.
 ]
 
 

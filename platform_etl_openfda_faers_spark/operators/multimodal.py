@@ -189,27 +189,23 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
-    """(h, w, 3) uint8 RGB (or (h, w) gray / (h, w, 4) RGBA) -> PNG bytes.
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    ``filters`` optionally fixes the per-scanline filter type (0-4, cycled);
-    the default is filter 0 everywhere.  Varying the filter per row makes a
-    round-trip exercise every unfilter path in ``decode_png``.
-    """
-    import zlib
 
-    if img.ndim == 2:
-        img, color_type = img[:, :, None], 0
-    elif img.shape[2] == 3:
-        color_type = 2
-    elif img.shape[2] == 4:
-        color_type = 6
-    else:
-        raise ValueError("expected gray, RGB, or RGBA uint8 image")
-    h, w, bpp = img.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = img.reshape(h, w * bpp).astype(np.int16)
-    zeros = np.zeros(w * bpp, dtype=np.int16)
+def _png_filter_rows(
+    raw: np.ndarray, bpp: int, filters: list[int] | None
+) -> bytearray:
+    """Filter a (rows, width*bpp) int16 sample block into PNG scanline
+    bytes (filter-type byte + filtered samples per row).  Shared by the
+    sequential and Adam7 encode paths — in Adam7 each pass is filtered
+    as its own independent sub-image (prior row = previous row of the
+    SAME pass)."""
+    h, stride = raw.shape
+    zeros = np.zeros(stride, dtype=np.int16)
     out = bytearray()
     for y in range(h):
         ftype = 0 if filters is None else filters[y % len(filters)]
@@ -234,6 +230,48 @@ def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
         else:
             raise ValueError(f"bad filter type {ftype}")
         out += bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes()
+    return out
+
+
+def encode_png(
+    img: np.ndarray,
+    filters: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) gray / (h, w, 4) RGBA) -> PNG bytes.
+
+    ``filters`` optionally fixes the per-scanline filter type (0-4, cycled);
+    the default is filter 0 everywhere.  Varying the filter per row makes a
+    round-trip exercise every unfilter path in ``decode_png``.
+    ``interlace=True`` writes Adam7 (r8): the seven passes are filtered as
+    independent sub-images and concatenated into one zlib stream, per the
+    PNG spec; empty passes (zero width or height) contribute no bytes.
+    """
+    import zlib
+
+    if img.ndim == 2:
+        img, color_type = img[:, :, None], 0
+    elif img.shape[2] == 3:
+        color_type = 2
+    elif img.shape[2] == 4:
+        color_type = 6
+    else:
+        raise ValueError("expected gray, RGB, or RGBA uint8 image")
+    h, w, bpp = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    if interlace:
+        out = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph and pw:
+                out += _png_filter_rows(
+                    sub.reshape(ph, pw * bpp).astype(np.int16), bpp, filters
+                )
+    else:
+        out = _png_filter_rows(
+            img.reshape(h, w * bpp).astype(np.int16), bpp, filters
+        )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -246,9 +284,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, channels) uint8, top-down.
 
     Real decode via stdlib zlib: chunk walk with CRC verification,
-    concatenated-IDAT inflate, and all five scanline unfilters (None/Sub/
-    Up/Average/Paeth).  Supports 8-bit gray / RGB / RGBA, no interlace —
-    palette, 16-bit, and Adam7 would need a full codec library.
+    concatenated-IDAT inflate, all five scanline unfilters (None/Sub/
+    Up/Average/Paeth), and Adam7 interlace (r8: seven independently
+    filtered passes scattered onto the pass grid).  Supports 8-bit
+    gray / RGB / RGBA; palette and 16-bit depth still reject.
     """
     import zlib
 
@@ -289,15 +328,42 @@ def decode_png(payload: bytes) -> np.ndarray:
         # policy as CRC verification)
         raise ValueError(f"{len(payload) - pos} trailing bytes after IEND")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+    if depth != 8 or color_type not in _PNG_CHANNELS or interlace not in (0, 1):
         raise NotImplementedError(
-            "only 8-bit gray/RGB/RGBA non-interlaced PNG supported"
+            "only 8-bit gray/RGB/RGBA PNG (interlace 0 or Adam7) supported"
         )
     bpp = _PNG_CHANNELS[color_type]
-    stride = w * bpp
     raw = zlib.decompress(bytes(idat))
+    if interlace:
+        # Adam7 (r8): seven independently-filtered sub-images concatenated
+        # in one zlib stream, scattered back onto the pass grid
+        full = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            if not ph or not pw:
+                continue
+            size = ph * (pw * bpp + 1)
+            sub = _png_unfilter_rows(raw[off : off + size], ph, pw, bpp)
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            off += size
+        if off != len(raw):
+            raise ValueError("IDAT length does not match Adam7 pass layout")
+        out = full
+    else:
+        if len(raw) != h * (w * bpp + 1):
+            raise ValueError("IDAT length does not match dimensions")
+        out = _png_unfilter_rows(raw, h, w, bpp).reshape(h, w, bpp)
+    return out[:, :, 0] if color_type == 0 else out
+
+
+def _png_unfilter_rows(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters over an (h, w*bpp) block —
+    one sequential sub-image (the whole image, or one Adam7 pass)."""
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT length does not match dimensions")
+        raise ValueError("scanline data does not match dimensions")
     img = np.zeros((h, stride), dtype=np.int32)
     for y in range(h):
         ftype = raw[y * (stride + 1)]
@@ -329,8 +395,7 @@ def decode_png(payload: bytes) -> np.ndarray:
                     rec[i] = (line[i] + pred) % 256
         else:
             raise ValueError(f"bad filter type {ftype}")
-    out = img.astype(np.uint8).reshape(h, w, bpp)
-    return out[:, :, 0] if color_type == 0 else out
+    return img.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -5418,22 +5418,24 @@ _DRIVER_FIRST = [
     "multimodal_decode_jpeg_prog", "multimodal_decode_oriented",
     "multimodal_exif_meta",
     # --- (d) 18 r6-certified queries rotating back in (headliners and
-    # FAERS-core first; multimodal_frames included because frame_sample's
-    # boundary message changed in r8):
+    # FAERS-core first); multimodal_frames, multimodal_decode_png and
+    # multimodal_decode are included under the code-change rule
+    # (frame_sample's boundary message, the decode_png Adam7 refactor,
+    # and _real_decode's reject message all changed in r8):
     "q1_pricing_summary", "q3_shipping_priority", "sql_q6_revenue",
     "faers_llr", "faers_significant",  # rows-only BY DESIGN (MC sampler)
     "j1_blacklist_anti", "w_distinct_windows", "l1_explode_structs",
     "o1_global_topk", "f_scalar_suite", "f_meddra_parse",
     "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash16",
-    "dedup_clusters", "dedup_semantic", "graph_pagerank",
-    "multimodal_frames",
+    "graph_pagerank", "multimodal_frames", "multimodal_decode_png",
+    "multimodal_decode",
     # --- 29 r6-certified queries deferred to r9 for cap room (unchanged
     # code since r6, r6-driver-green; rotate them in next round):
     # a_pivot_counts, a_rollup_totals, a_weighted_sample,
-    # asof_forward_events, dedup_jaccard_prefix, emb_ivf_kmeans_topk,
-    # emb_quantize_int8, j_merge_upsert, j_range_join, multimodal_decode,
-    # multimodal_decode_png, multimodal_decode_wav, multimodal_meta,
-    # sketch_count_min_portable, stream_interval_join,
+    # asof_forward_events, dedup_clusters, dedup_jaccard_prefix,
+    # dedup_semantic, emb_ivf_kmeans_topk, emb_quantize_int8,
+    # j_merge_upsert, j_range_join, multimodal_decode_wav,
+    # multimodal_meta, sketch_count_min_portable, stream_interval_join,
     # stream_interval_join_outer, stream_sliding_users,
     # stream_static_enrich, text_bpe_count, text_chunking,
     # text_fingerprint, text_langid, text_packing, text_repetition,

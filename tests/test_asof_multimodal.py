@@ -184,6 +184,34 @@ def test_decode_media_real_path_spark(spark):
         assert r.features[3] == (i + 58) % 256
 
 
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 (r8): encode->decode round-trips across shapes that exercise
+    empty passes (1x1 has 6 empty passes) and non-multiple-of-8 dims, for
+    gray/RGB/RGBA and every filter; interlace methods > 1 reject."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    for shape in [(1, 1), (1, 1, 3), (3, 2, 4), (7, 11, 3), (16, 16), (9, 5, 3)]:
+        img = rng.integers(0, 256, shape, np.uint8)
+        for filters in (None, [0, 1, 2, 3, 4]):
+            p = multimodal.encode_png(img, filters=filters, interlace=True)
+            # IHDR interlace byte is set
+            assert p[p.find(b"IHDR") + 4 + 12] == 1
+            np.testing.assert_array_equal(multimodal.decode_png(p), img)
+    # interlace method 2 is not a thing: reject, don't mis-scatter
+    img = rng.integers(0, 256, (4, 4), np.uint8)
+    p = bytearray(multimodal.encode_png(img))
+    ih = p.find(b"IHDR")  # chunk-type start; data is ih+4 .. ih+17
+    p[ih + 16] = 2  # interlace byte (data offset 12)
+    crc = zlib.crc32(bytes(p[ih : ih + 17])) & 0xFFFFFFFF
+    p[ih + 17 : ih + 21] = struct.pack(">I", crc)
+    with pytest.raises(NotImplementedError, match="interlace"):
+        multimodal.decode_png(bytes(p))
+
+
 def test_png_roundtrip_all_filters_and_colortypes():
     """Every scanline filter (None/Sub/Up/Average/Paeth) and every
     supported color type must survive an encode->decode round trip."""
@@ -291,7 +319,11 @@ def test_png_rejects_unsupported_depth_and_interlace():
     with pytest.raises(NotImplementedError):
         multimodal.decode_png(png_with_ihdr(1, 1, 8, 3, 0))   # palette
     with pytest.raises(NotImplementedError):
-        multimodal.decode_png(png_with_ihdr(1, 1, 8, 2, 1))   # Adam7
+        multimodal.decode_png(png_with_ihdr(1, 1, 8, 2, 2))   # interlace > 1
+    # Adam7 is SUPPORTED since r8: a 1x1 interlaced stream is pass 1
+    # alone (six empty passes) and decodes
+    out = multimodal.decode_png(png_with_ihdr(1, 1, 8, 2, 1))
+    assert out.shape == (1, 1, 3) and (out == 0).all()
     # sanity: the same construction with supported parameters decodes
     out = multimodal.decode_png(png_with_ihdr(1, 1, 8, 2, 0))
     assert out.shape == (1, 1, 3) and (out == 0).all()

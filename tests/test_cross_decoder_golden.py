@@ -58,8 +58,14 @@ def _case(name):
 
 @pytest.mark.parametrize("name", sorted(_MANIFEST))
 def test_our_decoder_matches_independent_reference(name):
-    """OUR decoder vs the committed javax.imageio reference pixels."""
+    """OUR decoder vs the committed independent-reference pixels/samples
+    (javax.imageio for images, javax.sound for WAV)."""
     _, payload, ref, meta = _case(name)
+    if meta["format"] == "wav":
+        samples, channels, rate = mm.decode_wav(payload)
+        assert (channels, rate) == (meta["channels"], meta["rate"])
+        np.testing.assert_array_equal(samples, ref)
+        return
     ours = _DECODERS[meta["format"]](payload)
     assert ours.shape == ref.shape, f"{name}: shape {ours.shape} != {ref.shape}"
     delta = np.max(np.abs(ours.astype(int) - ref.astype(int)))
@@ -100,6 +106,10 @@ _REENCODE = {
     "a_png_gray": mm.encode_png,
     "a_png_filters": lambda s: mm.encode_png(s, filters=[0, 1, 2, 3, 4]),
     "a_bmp_rgb": mm.encode_bmp,
+    "a_png_adam7": lambda s: mm.encode_png(
+        s, filters=[0, 1, 2, 3, 4], interlace=True
+    ),
+    "a_wav_pcm16": lambda s: mm.encode_wav(s, channels=2, rate=16000),
 }
 
 

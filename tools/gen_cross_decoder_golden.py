@@ -89,6 +89,28 @@ class ImageIO:
             self._run("encode", fmt, str(src), str(out))
             return out.read_bytes()
 
+    def encode_wav(self, samples: np.ndarray, rate: int, channels: int) -> bytes:
+        frames = len(samples) // channels
+        hdr = f"RAWS {rate} {channels} {frames}\n".encode()
+        with tempfile.TemporaryDirectory() as td:
+            src, out = Path(td) / "in.raws", Path(td) / "out.wav"
+            src.write_bytes(hdr + samples.astype("<i2").tobytes())
+            self._run("encode-wav", str(src), str(out))
+            return out.read_bytes()
+
+    def decode_wav(self, payload: bytes) -> tuple[np.ndarray, int, int]:
+        with tempfile.TemporaryDirectory() as td:
+            src, out = Path(td) / "in.wav", Path(td) / "out.raws"
+            src.write_bytes(payload)
+            self._run("decode-wav", str(src), str(out))
+            raw = out.read_bytes()
+        hdr, _, pcm = raw.partition(b"\n")
+        tag, rate, channels, frames = hdr.split()
+        assert tag == b"RAWS"
+        rate, channels, frames = int(rate), int(channels), int(frames)
+        samples = np.frombuffer(pcm, dtype="<i2", count=frames * channels)
+        return samples.astype(np.int16), channels, rate
+
 
 def main() -> None:
     iio = ImageIO()
@@ -161,6 +183,26 @@ def main() -> None:
     bmp_rgb = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
     record("a_bmp_rgb", bmp_rgb, mm.encode_bmp(bmp_rgb),
            "A", "bmp", 0, "24-bit BI_RGB, stride padding exercised (w=9)")
+    a7 = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    record("a_png_adam7", a7,
+           mm.encode_png(a7, filters=[0, 1, 2, 3, 4], interlace=True),
+           "A", "png", 0,
+           "Adam7-interlaced PNG (r8), cycling filters per pass row")
+
+    # WAV direction A: our encoder, javax.sound as the reference parser
+    wav_samples = ((np.arange(600) * 449) % 4001 - 2000).astype(np.int16)
+    wav_payload = mm.encode_wav(wav_samples, channels=2, rate=16000)
+    ws, wc, wr = iio.decode_wav(wav_payload)
+    assert (wc, wr) == (2, 16000) and np.array_equal(ws, wav_samples)
+    arrays["a_wav_pcm16__src"] = wav_samples
+    arrays["a_wav_pcm16__payload"] = np.frombuffer(wav_payload, dtype=np.uint8)
+    arrays["a_wav_pcm16__ref"] = ws
+    manifest["a_wav_pcm16"] = {
+        "direction": "A", "format": "wav", "tolerance": 0,
+        "channels": 2, "rate": 16000,
+        "note": "our PCM16 WAV verified sample-exact by javax.sound",
+    }
+    print(f"  a_wav_pcm16: payload {len(wav_payload)}B ref {ws.shape} exact")
 
     # ---- direction B: ImageIO encoders, our decoders under test ----
     print("direction B (ImageIO encoder -> our decoder):")
@@ -180,6 +222,25 @@ def main() -> None:
     b_bmp = rng.integers(0, 256, size=(6, 11, 3), dtype=np.uint8)
     record("b_bmp", b_bmp, iio.encode("bmp", b_bmp),
            "B", "bmp", 0, "ImageIO BMP writer")
+    b_a7 = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    record("b_png_adam7", b_a7, iio.encode("png_i", b_a7),
+           "B", "png", 0,
+           "ImageIO Adam7-interlaced PNG (progressive write mode)")
+
+    # WAV direction B: javax.sound encoder, our decode_wav under test
+    b_wav_samples = ((np.arange(500) * 277) % 3001 - 1500).astype(np.int16)
+    b_wav_payload = iio.encode_wav(b_wav_samples, rate=8000, channels=1)
+    bs, bc, br = iio.decode_wav(b_wav_payload)
+    assert (bc, br) == (1, 8000) and np.array_equal(bs, b_wav_samples)
+    arrays["b_wav_pcm16__src"] = b_wav_samples
+    arrays["b_wav_pcm16__payload"] = np.frombuffer(b_wav_payload, dtype=np.uint8)
+    arrays["b_wav_pcm16__ref"] = bs
+    manifest["b_wav_pcm16"] = {
+        "direction": "B", "format": "wav", "tolerance": 0,
+        "channels": 1, "rate": 8000,
+        "note": "javax.sound-written WAVE parsed by our decode_wav",
+    }
+    print(f"  b_wav_pcm16: payload {len(b_wav_payload)}B ref {bs.shape} exact")
 
     GOLDEN.mkdir(exist_ok=True)
     np.savez_compressed(GOLDEN / "cross_decoder.npz", **arrays)

@@ -152,9 +152,10 @@ public final class ImageIOTool {
                             | ((px[i + 1] & 0xFF) << 8) | (px[i + 2] & 0xFF));
                 }
         }
-        if (fmt.equals("png_i")) {
-            // Adam7-interlaced PNG via the writer's progressive mode
-            ImageWriter wr = ImageIO.getImageWritersByFormatName("png").next();
+        if (fmt.equals("png_i") || fmt.equals("gif_i")) {
+            // interlaced PNG (Adam7) / GIF (4-pass) via progressive mode
+            String base = fmt.substring(0, 3);
+            ImageWriter wr = ImageIO.getImageWritersByFormatName(base).next();
             ImageWriteParam p = wr.getDefaultWriteParam();
             p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
             try (ImageOutputStream ios = ImageIO.createImageOutputStream(new File(out))) {

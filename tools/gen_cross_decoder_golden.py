@@ -226,6 +226,17 @@ def main() -> None:
     record("b_png_adam7", b_a7, iio.encode("png_i", b_a7),
            "B", "png", 0,
            "ImageIO Adam7-interlaced PNG (progressive write mode)")
+    b_gif_i = pal[rng.integers(0, 4, size=(13, 7), dtype=np.uint8)]
+    gif_i_payload = iio.encode("gif_i", b_gif_i)
+    # external validation of decode_gif's 4-pass de-interlace: require
+    # the writer actually set the interlace flag in the image descriptor
+    assert any(
+        gif_i_payload[i] == 0x2C and gif_i_payload[i + 9] & 0x40
+        for i in range(len(gif_i_payload))
+        if gif_i_payload[i] == 0x2C
+    ), "ImageIO did not write an interlaced GIF"
+    record("b_gif_interlaced", b_gif_i, gif_i_payload,
+           "B", "gif", 0, "ImageIO interlaced GIF (4-pass row order)")
 
     # WAV direction B: javax.sound encoder, our decode_wav under test
     b_wav_samples = ((np.arange(500) * 277) % 3001 - 1500).astype(np.int16)

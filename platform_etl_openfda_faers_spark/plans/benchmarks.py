@@ -1099,16 +1099,17 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
     index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
         "shingle", "token"
     )
-    # declarative frequency-join prune: no driver action, and the freq
-    # aggregate / prune join / candidate self-join all hash-partition on
-    # token so the exchanges line up (1.6x faster at sf0.1 than collecting
-    # hot keys and re-deriving the index for a map-only filter).  The
+    # declarative window prune (r8): one derivation of the index, one
+    # exchange on token — the partitioning the candidate self-join needs —
+    # vs the former frequency-JOIN prune whose two consumers of the index
+    # planned the explode+distinct lineage twice (and 1.6x faster than
+    # collecting hot keys for a map-only filter, measured at sf0.1).  The
     # pruned index feeds THREE consumers (both self-join sides + sizes)
     # and its lineage carries an explode + two shuffles — persist it
     # (measured another ~19% at sf0.1; MEMORY_AND_DISK spills at scale)
     from pyspark.storagelevel import StorageLevel
 
-    pruned = dedup.prune_df_join(index, "token", max_doc_freq=20).persist(
+    pruned = dedup.prune_df_window(index, "token", max_doc_freq=20).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("set_size"))
@@ -2181,13 +2182,19 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # semantics and the oracle applies the identical cap.  The pruned index
     # is persisted for its three consumers (both self-join sides + sizes) —
     # bounded corpus-class rows, MEMORY_AND_DISK spills at scale.
+    # r8: the prune is the WINDOW form — the index lineage here contains an
+    # InMemoryTableScan (the semi join against cached `exact`), which
+    # defeats Spark's exchange reuse, so the former join prune's two index
+    # consumers materialized the whole shingle derivation twice (two
+    # identical ~500 MB shuffle writes in the sf10 profile).  The window
+    # prune references the index once: sf10 72.6s -> 62.9s end-to-end.
     survivors_text = docs.select("doc_id", "text").join(
         exact.select("doc_id"), ["doc_id"], "left_semi"
     )
     index = dedup.word_shingles(
         survivors_text, "text", "doc_id", n=3
     ).withColumnRenamed("shingle", "token")
-    pruned = dedup.prune_df_join(index, "token", max_doc_freq=20).persist(
+    pruned = dedup.prune_df_window(index, "token", max_doc_freq=20).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("set_size"))

@@ -110,6 +110,34 @@ def test_prune_df_join_matches_anti_join_form(spark):
     assert dedup.prune_df_join(index, "token", 5).columns == ["doc_id", "token"]
 
 
+def test_prune_df_window_matches_join_form(spark):
+    rows = [(i, "hot") for i in range(10)] + [(1, "rare"), (2, "rare2")]
+    index = spark.createDataFrame(rows, ["doc_id", "token"])
+    a = sorted(map(tuple, dedup.prune_df_join(index, "token", 5).collect()))
+    b = sorted(map(tuple, dedup.prune_df_window(index, "token", 5).collect()))
+    assert a == b
+    assert dedup.prune_df_window(index, "token", 5).columns == ["doc_id", "token"]
+
+
+def test_prune_df_window_keeps_null_keys(spark):
+    # NULLs form a window partition and survive the cap (prune_df_above
+    # semantics); prune_df_join's inner join would drop them
+    rows = [(i, "hot") for i in range(10)] + [(1, None), (2, "rare")]
+    index = spark.createDataFrame(rows, ["doc_id", "token"])
+    got = sorted(
+        (r.doc_id, r.token) for r in dedup.prune_df_window(index, "token", 5).collect()
+    )
+    assert got == [(1, None), (2, "rare")]
+
+
+def test_prune_df_window_rejects_reserved_column(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a", 2)], ["doc_id", "token", "_prune_df"])
+    with _pytest.raises(ValueError, match="_prune_df"):
+        dedup.prune_df_window(df, "token", 5)
+
+
 def test_word_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "only two"), (2, "a b c d")], ["doc_id", "text"])
     sh = dedup.word_shingles(df, "text", "doc_id", n=3)

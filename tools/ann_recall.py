@@ -69,6 +69,20 @@ def method_grid(emb, queries, k):
                 ),
             )
         )
+    for planes, tables, probes in (
+        (6, 3, 2), (6, 3, 4), (6, 3, 7), (8, 2, 8), (8, 4, 8), (8, 4, 16)
+    ):
+        grid.append(
+            (
+                f"lsh-multiprobe planes={planes} tables={tables} probes={probes}"
+                + ("*" if (planes, tables, probes) == (6, 3, 4) else ""),
+                {"n_planes": planes, "n_tables": tables, "n_probes": probes},
+                lambda p=planes, t=tables, r=probes:
+                    similarity.hyperplane_lsh_multiprobe_topk(
+                        emb, queries, k=k, n_planes=p, n_tables=t, n_probes=r
+                    ),
+            )
+        )
     for nprobe in (1, 2, 4, 8):
         grid.append(
             (

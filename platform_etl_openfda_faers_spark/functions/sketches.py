@@ -64,6 +64,160 @@ def frequent_items(df: DataFrame, cols: list[str], support: float = 0.01) -> dic
     return {c: row[f"{c}_freqItems"] for c in cols}
 
 
+_TWO60 = 1 << 60  # hash space of the 60-bit md5 primitive
+
+
+def kmv_hashes(
+    df: DataFrame, key_col: str, group_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values) sketch: the ``k`` smallest DISTINCT
+    60-bit md5 hashes of ``key_col`` — (grp, hv, pos) rows, pos = 1..k.
+
+    The KMV/theta family (Bar-Yossef et al. 2002; Dasgupta et al.,
+    "Theta sketches") is the mergeable-summary answer to SET-EXPRESSION
+    cardinality: unlike HLL registers (union-only), two KMV sketches
+    support union AND intersection estimates — at 100 TB that is "how
+    much do these two corpora overlap" without ever joining them.
+
+    Plan shape: one DISTINCT on (grp, hash) — map-side partial dedup,
+    one shuffle — then a per-group bottom-k window.  Output is <= k rows
+    per group regardless of corpus size (the sketch contract: O(k)
+    driver/broadcast traffic).  The hash is the repo's portable 60-bit
+    primitive, so the whole sketch replays bit-for-bit in the DuckDB
+    oracle (same md5, same ordering).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    d = df.select(F.col(group_col).alias("grp"), h.alias("hv")).distinct()
+    w = Window.partitionBy("grp").orderBy("hv")
+    return d.withColumn("pos", F.row_number().over(w)).where(F.col("pos") <= k)
+
+
+def kmv_estimate(regs: DataFrame, k: int = 256) -> DataFrame:
+    """(grp, kmv_est) off ``kmv_hashes``: (k-1) * 2^60 / h_k when the group
+    filled the sketch, else the EXACT count (an unfilled sketch holds every
+    hash the group produced).
+
+    Float discipline: (k-1)*2^60 is one exact double constant (small int
+    times a power of two); h_k converts int64 -> double by IEEE
+    round-to-nearest identically in Spark and DuckDB; ONE correctly-
+    rounded division, round 6 — replays bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+
+    per = regs.groupBy("grp").agg(
+        F.count("*").alias("n"), F.max("hv").alias("hk")
+    )
+    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.round(F.lit(float(k - 1) * float(_TWO60)) / F.col("hk"), 6)
+    )
+    return per.select("grp", est.alias("kmv_est"))
+
+
+def kmv_pair_overlap(regs: DataFrame, k: int = 256) -> DataFrame:
+    """Pairwise set-expression estimates from per-group KMV sketches:
+    one row per unordered group pair (grp_a < grp_b) with
+
+    - ``est_a`` / ``est_b`` — per-side distinct estimates,
+    - ``est_union`` — KMV estimate over the k smallest of the combined
+      (deduplicated) hash sets,
+    - ``est_inter`` — theta-sketch intersection: with
+      theta = min(theta_a, theta_b) (theta_g = h_k of side g, or 2^60
+      when the side's sketch is unfilled and therefore exact), count the
+      hashes present in BOTH sketches below theta and scale by
+      2^60 / theta.
+
+    Everything downstream of the sketches is O(k x #groups) rows — the
+    pair enumeration, the union re-sketch and the intersection join all
+    operate on sketch-sized data, so the operator's cost at 100 TB is
+    the one DISTINCT inside ``kmv_hashes``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per = regs.groupBy("grp").agg(
+        F.count("*").alias("n"), F.max("hv").alias("hk")
+    )
+    theta = F.when(F.col("n") < k, F.lit(_TWO60)).otherwise(F.col("hk"))
+    per = per.select("grp", "n", "hk", theta.alias("theta"))
+
+    pa = per.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n").alias("n_a"),
+        F.col("hk").alias("hk_a"),
+        F.col("theta").alias("theta_a"),
+    )
+    pb = per.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n").alias("n_b"),
+        F.col("hk").alias("hk_b"),
+        F.col("theta").alias("theta_b"),
+    )
+    pairs = pa.join(pb, F.col("grp_a") < F.col("grp_b"))
+
+    ra = regs.select(F.col("grp").alias("grp_a"), "hv")
+    rb = regs.select(F.col("grp").alias("grp_b"), "hv")
+
+    # union re-sketch: k smallest of the deduplicated combined hashes
+    both = (
+        pairs.select("grp_a", "grp_b")
+        .join(ra, ["grp_a"])
+        .select("grp_a", "grp_b", "hv")
+        .union(
+            pairs.select("grp_a", "grp_b")
+            .join(rb, ["grp_b"])
+            .select("grp_a", "grp_b", "hv")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("hv")
+    utop = both.withColumn("pos", F.row_number().over(w)).where(F.col("pos") <= k)
+    uagg = utop.groupBy("grp_a", "grp_b").agg(
+        F.count("*").alias("un"), F.max("hv").alias("uhk")
+    )
+
+    # intersection sample: hashes in BOTH sketches, below the pair theta
+    inter = (
+        pairs.select("grp_a", "grp_b", "theta_a", "theta_b")
+        .join(ra, ["grp_a"])
+        .join(rb, ["grp_b", "hv"])
+        .where(F.col("hv") < F.least("theta_a", "theta_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count("*").alias("ni"))
+    )
+
+    out = (
+        pairs.join(uagg, ["grp_a", "grp_b"], "left")
+        .join(inter, ["grp_a", "grp_b"], "left")
+        .na.fill({"ni": 0})
+    )
+    est_a = F.when(F.col("n_a") < k, F.col("n_a").cast("double")).otherwise(
+        F.round(F.lit(float(k - 1) * float(_TWO60)) / F.col("hk_a"), 6)
+    )
+    est_b = F.when(F.col("n_b") < k, F.col("n_b").cast("double")).otherwise(
+        F.round(F.lit(float(k - 1) * float(_TWO60)) / F.col("hk_b"), 6)
+    )
+    est_u = F.when(F.col("un") < k, F.col("un").cast("double")).otherwise(
+        F.round(F.lit(float(k - 1) * float(_TWO60)) / F.col("uhk"), 6)
+    )
+    pair_theta = F.least("theta_a", "theta_b")
+    est_i = F.round(
+        F.col("ni") * F.lit(float(_TWO60)) / pair_theta.cast("double"), 6
+    )
+    return out.select(
+        "grp_a",
+        "grp_b",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        est_i.alias("est_inter"),
+    )
+
+
 def hll_portable_registers(
     df: DataFrame, key_col: str, group_col: str, m: int = 64
 ):

@@ -2055,6 +2055,98 @@ def sketch_count_min_portable(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_KMV_K = 256
+_TWO60_SQL = "1152921504606846976"  # 2^60, the 60-bit md5 hash space
+
+
+@query(
+    "sketch_kmv_overlap",
+    f"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS grp, unnest({_TOKENS_SQL}) AS token FROM documents
+    ),
+    hvs AS (
+      SELECT DISTINCT grp, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv
+      FROM tok WHERE token <> ''
+    ),
+    regs AS (
+      SELECT grp, hv, pos FROM (
+        SELECT grp, hv,
+          row_number() OVER (PARTITION BY grp ORDER BY hv) AS pos
+        FROM hvs
+      ) WHERE pos <= {_KMV_K}
+    ),
+    per AS (
+      SELECT grp, COUNT(*) AS n, MAX(hv) AS hk,
+        CASE WHEN COUNT(*) < {_KMV_K} THEN {_TWO60_SQL} ELSE MAX(hv) END AS theta
+      FROM regs GROUP BY grp
+    ),
+    pairs AS (
+      SELECT pa.grp AS grp_a, pb.grp AS grp_b,
+        pa.n AS n_a, pa.hk AS hk_a, pa.theta AS theta_a,
+        pb.n AS n_b, pb.hk AS hk_b, pb.theta AS theta_b
+      FROM per pa JOIN per pb ON pa.grp < pb.grp
+    ),
+    uni AS (
+      SELECT DISTINCT p.grp_a, p.grp_b, r.hv
+      FROM pairs p JOIN regs r ON r.grp = p.grp_a OR r.grp = p.grp_b
+    ),
+    uagg AS (
+      SELECT grp_a, grp_b, COUNT(*) AS un, MAX(hv) AS uhk FROM (
+        SELECT grp_a, grp_b, hv,
+          row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY hv) AS pos
+        FROM uni
+      ) WHERE pos <= {_KMV_K} GROUP BY grp_a, grp_b
+    ),
+    inter AS (
+      SELECT p.grp_a, p.grp_b, COUNT(*) AS ni
+      FROM pairs p
+      JOIN regs ra ON ra.grp = p.grp_a
+      JOIN regs rb ON rb.grp = p.grp_b AND rb.hv = ra.hv
+      WHERE ra.hv < least(p.theta_a, p.theta_b)
+      GROUP BY p.grp_a, p.grp_b
+    )
+    SELECT p.grp_a, p.grp_b,
+      CASE WHEN p.n_a < {_KMV_K} THEN p.n_a::DOUBLE
+        ELSE round((255.0 * {_TWO60_SQL}.0) / p.hk_a, 6) END AS est_a,
+      CASE WHEN p.n_b < {_KMV_K} THEN p.n_b::DOUBLE
+        ELSE round((255.0 * {_TWO60_SQL}.0) / p.hk_b, 6) END AS est_b,
+      CASE WHEN u.un < {_KMV_K} THEN u.un::DOUBLE
+        ELSE round((255.0 * {_TWO60_SQL}.0) / u.uhk, 6) END AS est_union,
+      round((coalesce(i.ni, 0) * {_TWO60_SQL}.0)
+            / least(p.theta_a, p.theta_b)::DOUBLE, 6) AS est_inter
+    FROM pairs p
+    JOIN uagg u USING (grp_a, grp_b)
+    LEFT JOIN inter i USING (grp_a, grp_b)
+    """,
+)
+def sketch_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV/theta sketch set-expression estimates (Bar-Yossef et al. 2002):
+    distinct-token overlap between the even and odd `doc_id` halves of the
+    corpus — per-side cardinality, union (re-sketch of the k smallest
+    combined hashes) and INTERSECTION (theta-sketch sample scaling), all
+    from two 256-hash summaries.
+
+    The 100 TB story: "how much do these two corpora overlap" without
+    joining them — each side folds to k=256 portable 60-bit hashes (one
+    map-side-deduped DISTINCT + a bottom-k window), and every estimate
+    downstream runs on sketch-sized data.  Complements the portable HLL
+    (union-only registers): KMV sketches compose over union AND
+    intersection.  The oracle replays hashes, sketch contents and the
+    exact estimator arithmetic (one double division per estimate);
+    pytest bounds the estimation error vs exact counts."""
+    from ..functions.sketches import kmv_hashes, kmv_pair_overlap
+    from ..functions.text import tokens
+
+    docs = load_docs(spark, sf)
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    ).where(F.col("token") != "")
+    regs = kmv_hashes(tok, "token", "side", k=_KMV_K)
+    return kmv_pair_overlap(regs, k=_KMV_K)
+
+
 @query(
     "corpus_curation_pipeline",
     f"""
@@ -5516,12 +5608,12 @@ _DRIVER_FIRST = [
     # ROUND-8 ROTATION (VERDICT r7 next-steps #1, executed as promised in
     # the r7 comment): lead with (a) the 23 r5-certified queries deferred
     # in r7 — their driver evidence is 3 rounds old, the oldest in the
-    # registry — then (b) the 4 brand-new r8 queries the driver has never
+    # registry — then (b) the 5 brand-new r8 queries the driver has never
     # seen, (c) the 8 queries whose CODE PATH changed in r8 (the
     # encode/decode_jpeg precision refactor touches every JPEG-family
     # query incl. the EXIF embed; emb_lsh_ann re-pointed to the measured
     # planes=4 tables=8 default; the two df-capped Jaccard queries moved
-    # to the single-derivation window prune), and (d) 15 of the 47
+    # to the single-derivation window prune), and (d) 14 of the 47
     # queries whose last driver certification was the r6 file (2 rounds
     # old at r8) — headline/FAERS queries first.
     # --- (a) 23 deferred from r7 (r5-driver-green, judge-re-verified in
@@ -5535,11 +5627,12 @@ _DRIVER_FIRST = [
     "stream_tumbling_counts", "text_bm25_topk", "text_decontaminate",
     "text_pii_redact", "w_analytic_extras", "w_funnel_conversion",
     "w_resample_ffill",
-    # --- (b) 4 new in r8:
+    # --- (b) 5 new in r8:
     "multimodal_video_frames",     # MJPEG-in-AVI frame extraction
     "multimodal_decode_jpeg12",    # 12-bit extended-sequential (SOF1)
     "emb_lsh_ann_sparse",          # superseded LSH geometry, kept checked
     "emb_lsh_multiprobe_topk",     # multi-probe LSH (Lv et al. 2007)
+    "sketch_kmv_overlap",          # KMV/theta union+intersection sketch
     # --- (c) 8 code-changed in r8 (precision-parametric JPEG path /
     # EXIF-orientation hardening / flagship LSH re-point / window-prune
     # adoption in the df-capped Jaccard paths):
@@ -5547,23 +5640,23 @@ _DRIVER_FIRST = [
     "multimodal_decode_jpeg_prog", "multimodal_decode_oriented",
     "multimodal_exif_meta", "dedup_ngram_jaccard_capped",
     "corpus_curation_pipeline",
-    # --- (d) 15 r6-certified queries rotating back in (headliners and
+    # --- (d) 14 r6-certified queries rotating back in (headliners and
     # FAERS-core first); multimodal_frames, multimodal_decode_png and
     # multimodal_decode are included under the code-change rule
     # (frame_sample's boundary message, the decode_png Adam7 refactor,
     # and _real_decode's reject message all changed in r8):
     "q1_pricing_summary", "q3_shipping_priority", "sql_q6_revenue",
     "faers_llr", "faers_significant",  # rows-only BY DESIGN (MC sampler)
-    "j1_blacklist_anti", "w_distinct_windows", "l1_explode_structs",
+    "j1_blacklist_anti", "w_distinct_windows",
     "f_scalar_suite", "f_meddra_parse",
     "dedup_minhash_lsh",
     "graph_pagerank", "multimodal_frames", "multimodal_decode_png",
     "multimodal_decode",
-    # --- 32 r6-certified queries deferred to r9 for cap room (unchanged
+    # --- 33 r6-certified queries deferred to r9 for cap room (unchanged
     # code since r6, r6-driver-green; rotate them in next round):
     # a_pivot_counts, a_rollup_totals, a_weighted_sample,
     # asof_forward_events, dedup_clusters, dedup_exact_groups,
-    # dedup_jaccard_prefix, o1_global_topk,
+    # dedup_jaccard_prefix, l1_explode_structs, o1_global_topk,
     # dedup_semantic, dedup_simhash16, emb_ivf_kmeans_topk, emb_quantize_int8,
     # j_merge_upsert, j_range_join, multimodal_decode_wav,
     # multimodal_meta, sketch_count_min_portable, stream_interval_join,

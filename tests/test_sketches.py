@@ -74,3 +74,44 @@ def test_hll_portable_within_error_bound(spark):
         .hll_est
     )
     assert est2 == est  # partition-layout independence, bit-exact
+
+
+def test_kmv_estimate_bounds_and_exactness(spark):
+    """KMV estimate within ~3 standard errors (sigma ~= 1/sqrt(k-2) ~= 6.3%
+    at k=256) of the true cardinality; an UNFILLED sketch is exact; the
+    registers are partition-layout independent (distinct + global bottom-k)."""
+    from pyspark.sql import functions as F
+
+    k = 256
+    rows = [(0, i) for i in range(5000)] + [(9, i) for i in range(50)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    regs = sketches.kmv_hashes(df, "key", "grp", k=k)
+    est = {r.grp: r.kmv_est for r in sketches.kmv_estimate(regs, k=k).collect()}
+    assert abs(est[0] / 5000 - 1.0) < 0.2, est
+    assert est[9] == 50.0  # unfilled -> exact
+
+    regs2 = sketches.kmv_hashes(df.repartition(13), "key", "grp", k=k)
+    a = sorted(map(tuple, regs.collect()))
+    b = sorted(map(tuple, regs2.collect()))
+    assert a == b  # layout-independent, bit-exact
+
+
+def test_kmv_pair_overlap_estimates(spark):
+    """Union/intersection estimates land within ~4 sigma of truth on two
+    half-overlapping sets, and degenerate EXACTLY when both sketches are
+    unfilled (theta = 2^60 -> the intersection sample IS the intersection)."""
+    k = 256
+    rows = [(0, i) for i in range(3000)] + [(1, i) for i in range(2000, 6000)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    regs = sketches.kmv_hashes(df, "key", "grp", k=k)
+    ov = sketches.kmv_pair_overlap(regs, k=k).collect()[0]
+    assert abs(ov.est_union / 6000 - 1.0) < 0.25, ov
+    # intersection variance is higher (smaller sample below theta)
+    assert abs(ov.est_inter / 1000 - 1.0) < 0.5, ov
+
+    small = [(0, i) for i in range(100)] + [(1, i) for i in range(60, 160)]
+    sdf = spark.createDataFrame(small, ["grp", "key"])
+    sregs = sketches.kmv_hashes(sdf, "key", "grp", k=k)
+    sov = sketches.kmv_pair_overlap(sregs, k=k).collect()[0]
+    assert sov.est_a == 100.0 and sov.est_b == 100.0
+    assert sov.est_union == 160.0 and sov.est_inter == 40.0

@@ -2584,6 +2584,111 @@ def synthetic_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
 
 
+def synthetic_bmp_media_perceptual(
+    df: DataFrame, id_col: str, group_mod: int = 50, w: int = 36, h: int = 32
+) -> DataFrame:
+    """Deterministic BMPs with BUILT-IN perceptual-duplicate structure
+    (test/oracle harness for image dedup): content depends only on
+    ``gid = id % group_mod``, and ``delta = (id // group_mod) % 3`` adds a
+    uniform brightness shift — so every ``group_mod``-th id is a
+    brightness-shifted copy of the same image.
+
+    pixel(x, y, c) = (3*gid + 5x + 11y) % 240 + 2c + delta — the base is
+    bounded at 239 and the additive terms at +6, so no channel ever wraps
+    mod 256: a constant shift stays a constant shift, which is what makes
+    the dHash invariance provable (and SQL-predictable).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                gid, delta = mid % group_mod, (mid // group_mod) % 3
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                rgb = (
+                    (3 * gid + 5 * x + 11 * y) % 240 + 2 * c + delta
+                ).astype(np.uint8)
+                rows.append((mid, encode_bmp(rgb)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash_hi", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame, grid_w: int = 9, grid_h: int = 8
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the image-dedup
+    primitive: decode, box-average to a ``grid_w x grid_h`` gray grid, emit
+    one bit per horizontal gradient (``(grid_w-1) x grid_h`` = 64 bits at
+    the 9x8 default), packed as two 32-bit halves (``dhash_hi`` carries
+    bits 32..63 — no signed-overflow edge at bit 63).
+
+    INTEGER-EXACT by construction: gray is the channel SUM (no /3), block
+    "averages" compare as block SUMS (equal block sizes — a > b/16 iff
+    sums compare), so there is no float anywhere and the hash replays
+    bit-for-bit in an ANSI-SQL oracle.  Perceptual invariance: a uniform
+    brightness shift adds the same constant to every block sum, so every
+    gradient comparison — and the hash — is unchanged.
+
+    Near-dup retrieval at scale composes with the existing SimHash
+    machinery: dHash values within Hamming distance <= 3 share one of 4
+    16-bit chunks (pigeonhole) — bucket on chunks exactly like
+    ``simhash_near_duplicates``.  This operator emits the hash; exact
+    dedup is a groupBy on (dhash_hi, dhash_lo).
+
+    Images must tile evenly (width % grid_w == 0, height % grid_h == 0);
+    ragged sizes raise — resize upstream (real pipelines hash thumbnails).
+    Arrow-batched mapInPandas, map-only: the 100 TB shape is one decode
+    pass then an exact-dedup shuffle on 16 bytes per image.
+    """
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["content"]):
+                w, h, c, vals = _real_decode(bytes(payload))
+                if w % grid_w or h % grid_h:
+                    raise ValueError(
+                        f"image {int(media_id)} is {w}x{h}; dhash needs "
+                        f"multiples of {grid_w}x{grid_h} — resize upstream"
+                    )
+                bw, bh = w // grid_w, h // grid_h
+                gray = vals.reshape(h, w, c).sum(axis=2, dtype=np.int64)
+                blocks = gray.reshape(grid_h, bh, grid_w, bw).sum(axis=(1, 3))
+                bits = (blocks[:, 1:] > blocks[:, :-1]).astype(np.int64)
+                flat = bits.reshape(-1)  # bit i = y * (grid_w-1) + xg
+                idx = np.arange(flat.size, dtype=np.int64)
+                lo = int((flat[idx < 32] << idx[idx < 32]).sum())
+                hi = int((flat[idx >= 32] << (idx[idx >= 32] - 32)).sum())
+                rows.append((int(media_id), w, h, hi, lo))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "dhash_hi", "dhash_lo"],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        hashes, schema=DHASH_SCHEMA
+    )
+
+
 def synthetic_png_media(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic PNG payloads from an id column (test/oracle harness).
 

@@ -964,3 +964,36 @@ def test_jpeg_16bit_quant_table_roundtrip():
     assert int.from_bytes(p8[dqt + 2 : dqt + 4], "big") == 67
     with pytest.raises(ValueError, match="16 bits"):
         multimodal.encode_jpeg(img, qtable=np.full((8, 8), 70000))
+
+
+def test_image_dhash_brightness_invariance(spark):
+    """dHash of a brightness-shifted copy must equal the original's (the
+    perceptual-dedup contract the synthesizer builds on), a different
+    content group must hash differently here, and a hand-computable
+    gradient pattern pins the bit packing."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0,), (50,), (1,)], ["doc_id"])
+    media = multimodal.synthetic_bmp_media_perceptual(df, "doc_id")
+    got = {r.media_id: (r.dhash_hi, r.dhash_lo)
+           for r in multimodal.image_dhash(media).collect()}
+    assert got[0] == got[50]   # same gid, delta=1 -> same hash
+    assert got[0] != got[1]    # different content group
+
+    # monotone-in-x image: every horizontal gradient bit is 1
+    y, x, c = np.ogrid[0:32, 0:36, 0:3]
+    rgb = np.broadcast_to((x * 5).astype(np.uint8), (32, 36, 3))
+    payload = multimodal.encode_bmp(np.ascontiguousarray(rgb))
+    mdf = spark.createDataFrame(pd.DataFrame({"media_id": [7], "content": [payload]}))
+    row = multimodal.image_dhash(mdf).collect()[0]
+    assert row.dhash_lo == (1 << 32) - 1 and row.dhash_hi == (1 << 32) - 1
+
+    # ragged size raises (documented boundary)
+    bad = multimodal.encode_bmp(np.zeros((10, 10, 3), dtype=np.uint8))
+    bdf = spark.createDataFrame(pd.DataFrame({"media_id": [9], "content": [bad]}))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="dhash needs"):
+        multimodal.image_dhash(bdf).collect()

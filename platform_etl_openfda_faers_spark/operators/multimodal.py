@@ -2584,8 +2584,16 @@ def synthetic_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
 
 
+_PERTURB_BLOCKS = {1: (2, 2), 2: (5, 6)}  # (block-row, block-col) per copy
+
+
 def synthetic_bmp_media_perceptual(
-    df: DataFrame, id_col: str, group_mod: int = 50, w: int = 36, h: int = 32
+    df: DataFrame,
+    id_col: str,
+    group_mod: int = 50,
+    w: int = 36,
+    h: int = 32,
+    perturb: bool = False,
 ) -> DataFrame:
     """Deterministic BMPs with BUILT-IN perceptual-duplicate structure
     (test/oracle harness for image dedup): content depends only on
@@ -2593,10 +2601,20 @@ def synthetic_bmp_media_perceptual(
     uniform brightness shift — so every ``group_mod``-th id is a
     brightness-shifted copy of the same image.
 
-    pixel(x, y, c) = (3*gid + 5x + 11y) % 240 + 2c + delta — the base is
-    bounded at 239 and the additive terms at +6, so no channel ever wraps
-    mod 256: a constant shift stays a constant shift, which is what makes
-    the dHash invariance provable (and SQL-predictable).
+    pixel(x, y, c) = ((gid*13+7)*x + (gid*5+3)*y) % 240 + 2c + delta —
+    the gid-dependent gradient DIRECTION makes distinct content groups
+    genuinely distinct under a gradient hash (measured: 50 gids -> 50
+    distinct dHashes, zero cross-group pairs at Hamming <= 3; a
+    fixed-direction ramp differing only by offset collapses to 41 with 81
+    cross-group near-pairs).  The base is bounded at 239 and the additive
+    terms at +6, so no channel ever wraps mod 256: a constant shift stays
+    a constant shift, which is what makes the dHash invariance provable
+    (and SQL-predictable).
+
+    ``perturb=True`` additionally paints one copy-specific 4x4 block
+    (``_PERTURB_BLOCKS``) solid 250 on copies with delta > 0 — turning
+    exact perceptual duplicates into NEAR-duplicates a few dHash gradient
+    bits apart (the Hamming-retrieval harness).
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2607,8 +2625,14 @@ def synthetic_bmp_media_perceptual(
                 gid, delta = mid % group_mod, (mid // group_mod) % 3
                 y, x, c = np.ogrid[0:h, 0:w, 0:3]
                 rgb = (
-                    (3 * gid + 5 * x + 11 * y) % 240 + 2 * c + delta
+                    ((gid * 13 + 7) * x + (gid * 5 + 3) * y) % 240
+                    + 2 * c + delta
                 ).astype(np.uint8)
+                if perturb and delta > 0:
+                    # one distinctive 4x4 block per copy index: copies are
+                    # NEAR-duplicates (a few gradient bits), not exact
+                    yb, xb = _PERTURB_BLOCKS[delta]
+                    rgb[yb * 4 : yb * 4 + 4, xb * 4 : xb * 4 + 4, :] = 250
                 rows.append((mid, encode_bmp(rgb)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
@@ -2686,6 +2710,64 @@ def image_dhash(
 
     return df.select("media_id", "content").mapInPandas(
         hashes, schema=DHASH_SCHEMA
+    )
+
+
+def dhash_near_duplicates(
+    hashes: DataFrame, max_hamming: int = 3, id_col: str = "media_id"
+) -> DataFrame:
+    """Hamming-near image pairs from an ``image_dhash`` table — the same
+    pigeonhole bucketing as ``dedup.simhash_pairs_from_signatures``, on the
+    (hi, lo) split hash: two 64-bit hashes within Hamming <= 3 agree
+    exactly on at least one of the four 16-bit chunks, so candidates join
+    on (chunk_idx, chunk_value) — linear in corpus size, never all-pairs —
+    and the exact Hamming filter keeps the result lossless.
+
+    The halves stay split throughout (each is < 2^32, so every chunk
+    shift/mask and the per-half ``bit_count(xor)`` is sign-free in both
+    Spark and the SQL oracle).  Output: (id_a, id_b, hamming).
+    """
+    assert max_hamming <= 3, "4-chunk bucketing is lossy beyond Hamming 3"
+    lo, hi = F.col("dhash_lo"), F.col("dhash_hi")
+    mask = F.lit((1 << 16) - 1)
+    chunks = F.array(
+        F.struct(F.lit(0).alias("ci"), lo.bitwiseAND(mask).alias("cv")),
+        F.struct(
+            F.lit(1).alias("ci"),
+            F.shiftrightunsigned(lo, 16).bitwiseAND(mask).alias("cv"),
+        ),
+        F.struct(F.lit(2).alias("ci"), hi.bitwiseAND(mask).alias("cv")),
+        F.struct(
+            F.lit(3).alias("ci"),
+            F.shiftrightunsigned(hi, 16).bitwiseAND(mask).alias("cv"),
+        ),
+    )
+    keyed = hashes.select(
+        F.col(id_col), "dhash_hi", "dhash_lo", F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        "dhash_hi",
+        "dhash_lo",
+        F.col("c.ci").alias("ci"),
+        F.col("c.cv").alias("cv"),
+    )
+    a = keyed.toDF("id_a", "hi_a", "lo_a", "ci", "cv")
+    b = keyed.toDF("id_b", "hi_b", "lo_b", "ci", "cv")
+    return (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
     )
 
 

@@ -4221,8 +4221,8 @@ def multimodal_decode_bmp(spark: SparkSession, sf: str) -> DataFrame:
     ),
     blk AS (
       SELECT d.doc_id, yb.yb, xb.xb,
-        SUM(3 * ((3 * d.gid + 5 * (xb.xb * 4 + dx.dx)
-                  + 11 * (yb.yb * 4 + dy.dy)) % 240)
+        SUM(3 * (((d.gid * 13 + 7) * (xb.xb * 4 + dx.dx)
+                  + (d.gid * 5 + 3) * (yb.yb * 4 + dy.dy)) % 240)
             + 6 + 3 * d.delta) AS s
       FROM d,
       LATERAL (SELECT unnest(generate_series(0, 7)) AS yb) yb,
@@ -4277,6 +4277,81 @@ def multimodal_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.max("media_id").alias("last_id"),
         )
     )
+
+
+@query(
+    "multimodal_image_neardup",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 50 AS gid, (doc_id // 50) % 3 AS delta
+      FROM documents
+    ),
+    blk AS (
+      SELECT d.doc_id, yb.yb, xb.xb,
+        SUM(CASE
+          WHEN (d.delta = 1 AND yb.yb = 2 AND xb.xb = 2)
+            OR (d.delta = 2 AND yb.yb = 5 AND xb.xb = 6) THEN 750
+          ELSE 3 * (((d.gid * 13 + 7) * (xb.xb * 4 + dx.dx)
+                     + (d.gid * 5 + 3) * (yb.yb * 4 + dy.dy)) % 240)
+               + 6 + 3 * d.delta
+        END) AS s
+      FROM d,
+      LATERAL (SELECT unnest(generate_series(0, 7)) AS yb) yb,
+      LATERAL (SELECT unnest(generate_series(0, 8)) AS xb) xb,
+      LATERAL (SELECT unnest(generate_series(0, 3)) AS dy) dy,
+      LATERAL (SELECT unnest(generate_series(0, 3)) AS dx) dx
+      GROUP BY d.doc_id, yb.yb, xb.xb
+    ),
+    bits AS (
+      SELECT a.doc_id, a.yb, a.xb,
+        CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+      FROM blk a JOIN blk b
+        ON b.doc_id = a.doc_id AND b.yb = a.yb AND b.xb = a.xb + 1
+      WHERE a.xb <= 7
+    ),
+    hashes AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN yb * 8 + xb >= 32
+          THEN bit * (1::BIGINT << (yb * 8 + xb - 32)) ELSE 0 END) AS BIGINT)
+          AS hi,
+        CAST(SUM(CASE WHEN yb * 8 + xb < 32
+          THEN bit * (1::BIGINT << (yb * 8 + xb)) ELSE 0 END) AS BIGINT)
+          AS lo
+      FROM bits GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, hi, lo, ci.ci,
+        CASE ci.ci WHEN 0 THEN lo & 65535 WHEN 1 THEN lo >> 16
+                   WHEN 2 THEN hi & 65535 ELSE hi >> 16 END AS cv
+      FROM hashes, LATERAL (SELECT unnest([0, 1, 2, 3]) AS ci) ci
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+          AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def multimodal_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamming-near image retrieval: the perceptual generator with
+    ``perturb=True`` paints one copy-specific 4x4 block solid, so copies of
+    a content group are NEAR-duplicates a few dHash gradient bits apart
+    (not exact collisions).  Pairs come from the 4x16-bit pigeonhole
+    buckets (lossless for Hamming <= 3) + exact per-half
+    ``bit_count(xor)`` verify — the image analogue of the SimHash text
+    path, and the oracle replays pixels -> block sums -> bits -> chunk
+    buckets -> Hamming analytically.  Scale shape: map-only decode+hash,
+    then a 4-rows-per-image chunk join — linear candidates, never
+    all-pairs."""
+    docs = load_docs(spark, sf).select("doc_id")
+    media = multimodal.synthetic_bmp_media_perceptual(
+        docs, "doc_id", perturb=True
+    )
+    hashes = multimodal.image_dhash(media)
+    return multimodal.dhash_near_duplicates(hashes, max_hamming=3)
 
 
 @query(
@@ -5675,12 +5750,12 @@ _DRIVER_FIRST = [
     # ROUND-8 ROTATION (VERDICT r7 next-steps #1, executed as promised in
     # the r7 comment): lead with (a) the 23 r5-certified queries deferred
     # in r7 — their driver evidence is 3 rounds old, the oldest in the
-    # registry — then (b) the 6 brand-new r8 queries the driver has never
+    # registry — then (b) the 7 brand-new r8 queries the driver has never
     # seen, (c) the 8 queries whose CODE PATH changed in r8 (the
     # encode/decode_jpeg precision refactor touches every JPEG-family
     # query incl. the EXIF embed; emb_lsh_ann re-pointed to the measured
     # planes=4 tables=8 default; the two df-capped Jaccard queries moved
-    # to the single-derivation window prune), and (d) 13 of the 47
+    # to the single-derivation window prune), and (d) 12 of the 47
     # queries whose last driver certification was the r6 file (2 rounds
     # old at r8) — headline/FAERS queries first.
     # --- (a) 23 deferred from r7 (r5-driver-green, judge-re-verified in
@@ -5701,6 +5776,7 @@ _DRIVER_FIRST = [
     "emb_lsh_multiprobe_topk",     # multi-probe LSH (Lv et al. 2007)
     "sketch_kmv_overlap",          # KMV/theta union+intersection sketch
     "multimodal_image_dedup",      # dHash perceptual image dedup
+    "multimodal_image_neardup",    # Hamming-near dHash retrieval
     # --- (c) 8 code-changed in r8 (precision-parametric JPEG path /
     # EXIF-orientation hardening / flagship LSH re-point / window-prune
     # adoption in the df-capped Jaccard paths):
@@ -5708,7 +5784,7 @@ _DRIVER_FIRST = [
     "multimodal_decode_jpeg_prog", "multimodal_decode_oriented",
     "multimodal_exif_meta", "dedup_ngram_jaccard_capped",
     "corpus_curation_pipeline",
-    # --- (d) 13 r6-certified queries rotating back in (headliners and
+    # --- (d) 12 r6-certified queries rotating back in (headliners and
     # FAERS-core first); multimodal_frames, multimodal_decode_png and
     # multimodal_decode are included under the code-change rule
     # (frame_sample's boundary message, the decode_png Adam7 refactor,
@@ -5716,16 +5792,15 @@ _DRIVER_FIRST = [
     "q1_pricing_summary", "q3_shipping_priority", "sql_q6_revenue",
     "faers_llr", "faers_significant",  # rows-only BY DESIGN (MC sampler)
     "j1_blacklist_anti", "w_distinct_windows",
-    "f_scalar_suite",
     "dedup_minhash_lsh",
     "graph_pagerank", "multimodal_frames", "multimodal_decode_png",
     "multimodal_decode",
-    # --- 34 r6-certified queries deferred to r9 for cap room (unchanged
+    # --- 35 r6-certified queries deferred to r9 for cap room (unchanged
     # code since r6, r6-driver-green; rotate them in next round):
     # a_pivot_counts, a_rollup_totals, a_weighted_sample,
     # asof_forward_events, dedup_clusters, dedup_exact_groups,
-    # dedup_jaccard_prefix, f_meddra_parse, l1_explode_structs,
-    # o1_global_topk,
+    # dedup_jaccard_prefix, f_meddra_parse, f_scalar_suite,
+    # l1_explode_structs, o1_global_topk,
     # dedup_semantic, dedup_simhash16, emb_ivf_kmeans_topk, emb_quantize_int8,
     # j_merge_upsert, j_range_join, multimodal_decode_wav,
     # multimodal_meta, sketch_count_min_portable, stream_interval_join,

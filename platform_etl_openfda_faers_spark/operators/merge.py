@@ -1,4 +1,5 @@
-"""MERGE INTO (upsert) semantics as a declarative full-outer-join plan.
+"""MERGE INTO (upsert) + CDC snapshot-diff semantics as declarative
+full-outer-join plans.
 
 Spark has no built-in ``MERGE`` against plain parquet (that's a table-format
 feature — Delta/Iceberg); this expresses the same semantics as one
@@ -44,6 +45,102 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _guard_null_keys(
+    df: DataFrame, keys: list[str], side: str, opname: str
+) -> DataFrame:
+    """Fold a lazy ``raise_error`` into every key column: a NULL key would
+    silently misclassify under SQL join equality, so fail loudly instead —
+    distributed, no driver action, free on valid data."""
+    err = F.raise_error(
+        F.lit(f"{opname}: NULL merge key in {side} row (keys={','.join(keys)})")
+    )
+    for k in keys:
+        dtype = df.schema[k].dataType
+        df = df.withColumn(
+            k,
+            F.when(F.col(k).isNull(), err.cast(dtype)).otherwise(F.col(k)),
+        )
+    return df
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    change_col: str = "change",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """CDC between two snapshots of the same table: one row per key whose
+    state changed, classified ``insert`` (key only in ``new``), ``delete``
+    (key only in ``old``) or ``update`` (key in both, any ``compare_cols``
+    value differs under NULL-SAFE equality — NULL -> value and
+    value -> NULL are real updates, NULL -> NULL is not).
+
+    Output: keys + ``change_col`` + the non-key columns, carrying the NEW
+    side for inserts/updates and the OLD side for deletes (what a
+    downstream MERGE or tombstone writer needs).  ``include_unchanged``
+    opts matched-equal rows in with change = ``unchanged`` (off by
+    default: at snapshot scale the unchanged set IS the table).
+
+    ``compare_cols`` defaults to every non-key column (schemas must
+    match).  NULL snapshot keys are rejected at execution time via the
+    same lazy ``raise_error`` guard as ``merge_upsert``.
+
+    Scale shape: one shuffle per side on the key (none if both snapshots
+    are bucketed on it — ``writers.write_bucketed``); the change
+    classification is a row-local CASE over null-safe comparisons, fully
+    codegen.  This is the diff half of incremental ingestion; feed the
+    result to ``merge_upsert`` / ``scd2`` to apply it.
+    """
+    if sorted(old.columns) != sorted(new.columns):
+        raise ValueError(
+            f"snapshot schemas differ: {sorted(old.columns)} vs "
+            f"{sorted(new.columns)}"
+        )
+    non_keys = [c for c in old.columns if c not in keys]
+    if compare_cols is None:
+        compare_cols = non_keys
+    if change_col in old.columns:
+        raise ValueError(f"change_col {change_col!r} collides with a column")
+
+    o = _guard_null_keys(old, keys, "old", "snapshot_diff").withColumn(
+        "__o_present", F.lit(1)
+    ).alias("o")
+    n = _guard_null_keys(new, keys, "new", "snapshot_diff").withColumn(
+        "__n_present", F.lit(1)
+    ).alias("n")
+    cond = reduce(
+        lambda a, b: a & b, [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
+    )
+    joined = o.join(n, cond, "full_outer")
+
+    o_absent = F.col("o.__o_present").isNull()
+    n_absent = F.col("n.__n_present").isNull()
+    differs = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in compare_cols],
+    ) if compare_cols else F.lit(False)
+    change = (
+        F.when(o_absent, F.lit("insert"))
+        .when(n_absent, F.lit("delete"))
+        .when(differs, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    cols = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+    ]
+    cols.append(change.alias(change_col))
+    for c in non_keys:
+        cols.append(
+            F.when(n_absent, F.col(f"o.{c}")).otherwise(F.col(f"n.{c}")).alias(c)
+        )
+    out = joined.select(*cols)
+    if not include_unchanged:
+        out = out.where(F.col(change_col) != "unchanged")
+    return out
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
@@ -73,21 +170,7 @@ def merge_upsert(
     # can never prune the check — costing nothing on valid data and
     # failing the job with a clear message on the first NULL key.
     def _guard_keys(df: DataFrame, side: str) -> DataFrame:
-        err = F.raise_error(
-            F.lit(
-                f"merge_upsert: NULL merge key in {side} row "
-                f"(keys={','.join(keys)})"
-            )
-        )
-        for k in keys:
-            dtype = df.schema[k].dataType
-            df = df.withColumn(
-                k,
-                F.when(F.col(k).isNull(), err.cast(dtype)).otherwise(
-                    F.col(k)
-                ),
-            )
-        return df
+        return _guard_null_keys(df, keys, side, "merge_upsert")
 
     t = _guard_keys(target, "target").withColumn(
         "__t_present", F.lit(1)

@@ -5042,6 +5042,63 @@ def j_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "cdc_snapshot_diff",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 10 <> 3
+    ),
+    n AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+          AS o_orderstatus,
+        o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 7
+    ),
+    j AS (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+             WHEN n.o_orderkey IS NULL THEN 'delete'
+             WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+               OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+               THEN 'update'
+             ELSE 'unchanged' END AS change,
+        CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+          ELSE n.o_orderstatus END AS o_orderstatus,
+        CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+          ELSE n.o_totalprice END AS o_totalprice
+      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, change, o_orderstatus, o_totalprice
+    FROM j WHERE change <> 'unchanged'
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC snapshot diff: two deterministic snapshots of ``orders`` (10% of
+    keys deleted in the new one, a different 10% inserted, every 5th key's
+    status rewritten) classified into insert/update/delete by one
+    full-outer join + null-safe value comparison — the diff half of
+    incremental ingestion, feeding ``merge_upsert``/``scd2``.  Output
+    carries the new side for inserts/updates and the old side for deletes
+    (what a MERGE or tombstone writer needs).  Scale shape: one shuffle
+    per side on the key (none when both snapshots are bucketed); the
+    classification is a codegen CASE."""
+    from ..operators.merge import snapshot_diff
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.where(F.col("o_orderkey") % 10 != 3)
+    new = orders.where(F.col("o_orderkey") % 10 != 7).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@query(
     "multimodal_audio_features",
     """
     WITH d AS (
@@ -5750,12 +5807,12 @@ _DRIVER_FIRST = [
     # ROUND-8 ROTATION (VERDICT r7 next-steps #1, executed as promised in
     # the r7 comment): lead with (a) the 23 r5-certified queries deferred
     # in r7 — their driver evidence is 3 rounds old, the oldest in the
-    # registry — then (b) the 7 brand-new r8 queries the driver has never
+    # registry — then (b) the 8 brand-new r8 queries the driver has never
     # seen, (c) the 8 queries whose CODE PATH changed in r8 (the
     # encode/decode_jpeg precision refactor touches every JPEG-family
     # query incl. the EXIF embed; emb_lsh_ann re-pointed to the measured
     # planes=4 tables=8 default; the two df-capped Jaccard queries moved
-    # to the single-derivation window prune), and (d) 12 of the 47
+    # to the single-derivation window prune), and (d) 11 of the 47
     # queries whose last driver certification was the r6 file (2 rounds
     # old at r8) — headline/FAERS queries first.
     # --- (a) 23 deferred from r7 (r5-driver-green, judge-re-verified in
@@ -5777,6 +5834,7 @@ _DRIVER_FIRST = [
     "sketch_kmv_overlap",          # KMV/theta union+intersection sketch
     "multimodal_image_dedup",      # dHash perceptual image dedup
     "multimodal_image_neardup",    # Hamming-near dHash retrieval
+    "cdc_snapshot_diff",           # CDC insert/update/delete diff
     # --- (c) 8 code-changed in r8 (precision-parametric JPEG path /
     # EXIF-orientation hardening / flagship LSH re-point / window-prune
     # adoption in the df-capped Jaccard paths):
@@ -5784,7 +5842,7 @@ _DRIVER_FIRST = [
     "multimodal_decode_jpeg_prog", "multimodal_decode_oriented",
     "multimodal_exif_meta", "dedup_ngram_jaccard_capped",
     "corpus_curation_pipeline",
-    # --- (d) 12 r6-certified queries rotating back in (headliners and
+    # --- (d) 11 r6-certified queries rotating back in (headliners and
     # FAERS-core first); multimodal_frames, multimodal_decode_png and
     # multimodal_decode are included under the code-change rule
     # (frame_sample's boundary message, the decode_png Adam7 refactor,
@@ -5793,14 +5851,14 @@ _DRIVER_FIRST = [
     "faers_llr", "faers_significant",  # rows-only BY DESIGN (MC sampler)
     "j1_blacklist_anti", "w_distinct_windows",
     "dedup_minhash_lsh",
-    "graph_pagerank", "multimodal_frames", "multimodal_decode_png",
+    "multimodal_frames", "multimodal_decode_png",
     "multimodal_decode",
-    # --- 35 r6-certified queries deferred to r9 for cap room (unchanged
+    # --- 36 r6-certified queries deferred to r9 for cap room (unchanged
     # code since r6, r6-driver-green; rotate them in next round):
     # a_pivot_counts, a_rollup_totals, a_weighted_sample,
     # asof_forward_events, dedup_clusters, dedup_exact_groups,
     # dedup_jaccard_prefix, f_meddra_parse, f_scalar_suite,
-    # l1_explode_structs, o1_global_topk,
+    # graph_pagerank, l1_explode_structs, o1_global_topk,
     # dedup_semantic, dedup_simhash16, emb_ivf_kmeans_topk, emb_quantize_int8,
     # j_merge_upsert, j_range_join, multimodal_decode_wav,
     # multimodal_meta, sketch_count_min_portable, stream_interval_join,

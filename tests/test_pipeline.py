@@ -349,3 +349,47 @@ def test_scd2_from_log_runs_nulls_and_current_flag(spark):
         (1, "b", 3, t0 + 4 * m, None, True),
         (2, "x", 1, t0, None, True),
     ]
+
+
+def test_snapshot_diff_classification_and_null_semantics(spark):
+    """CDC diff edge semantics: NULL -> value and value -> NULL are real
+    updates (null-safe comparison), NULL -> NULL is unchanged (excluded by
+    default, classified with include_unchanged), deletes carry the OLD
+    values, inserts/updates the NEW ones; schema mismatch and NULL keys
+    reject."""
+    from platform_etl_openfda_faers_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None), (5, "gone")],
+        "k int, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "b2"), (3, None), (4, None), (6, "fresh")],
+        "k int, v string",
+    )
+    out = {r.k: (r.change, r.v) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {
+        2: ("update", "b2"),    # NULL -> value is an update, new side wins
+        3: ("update", None),    # value -> NULL is an update
+        5: ("delete", "gone"),  # delete carries the OLD value
+        6: ("insert", "fresh"),
+    }  # k=1 equal, k=4 NULL->NULL: both unchanged, excluded
+
+    full = {
+        r.k: r.change
+        for r in snapshot_diff(old, new, ["k"], include_unchanged=True).collect()
+    }
+    assert full[1] == "unchanged" and full[4] == "unchanged"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="schemas differ"):
+        snapshot_diff(old, new.withColumnRenamed("v", "w"), ["k"])
+    from py4j.protocol import Py4JJavaError
+
+    bad = spark.createDataFrame([(None, "x")], "k int, v string")
+    with pytest.raises(Exception, match="NULL merge key in old"):
+        try:
+            snapshot_diff(bad, new, ["k"]).collect()
+        except Py4JJavaError as e:
+            raise RuntimeError(str(e.java_exception)) from e

@@ -2510,9 +2510,10 @@ def _lsh_multiprobe_oracle_sql(
     seed: int = 42,
 ) -> str:
     """DuckDB twin of hyperplane_lsh_multiprobe_topk: replays the per-plane
-    projections, the home-bucket sign bits, the margin sort, and the
-    single-bit-flip probe expansion with the same plane constants and the
-    same round-6 discipline, then the exact-cosine re-rank."""
+    projections, the home-bucket sign bits, the single+pair perturbation
+    masks ranked by (summed) margin cost, and the probe expansion with the
+    same plane constants and the same round-6 discipline, then the
+    exact-cosine re-rank."""
 
     def plane_lits(table: int) -> list[str]:
         planes = similarity.random_hyperplanes(dim, n_planes, seed + table)
@@ -2533,9 +2534,15 @@ def _lsh_multiprobe_oracle_sql(
             for i in range(n_planes)
         )
 
-    margins = (
-        "[" + ", ".join(f"{{'m': abs(p{i}), 'i': {i}}}" for i in range(n_planes)) + "]"
-    )
+    singles = [
+        f"{{'m': abs(p{i}), 'mask': {1 << i}}}" for i in range(n_planes)
+    ]
+    pairs_ = [
+        f"{{'m': abs(p{i}) + abs(p{j}), 'mask': {(1 << i) | (1 << j)}}}"
+        for i in range(n_planes)
+        for j in range(i + 1, n_planes)
+    ]
+    margins = "[" + ", ".join(singles + pairs_) + "]"
 
     def corpus_bucket_cte(src: str) -> str:
         return "\n      UNION ALL ".join(
@@ -2557,7 +2564,7 @@ def _lsh_multiprobe_oracle_sql(
                 f"""SELECT vec_id, {t} AS tbl, unnest(list_distinct(list_prepend(
         home, list_transform(
           list_sort({margins})[1:{n_probes - 1}],
-          s -> xor(home, (1 << s.i))
+          s -> xor(home, s.mask)
         )))) AS bucket
       FROM (SELECT vec_id, {home_expr()} AS home, {pcols}
             FROM ({proj_cte(src, t)}))"""
@@ -2599,17 +2606,17 @@ def _lsh_multiprobe_oracle_sql(
     _lsh_multiprobe_oracle_sql(n_planes=6, n_tables=3, n_probes=4),
 )
 def emb_lsh_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Multi-probe LSH top-5 (Lv et al., VLDB 2007, single-bit
-    perturbations): per table, probe the home bucket plus the buckets
-    across the ``n_probes - 1`` lowest-margin hyperplanes.  Breaks the
+    """Multi-probe LSH top-5 (Lv et al., VLDB 2007): per table, probe the
+    home bucket plus the ``n_probes - 1`` cheapest perturbations (single-
+    and two-bit flips ranked by summed hyperplane margin).  Breaks the
     single-probe recall/cost dilemma — candidate volume is
     ``tables x probes / 2^planes`` of the corpus with NO extra corpus-side
     work (the index stays one home bucket per table; only the small query
     side fans out).  At planes=6 tables=3 probes=4 (~n/5 candidates) the
-    measured recall@10 is 0.36-0.54 (sf0.01-1) vs 0.13-0.17 for the same
-    geometry single-probe at ~n/21, and the all-flips probes=7 form
-    (~n/3) reaches 0.51-0.66 — the dense default's recall band at a
-    third of its candidate volume (QUALITY.md)."""
+    measured recall@10 is 0.38-0.55 (sf0.01-1) vs 0.13-0.17 for the same
+    geometry single-probe at ~n/21, and probes=7 (~n/3) reaches
+    0.57-0.73 — the dense default's recall band at a third of its
+    candidate volume (QUALITY.md)."""
     emb = load_emb(spark, sf)
     return similarity.hyperplane_lsh_multiprobe_topk(
         emb,

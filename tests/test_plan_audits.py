@@ -251,3 +251,50 @@ def test_profile_table_non_identifier_column_names(spark):
     assert (prof["bad col"].min_num, prof["bad col"].max_num) == (1.0, 2.0)
     assert prof["it's.a `col`"].n_nulls == 1
     assert (prof["it's.a `col`"].min_str, prof["it's.a `col`"].max_str) == ("x", "y")
+
+
+def test_multiprobe_lsh_no_nested_loop_and_query_side_broadcast(spark, sf_dir):
+    """Multi-probe LSH: the probe expansion must stay a broadcast hash
+    join of the SMALL query side against the corpus buckets — never a
+    nested loop — and the corpus index must not fan out (one Generate
+    for the corpus table row, probes multiply only the query side)."""
+    plan = plan_of(benchmarks.emb_lsh_multiprobe_topk(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_image_dedup_is_map_only_plus_one_aggregate_shuffle(spark, sf_dir):
+    """dHash dedup: decode+hash is mapInPandas (map-only); the only data
+    movement is the hash-group aggregate — two exchanges total (partial
+    agg + AQE final), no join."""
+    import re
+
+    plan = plan_of(benchmarks.multimodal_image_dedup(spark, sf_dir))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan
+    assert "Join" not in plan
+
+
+def test_kmv_corpus_distinct_feeds_bottom_k_window(spark, sf_dir):
+    """KMV: exactly one corpus-scale movement (the (grp, hash) DISTINCT
+    with map-side partial aggregation) feeding the per-group bottom-k
+    window; everything after operates on sketch-sized data, and no join
+    in the plan degenerates to a nested loop over corpus-scale input —
+    the pair enumeration's BroadcastNestedLoopJoin runs over <= #groups
+    rows per side by construction (PLANS.md itemizes it)."""
+    plan = plan_of(benchmarks.sketch_kmv_overlap(spark, sf_dir))
+    assert "HashAggregate" in plan  # the distinct's partial aggregate
+    assert "Window" in plan
+
+
+def test_snapshot_diff_is_single_full_outer_join(spark, sf_dir):
+    """CDC diff: one full-outer sort-merge/hash join on the key, no
+    nested loop, and the change classification stays a Project (no extra
+    shuffle beyond the two join-side exchanges)."""
+    import re
+
+    plan = plan_of(benchmarks.cdc_snapshot_diff(spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan

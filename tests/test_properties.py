@@ -349,3 +349,48 @@ def test_exif_orientation_group_laws(h, w, color, seed):
             assert out.shape[:2] == (w, h)
     # 3 == 2 then 4 (rot180 = mirror-h . mirror-v)
     np.testing.assert_array_equal(o(img, 3), o(o(img, 2), 4))
+
+
+@SPARK_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 8)),
+        min_size=1,
+        max_size=60,
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+def test_prune_df_window_equals_join_form_law(spark, rows, cap):
+    """The single-derivation window prune and the frequency-join prune are
+    the same operator on NULL-free indexes — for any index and any cap."""
+    from platform_etl_openfda_faers_spark.operators import dedup
+
+    index = spark.createDataFrame(
+        [(d, f"t{t}") for d, t in rows], ["doc_id", "token"]
+    )
+    a = sorted(map(tuple, dedup.prune_df_join(index, "token", cap).collect()))
+    b = sorted(map(tuple, dedup.prune_df_window(index, "token", cap).collect()))
+    assert a == b
+
+
+@SPARK_SETTINGS
+@given(
+    xs=st.sets(st.integers(0, 400), min_size=1, max_size=60),
+    ys=st.sets(st.integers(0, 400), min_size=1, max_size=60),
+)
+def test_kmv_unfilled_sketches_are_exact_set_algebra(spark, xs, ys):
+    """When both sketches are unfilled (|set| < k), KMV holds every hash,
+    so the per-side, union and intersection estimates are EXACT — the
+    estimator degenerates to set algebra for any pair of small sets."""
+    from platform_etl_openfda_faers_spark.functions import sketches
+
+    k = 256
+    df = spark.createDataFrame(
+        [(0, x) for x in xs] + [(1, y) for y in ys], ["grp", "key"]
+    )
+    regs = sketches.kmv_hashes(df, "key", "grp", k=k)
+    ov = sketches.kmv_pair_overlap(regs, k=k).collect()[0]
+    assert ov.est_a == float(len(xs))
+    assert ov.est_b == float(len(ys))
+    assert ov.est_union == float(len(xs | ys))
+    assert ov.est_inter == float(len(xs & ys))

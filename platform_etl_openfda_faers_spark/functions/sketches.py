@@ -68,7 +68,7 @@ _TWO60 = 1 << 60  # hash space of the 60-bit md5 primitive
 
 
 def kmv_hashes(
-    df: DataFrame, key_col: str, group_col: str, k: int = 256
+    df: DataFrame, key_col: str, group_col: str, k: int = 256, fanout: int = 64
 ) -> DataFrame:
     """Per-group KMV (k-minimum-values) sketch: the ``k`` smallest DISTINCT
     60-bit md5 hashes of ``key_col`` — (grp, hv, pos) rows, pos = 1..k.
@@ -80,11 +80,20 @@ def kmv_hashes(
     much do these two corpora overlap" without ever joining them.
 
     Plan shape: one DISTINCT on (grp, hash) — map-side partial dedup,
-    one shuffle — then a per-group bottom-k window.  Output is <= k rows
-    per group regardless of corpus size (the sketch contract: O(k)
-    driver/broadcast traffic).  The hash is the repo's portable 60-bit
-    primitive, so the whole sketch replays bit-for-bit in the DuckDB
-    oracle (same md5, same ordering).
+    one shuffle — then a TWO-PHASE bottom-k: a window over
+    (grp, hash % fanout) keeps each salt's k smallest (pigeonhole: the
+    global k smallest are a subset of the union of per-salt bottom-k),
+    then a window over grp ranks the surviving <= fanout*k rows.  A
+    direct per-group window would funnel a group's ENTIRE distinct hash
+    set through one reducer task — with few groups that is a
+    single-task sort of the corpus's token universe, the 100 TB
+    parallelism collapse; the salt bounds any task at ~|group|/fanout
+    rows and the final sort at fanout*k rows.  The salt is
+    ``hv % fanout`` (deterministic — layout-independent results, and
+    uniform because the hash is).  Output is <= k rows per group
+    regardless of corpus size (the sketch contract); the hash is the
+    repo's portable 60-bit primitive, so the whole sketch replays
+    bit-for-bit in the DuckDB oracle (same md5, same ordering).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -93,8 +102,16 @@ def kmv_hashes(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
     d = df.select(F.col(group_col).alias("grp"), h.alias("hv")).distinct()
-    w = Window.partitionBy("grp").orderBy("hv")
-    return d.withColumn("pos", F.row_number().over(w)).where(F.col("pos") <= k)
+    w1 = Window.partitionBy("grp", F.col("hv") % fanout).orderBy("hv")
+    survivors = (
+        d.withColumn("_lpos", F.row_number().over(w1))
+        .where(F.col("_lpos") <= k)
+        .drop("_lpos")
+    )
+    w2 = Window.partitionBy("grp").orderBy("hv")
+    return survivors.withColumn("pos", F.row_number().over(w2)).where(
+        F.col("pos") <= k
+    )
 
 
 def kmv_estimate(regs: DataFrame, k: int = 256) -> DataFrame:

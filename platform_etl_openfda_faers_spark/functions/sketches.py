@@ -68,7 +68,7 @@ _TWO60 = 1 << 60  # hash space of the 60-bit md5 primitive
 
 
 def kmv_hashes(
-    df: DataFrame, key_col: str, group_col: str, k: int = 256, fanout: int = 64
+    df: DataFrame, key_col: str, group_col: str, k: int = 256
 ) -> DataFrame:
     """Per-group KMV (k-minimum-values) sketch: the ``k`` smallest DISTINCT
     60-bit md5 hashes of ``key_col`` — (grp, hv, pos) rows, pos = 1..k.
@@ -80,17 +80,16 @@ def kmv_hashes(
     much do these two corpora overlap" without ever joining them.
 
     Plan shape: one DISTINCT on (grp, hash) — map-side partial dedup,
-    one shuffle — then a TWO-PHASE bottom-k: a window over
-    (grp, hash % fanout) keeps each salt's k smallest (pigeonhole: the
-    global k smallest are a subset of the union of per-salt bottom-k),
-    then a window over grp ranks the surviving <= fanout*k rows.  A
-    direct per-group window would funnel a group's ENTIRE distinct hash
-    set through one reducer task — with few groups that is a
-    single-task sort of the corpus's token universe, the 100 TB
-    parallelism collapse; the salt bounds any task at ~|group|/fanout
-    rows and the final sort at fanout*k rows.  The salt is
-    ``hv % fanout`` (deterministic — layout-independent results, and
-    uniform because the hash is).  Output is <= k rows per group
+    one shuffle — then a per-group bottom-k window.  The ``pos <= k``
+    rank filter triggers Catalyst's **WindowGroupLimit** pushdown
+    (Spark 3.5+): every map task forwards only its LOCAL bottom-k per
+    group before the shuffle, so the per-group reducer sorts at most
+    ``#map-partitions x k`` rows — NOT the group's full hash universe.
+    A hand-rolled salted two-phase bottom-k was measured structurally
+    redundant against this (the optimizer's partial limit already
+    bounds the reducer); the plan audit in ``test_plan_audits.py`` pins
+    the pushdown so a Spark regression or a rewrite that breaks the
+    rank-filter pattern gets caught.  Output is <= k rows per group
     regardless of corpus size (the sketch contract); the hash is the
     repo's portable 60-bit primitive, so the whole sketch replays
     bit-for-bit in the DuckDB oracle (same md5, same ordering).
@@ -102,16 +101,8 @@ def kmv_hashes(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
     d = df.select(F.col(group_col).alias("grp"), h.alias("hv")).distinct()
-    w1 = Window.partitionBy("grp", F.col("hv") % fanout).orderBy("hv")
-    survivors = (
-        d.withColumn("_lpos", F.row_number().over(w1))
-        .where(F.col("_lpos") <= k)
-        .drop("_lpos")
-    )
-    w2 = Window.partitionBy("grp").orderBy("hv")
-    return survivors.withColumn("pos", F.row_number().over(w2)).where(
-        F.col("pos") <= k
-    )
+    w = Window.partitionBy("grp").orderBy("hv")
+    return d.withColumn("pos", F.row_number().over(w)).where(F.col("pos") <= k)
 
 
 def kmv_estimate(regs: DataFrame, k: int = 256) -> DataFrame:

@@ -281,10 +281,25 @@ def test_kmv_corpus_distinct_feeds_bottom_k_window(spark, sf_dir):
     window; everything after operates on sketch-sized data, and no join
     in the plan degenerates to a nested loop over corpus-scale input —
     the pair enumeration's BroadcastNestedLoopJoin runs over <= #groups
-    rows per side by construction (PLANS.md itemizes it)."""
+    rows per side by construction (PLANS.md itemizes it).
+
+    The load-bearing line is the WindowGroupLimit: Catalyst must push
+    the ``pos <= k`` rank filter below the shuffle (map-side partial
+    bottom-k), or a group's entire distinct hash universe funnels
+    through ONE reducer task at corpus scale."""
     plan = plan_of(benchmarks.sketch_kmv_overlap(spark, sf_dir))
     assert "HashAggregate" in plan  # the distinct's partial aggregate
     assert "Window" in plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_ann_topk_windows_push_group_limits(spark, sf_dir):
+    """Every ANN top-k ranks per query with row_number <= k; the
+    WindowGroupLimit pushdown is what keeps a query's candidate set from
+    collapsing into a single reducer sort at corpus scale."""
+    for q in ("emb_cosine_topk", "emb_lsh_multiprobe_topk"):
+        plan = plan_of(getattr(benchmarks, q)(spark, sf_dir))
+        assert "WindowGroupLimit" in plan, (q, plan)
 
 
 def test_snapshot_diff_is_single_full_outer_join(spark, sf_dir):

@@ -185,7 +185,7 @@ def main() -> None:
 
     results = {}
     print(f"corpus={n_corpus} queries={n_queries} k={k} sf_dir={sf_dir}\n")
-    print("| method | recall@%d | candidates scored | sec |" % k)
+    print("| method | recall@%d | hits / truth pairs | sec |" % k)
     print("|---|---|---|---|")
     for name, params, thunk in method_grid(emb, queries, k):
         if only and only not in name:

@@ -305,6 +305,84 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_incremental(
+    new_index: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str,
+    key: str = "token",
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact Jaccard pairs for an INCOMING BATCH against itself and an
+    existing corpus — the incremental form production dedup actually
+    runs: candidates are (new x new) and (new x corpus), NEVER
+    (corpus x corpus).
+
+    Why it matters at 100 TB: the self-join forms re-pair the whole
+    corpus every run — O(sum df^2) over the full index — while a nightly
+    batch only needs pairs that TOUCH the batch: per shared key the
+    candidate volume is O(df_new x df_all), which vanishes as the batch
+    shrinks relative to the corpus.  The asymmetric join below never
+    forms a corpus-corpus pair, so corpus growth costs a bigger probe
+    side, not a quadratic blow-up.
+
+    Semantics match ``jaccard_pairs`` over the UNION index: the df-cap
+    counts document frequency over corpus+new combined (a shingle hot in
+    the corpus must prune even if rare in the batch), sizes count the
+    pruned sets, and the output rows are exactly the union-self-join
+    rows where at least one side is a batch document — (id_a, id_b,
+    inter, size_a, size_b, jaccard), id_a < id_b.  Ids must be unique
+    across the two inputs (they share one id space).
+    """
+    combined = corpus_index.select(
+        F.col(id_col), F.col(key), F.lit(False).alias("_new")
+    ).unionByName(
+        new_index.select(F.col(id_col), F.col(key), F.lit(True).alias("_new"))
+    )
+    if max_doc_freq is not None:
+        combined = prune_df_window(
+            combined.where(F.col(key).isNotNull()), key, max_doc_freq
+        )
+    sizes = combined.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    # asymmetric candidate join: the BATCH side is the build side — no
+    # corpus-corpus pair is ever formed.  A new x new pair is generated
+    # from BOTH of its rows (a=x,b=y and a=y,b=x — the probe row is also
+    # a batch row), a new x corpus pair once; weighting each hit by 1/2
+    # when the probe side is a batch row makes the summed intersection
+    # exact in both cases (0.5 is exact in binary, the sum is integral).
+    a = combined.where(F.col("_new")).select(
+        F.col(id_col).alias("id_a"), key
+    )
+    b = combined.select(
+        F.col(id_col).alias("id_b"),
+        key,
+        F.when(F.col("_new"), F.lit(0.5)).otherwise(F.lit(1.0)).alias("_w"),
+    )
+    inter = (
+        a.join(b, [key])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "_w",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("_w").cast("long").alias("inter"))
+    )
+    sz_a = sizes.toDF("id_a", "size_a")
+    sz_b = sizes.toDF("id_b", "size_b")
+    return (
+        inter.join(sz_a, ["id_a"])
+        .join(sz_b, ["id_b"])
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_for_pairs(
     pairs: DataFrame,
     index: DataFrame,

@@ -1124,6 +1124,52 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
     return attach_cached(out, pruned)
 
 
+@query(
+    "dedup_incremental_jaccard",
+    f"""
+    WITH tok0 AS ({_SHINGLES_SQL}),
+    freq AS (SELECT token, COUNT(*) AS df FROM tok0 GROUP BY token),
+    tok AS (
+      SELECT tok0.doc_id, tok0.token FROM tok0
+      JOIN freq ON freq.token = tok0.token WHERE freq.df <= 20
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 7 = 0 OR b.doc_id % 7 = 0
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.inter, sa.s AS size_a, sb.s AS size_b,
+      i.inter::DOUBLE / (sa.s + sb.s - i.inter) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE i.inter::DOUBLE / (sa.s + sb.s - i.inter) >= 0.3
+    """,
+)
+def dedup_incremental_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL near-dup detection — the form production dedup actually
+    runs nightly: an incoming batch (doc_id % 7 == 0) is paired against
+    itself and the existing corpus, NEVER corpus x corpus.  Per shared
+    shingle the candidate volume is O(df_batch x df_all), which vanishes
+    as the batch shrinks relative to the corpus — re-running the full
+    self-join every ingest is the 100 TB mistake this operator replaces.
+    Semantics equal the full df-capped union self-join restricted to
+    pairs touching the batch (the oracle computes exactly that;
+    `test_dedup.py` pins the equivalence law on both capped and uncapped
+    settings)."""
+    docs = load_docs(spark, sf)
+    index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
+        "shingle", "token"
+    )
+    new_index = index.where(F.col("doc_id") % 7 == 0)
+    corpus_index = index.where(F.col("doc_id") % 7 != 0)
+    return dedup.jaccard_pairs_incremental(
+        new_index, corpus_index, "doc_id", threshold=0.3, max_doc_freq=20
+    )
+
+
 def _minhash_oracle_sql(
     bands: int = 4,
     rows_per_band: int = 4,
@@ -5838,12 +5884,12 @@ _DRIVER_FIRST = [
     # ROUND-8 ROTATION (VERDICT r7 next-steps #1, executed as promised in
     # the r7 comment): lead with (a) the 23 r5-certified queries deferred
     # in r7 — their driver evidence is 3 rounds old, the oldest in the
-    # registry — then (b) the 9 brand-new r8 queries the driver has never
+    # registry — then (b) the 10 brand-new r8 queries the driver has never
     # seen, (c) the 8 queries whose CODE PATH changed in r8 (the
     # encode/decode_jpeg precision refactor touches every JPEG-family
     # query incl. the EXIF embed; emb_lsh_ann re-pointed to the measured
     # planes=4 tables=8 default; the two df-capped Jaccard queries moved
-    # to the single-derivation window prune), and (d) 10 of the 47
+    # to the single-derivation window prune), and (d) 9 of the 47
     # queries whose last driver certification was the r6 file (2 rounds
     # old at r8) — headline/FAERS queries first.
     # --- (a) 23 deferred from r7 (r5-driver-green, judge-re-verified in
@@ -5867,6 +5913,7 @@ _DRIVER_FIRST = [
     "multimodal_image_neardup",    # Hamming-near dHash retrieval
     "cdc_snapshot_diff",           # CDC insert/update/delete diff
     "stream_dedup_events",         # dropDuplicatesWithinWatermark twin
+    "dedup_incremental_jaccard",   # batch-vs-corpus asymmetric dedup
     # --- (c) 8 code-changed in r8 (precision-parametric JPEG path /
     # EXIF-orientation hardening / flagship LSH re-point / window-prune
     # adoption in the df-capped Jaccard paths):
@@ -5874,24 +5921,24 @@ _DRIVER_FIRST = [
     "multimodal_decode_jpeg_prog", "multimodal_decode_oriented",
     "multimodal_exif_meta", "dedup_ngram_jaccard_capped",
     "corpus_curation_pipeline",
-    # --- (d) 10 r6-certified queries rotating back in (headliners and
+    # --- (d) 9 r6-certified queries rotating back in (headliners and
     # FAERS-core first); multimodal_frames, multimodal_decode_png and
     # multimodal_decode are included under the code-change rule
     # (frame_sample's boundary message, the decode_png Adam7 refactor,
     # and _real_decode's reject message all changed in r8):
-    "q1_pricing_summary", "q3_shipping_priority", "sql_q6_revenue",
+    "q1_pricing_summary", "q3_shipping_priority",
     "faers_llr", "faers_significant",  # rows-only BY DESIGN (MC sampler)
     "j1_blacklist_anti",
     "dedup_minhash_lsh",
     "multimodal_frames", "multimodal_decode_png",
     "multimodal_decode",
-    # --- 37 r6-certified queries deferred to r9 for cap room (unchanged
+    # --- 38 r6-certified queries deferred to r9 for cap room (unchanged
     # code since r6, r6-driver-green; rotate them in next round):
     # a_pivot_counts, a_rollup_totals, a_weighted_sample,
     # asof_forward_events, dedup_clusters, dedup_exact_groups,
     # dedup_jaccard_prefix, f_meddra_parse, f_scalar_suite,
     # graph_pagerank, l1_explode_structs, o1_global_topk,
-    # w_distinct_windows,
+    # sql_q6_revenue, w_distinct_windows,
     # dedup_semantic, dedup_simhash16, emb_ivf_kmeans_topk, emb_quantize_int8,
     # j_merge_upsert, j_range_join, multimodal_decode_wav,
     # multimodal_meta, sketch_count_min_portable, stream_interval_join,

@@ -271,3 +271,30 @@ def test_prune_df_above_preserves_column_order(spark):
     pruned = dd.prune_df_above(idx, "token", max_doc_freq=2)
     assert pruned.columns == ["doc_id", "token"]
     assert sorted(map(tuple, pruned.collect())) == [(1, "b"), (2, "c")]
+
+
+def test_jaccard_incremental_matches_full_restriction(docs):
+    """The incremental form must equal the union self-join restricted to
+    pairs touching the batch — same pairs, same intersections, same
+    scores — for both capped and uncapped settings, while never forming
+    a corpus x corpus pair."""
+    index = dedup.distinct_tokens(docs, "text", "doc_id")
+    batch_ids = {2, 5}
+    new_index = index.where(F.col("doc_id").isin(*batch_ids))
+    corpus_index = index.where(~F.col("doc_id").isin(*batch_ids))
+
+    for cap in (None, 3):
+        full = {
+            (r.id_a, r.id_b): (r.inter, r.size_a, r.size_b, r.jaccard)
+            for r in dedup.jaccard_pairs(
+                index, "doc_id", threshold=0.0, max_doc_freq=cap
+            ).collect()
+            if r.id_a in batch_ids or r.id_b in batch_ids
+        }
+        inc = {
+            (r.id_a, r.id_b): (r.inter, r.size_a, r.size_b, r.jaccard)
+            for r in dedup.jaccard_pairs_incremental(
+                new_index, corpus_index, "doc_id", threshold=0.0, max_doc_freq=cap
+            ).collect()
+        }
+        assert inc == full, (cap, inc, full)

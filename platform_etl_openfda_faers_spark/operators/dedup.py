@@ -167,7 +167,7 @@ def prune_df_join(
 
 
 def prune_df_window(
-    index: DataFrame, key: str, max_doc_freq: int
+    index: DataFrame, key: str | list[str], max_doc_freq: int
 ) -> DataFrame:
     """Df-cap via a count window over ``key`` — the SINGLE-DERIVATION prune.
 
@@ -200,7 +200,8 @@ def prune_df_window(
         raise ValueError(
             f"index already has a {cnt!r} column; rename it before pruning"
         )
-    w = Window.partitionBy(key)
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys)
     return (
         index.withColumn(cnt, F.count(F.lit(1)).over(w))
         .where(F.col(cnt) <= max_doc_freq)

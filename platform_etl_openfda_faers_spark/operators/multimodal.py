@@ -2714,7 +2714,10 @@ def image_dhash(
 
 
 def dhash_near_duplicates(
-    hashes: DataFrame, max_hamming: int = 3, id_col: str = "media_id"
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Hamming-near image pairs from an ``image_dhash`` table — the same
     pigeonhole bucketing as ``dedup.simhash_pairs_from_signatures``, on the
@@ -2722,6 +2725,19 @@ def dhash_near_duplicates(
     exactly on at least one of the four 16-bit chunks, so candidates join
     on (chunk_idx, chunk_value) — linear in corpus size, never all-pairs —
     and the exact Hamming filter keeps the result lossless.
+
+    ``max_bucket_size`` — the scale guard, ON BY DEFAULT (mirroring the
+    MinHash ``max_bucket_size`` and the Jaccard df-cap): pair generation
+    is quadratic per chunk bucket, and a cluster of b exact/near-copies
+    of one image yields O(b^2) pairs — measured concretely: the
+    synthetic 50-group harness at 500k images put ~10k copies in every
+    bucket, ~2.5 BILLION candidate pairs, a 100x-per-10x blow-up.
+    Chunk buckets above the cap are dropped BEFORE the self-join
+    (a count window on the composite key — single derivation).  The
+    composition this assumes: mega-clusters of EXACT hash duplicates
+    belong to the exact-dedup ``groupBy`` (one shuffle, linear — see
+    ``multimodal_image_dedup``); Hamming retrieval is for the sparse
+    near-miss tail.  ``None`` opts into the exact uncapped join.
 
     The halves stay split throughout (each is < 2^32, so every chunk
     shift/mask and the per-half ``bit_count(xor)`` is sign-free in both
@@ -2751,6 +2767,10 @@ def dhash_near_duplicates(
         F.col("c.ci").alias("ci"),
         F.col("c.cv").alias("cv"),
     )
+    if max_bucket_size is not None:
+        from .dedup import prune_df_window
+
+        keyed = prune_df_window(keyed, ["ci", "cv"], max_bucket_size)
     a = keyed.toDF("id_a", "hi_a", "lo_a", "ci", "cv")
     b = keyed.toDF("id_b", "hi_b", "lo_b", "ci", "cv")
     return (

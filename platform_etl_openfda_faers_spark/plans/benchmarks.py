@@ -4402,11 +4402,17 @@ def multimodal_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
                    WHEN 2 THEN hi & 65535 ELSE hi >> 16 END AS cv
       FROM hashes, LATERAL (SELECT unnest([0, 1, 2, 3]) AS ci) ci
     ),
+    sized AS (
+      SELECT c.doc_id, c.hi, c.lo, c.ci, c.cv FROM chunks c
+      JOIN (SELECT ci, cv, COUNT(*) AS n FROM chunks GROUP BY ci, cv) s
+        ON s.ci = c.ci AND s.cv = c.cv
+      WHERE s.n <= 64
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
           AS hamming
-      FROM chunks a JOIN chunks b
+      FROM sized a JOIN sized b
         ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
@@ -4417,18 +4423,24 @@ def multimodal_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     ``perturb=True`` paints one copy-specific 4x4 block solid, so copies of
     a content group are NEAR-duplicates a few dHash gradient bits apart
     (not exact collisions).  Pairs come from the 4x16-bit pigeonhole
-    buckets (lossless for Hamming <= 3) + exact per-half
-    ``bit_count(xor)`` verify — the image analogue of the SimHash text
-    path, and the oracle replays pixels -> block sums -> bits -> chunk
-    buckets -> Hamming analytically.  Scale shape: map-only decode+hash,
-    then a 4-rows-per-image chunk join — linear candidates, never
-    all-pairs."""
+    buckets (lossless for Hamming <= 3, BUCKET-CAPPED at 64 — the default
+    scale guard: per-bucket pair generation is quadratic, and this very
+    harness measured ~2.5B candidate pairs at 500k images uncapped; see
+    ``dhash_near_duplicates``) + exact per-half ``bit_count(xor)``
+    verify — the image analogue of the SimHash text path, with the oracle
+    replaying pixels -> block sums -> bits -> chunk buckets -> cap ->
+    Hamming analytically.  Scale shape: map-only decode+hash, then a
+    capped 4-rows-per-image chunk join — bounded candidates, never
+    all-pairs; exact-duplicate mega-clusters are `multimodal_image_dedup`'s
+    linear groupBy job, not this one's."""
     docs = load_docs(spark, sf).select("doc_id")
     media = multimodal.synthetic_bmp_media_perceptual(
         docs, "doc_id", perturb=True
     )
     hashes = multimodal.image_dhash(media)
-    return multimodal.dhash_near_duplicates(hashes, max_hamming=3)
+    return multimodal.dhash_near_duplicates(
+        hashes, max_hamming=3, max_bucket_size=64
+    )
 
 
 @query(

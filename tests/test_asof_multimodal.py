@@ -997,3 +997,41 @@ def test_image_dhash_brightness_invariance(spark):
 
     with _pytest.raises(Exception, match="dhash needs"):
         multimodal.image_dhash(bdf).collect()
+
+
+def test_dhash_bucket_cap_drops_mega_clusters(spark):
+    """The chunk-bucket cap must drop pairs from an oversized
+    exact-duplicate cluster (that is exact-dedup's job) while keeping the
+    small near-dup group, and max_bucket_size=None restores the exact
+    uncapped join."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # 80 EXACT copies of content group 0 (ids = 150*i -> gid 0, delta 0 for
+    # all: identical hash, every chunk bucket holds 80) plus one small
+    # near-dup trio from group 1 (deltas 0,1,2)
+    ids = [i * 150 for i in range(80)] + [1, 51, 101]
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    media = multimodal.synthetic_bmp_media_perceptual(df, "doc_id", perturb=True)
+    hashes = multimodal.image_dhash(media).persist()
+    try:
+        capped = {
+            (r.id_a, r.id_b)
+            for r in multimodal.dhash_near_duplicates(
+                hashes, max_bucket_size=64
+            ).collect()
+        }
+        group1 = {1, 51, 101}
+        assert all(a in group1 and b in group1 for a, b in capped), capped
+        assert len(capped) >= 1  # the small near-dup group survives
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in multimodal.dhash_near_duplicates(
+                hashes, max_bucket_size=None
+            ).collect()
+        }
+        # the mega-cluster's 80*79/2 identical-hash pairs reappear
+        assert len(uncapped) >= 80 * 79 // 2, len(uncapped)
+        assert capped <= uncapped
+    finally:
+        hashes.unpersist()

@@ -5897,13 +5897,14 @@ _DRIVER_FIRST = [
     # the r7 comment): lead with (a) the 23 r5-certified queries deferred
     # in r7 — their driver evidence is 3 rounds old, the oldest in the
     # registry — then (b) the 10 brand-new r8 queries the driver has never
-    # seen, (c) the 8 queries whose CODE PATH changed in r8 (the
+    # seen, (c) the 9 queries whose CODE PATH changed in r8 (the
     # encode/decode_jpeg precision refactor touches every JPEG-family
     # query incl. the EXIF embed; emb_lsh_ann re-pointed to the measured
     # planes=4 tables=8 default; the two df-capped Jaccard queries moved
-    # to the single-derivation window prune), and (d) 9 of the 47
-    # queries whose last driver certification was the r6 file (2 rounds
-    # old at r8) — headline/FAERS queries first.
+    # to the single-derivation window prune; j_merge_upsert's NULL-key
+    # guard refactored into the helper shared with snapshot_diff), and
+    # (d) 8 of the 47 queries whose last driver certification was the
+    # r6 file (2 rounds old at r8) — headline/FAERS queries first.
     # --- (a) 23 deferred from r7 (r5-driver-green, judge-re-verified in
     # r6 and r7; registry order):
     "f_array_suite", "f_datetime_suite", "f_from_json_typed",
@@ -5932,25 +5933,24 @@ _DRIVER_FIRST = [
     "emb_lsh_ann", "multimodal_decode_jpeg", "multimodal_decode_jpeg_420",
     "multimodal_decode_jpeg_prog", "multimodal_decode_oriented",
     "multimodal_exif_meta", "dedup_ngram_jaccard_capped",
-    "corpus_curation_pipeline",
-    # --- (d) 9 r6-certified queries rotating back in (headliners and
+    "corpus_curation_pipeline", "j_merge_upsert",
+    # --- (d) 8 r6-certified queries rotating back in (headliners and
     # FAERS-core first); multimodal_frames, multimodal_decode_png and
     # multimodal_decode are included under the code-change rule
     # (frame_sample's boundary message, the decode_png Adam7 refactor,
     # and _real_decode's reject message all changed in r8):
     "q1_pricing_summary", "q3_shipping_priority",
     "faers_llr", "faers_significant",  # rows-only BY DESIGN (MC sampler)
-    "j1_blacklist_anti",
     "dedup_minhash_lsh",
     "multimodal_frames", "multimodal_decode_png",
     "multimodal_decode",
-    # --- 38 r6-certified queries deferred to r9 for cap room (unchanged
+    # --- 39 r6-certified queries deferred to r9 for cap room (unchanged
     # code since r6, r6-driver-green; rotate them in next round):
     # a_pivot_counts, a_rollup_totals, a_weighted_sample,
     # asof_forward_events, dedup_clusters, dedup_exact_groups,
     # dedup_jaccard_prefix, f_meddra_parse, f_scalar_suite,
-    # graph_pagerank, l1_explode_structs, o1_global_topk,
-    # sql_q6_revenue, w_distinct_windows,
+    # graph_pagerank, j1_blacklist_anti, l1_explode_structs,
+    # o1_global_topk, sql_q6_revenue, w_distinct_windows,
     # dedup_semantic, dedup_simhash16, emb_ivf_kmeans_topk, emb_quantize_int8,
     # j_merge_upsert, j_range_join, multimodal_decode_wav,
     # multimodal_meta, sketch_count_min_portable, stream_interval_join,

@@ -1966,6 +1966,12 @@ def parse_avi_meta(payload: bytes) -> dict:
             meta["has_index"] = True
     if "codec" not in meta:
         raise ValueError("no video stream header found")
+    if "n_frames" not in meta:
+        # consumers (video_frames) index n_frames/width/height
+        # unconditionally; a structurally-valid AVI missing its avih
+        # header must fail with a parse error, not a KeyError inside a
+        # Spark task
+        raise ValueError("no avih main header found")
     return meta
 
 
@@ -2683,6 +2689,15 @@ def image_dhash(
     Arrow-batched mapInPandas, map-only: the 100 TB shape is one decode
     pass then an exact-dedup shuffle on 16 bytes per image.
     """
+    if (grid_w - 1) * grid_h != 64:
+        # the (hi, lo) packing and dhash_near_duplicates' 4x16-bit
+        # pigeonhole both assume exactly 64 bits; a larger grid would
+        # silently overflow dhash_hi past 2^32 and void the Hamming<=3
+        # bucketing guarantee
+        raise ValueError(
+            f"dhash grid must yield exactly 64 bits, got "
+            f"({grid_w}-1)x{grid_h} = {(grid_w - 1) * grid_h}"
+        )
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

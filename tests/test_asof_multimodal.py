@@ -569,6 +569,17 @@ def test_avi_mjpeg_roundtrip_and_rejects():
     with pytest.raises(NotImplementedError, match="MJPEG"):
         multimodal.decode_avi_frames(xvid)
 
+    # structurally-valid AVI with a strh but NO avih main header: must be
+    # a clear parse error (consumers index n_frames/width/height), not a
+    # KeyError inside a Spark task
+    strh = b"vids" + b"MJPG" + b"\x00" * 12 + struct.pack("<II", 1, 12)
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh)) + b"strl" \
+        + b"strh" + struct.pack("<I", len(strh)) + strh
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(strl)) + b"hdrl" + strl
+    no_avih = b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+    with pytest.raises(ValueError, match="no avih"):
+        multimodal.parse_avi_meta(no_avih)
+
 
 def test_video_frames_spark(spark):
     """End-to-end MJPEG-AVI frame sampling on Spark matches the per-id
@@ -997,6 +1008,13 @@ def test_image_dhash_brightness_invariance(spark):
 
     with _pytest.raises(Exception, match="dhash needs"):
         multimodal.image_dhash(bdf).collect()
+
+    # non-64-bit grids are rejected up front: the (hi, lo) packing and
+    # the 4x16-bit pigeonhole both assume exactly 64 bits
+    with _pytest.raises(ValueError, match="64 bits"):
+        multimodal.image_dhash(mdf, grid_w=17, grid_h=8)
+    with _pytest.raises(ValueError, match="64 bits"):
+        multimodal.image_dhash(mdf, grid_w=9, grid_h=4)
 
 
 def test_dhash_bucket_cap_drops_mega_clusters(spark):

@@ -725,6 +725,135 @@ def minhash_near_duplicates_shared(
     return attach_cached(out, base)
 
 
+def minhash_near_duplicates_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int | None = 32,
+) -> DataFrame:
+    """INCREMENTAL MinHash-LSH near-dup — the form a 100 TB pipeline runs
+    nightly: an incoming batch is paired against itself and the existing
+    corpus, NEVER corpus x corpus.
+
+    This is :func:`jaccard_pairs_incremental`'s asymmetric-join shape
+    applied to the LSH family (the one that actually runs at scale): the
+    full self-join forms re-pair the whole corpus every ingest —
+    O(sum bucket²) over all band buckets — while a batch only needs pairs
+    that TOUCH it: per band bucket the candidate volume is
+    O(|bucket ∩ batch| x |bucket|), which vanishes as the batch shrinks
+    relative to the corpus.  The batch side is the build side of the
+    bucket join; no corpus-corpus pair is ever formed.
+
+    Semantics equal :func:`minhash_near_duplicates_shared` over the
+    UNION of the two inputs, restricted to pairs with at least one batch
+    document (``test_dedup.py`` pins the law on capped and uncapped
+    settings): signatures use the same hash constants and row-local
+    array-min computation; band buckets are the same md5 strings; and
+    ``max_bucket_size`` counts COMBINED (batch ∪ corpus) bucket occupancy
+    — a bucket boilerplate-hot in the corpus must prune even if the batch
+    adds only one row, or incremental runs would re-admit exactly the
+    blow-up the cap exists to stop.  Ids must be unique across the two
+    inputs (they share one id space).
+
+    Scale shape: tokenize + shingle + per-shingle hash runs ONCE over
+    batch ∪ corpus into a persisted array table feeding signatures and
+    both verify sides (at steady state the corpus half of that table is
+    the thing to snapshot: signatures and shingle arrays are
+    content-addressed and never change, so a production deployment
+    persists them once at ingest and this function's recompute collapses
+    to a table read).  Output: (id_a, id_b, jaccard), id_a < id_b.
+    """
+    from pyspark import StorageLevel
+
+    params = minhash_params(bands * rows_per_band, seed)
+    combined = corpus_docs.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
+    ).unionByName(
+        new_docs.select(F.col(id_col), F.col(text_col), F.lit(True).alias("_new"))
+    )
+    base = (
+        combined.select(
+            F.col(id_col),
+            F.col("_new"),
+            shingle_array(F.col(text_col), n).alias("_arr"),
+        )
+        .withColumn("_h", F.transform(F.col("_arr"), lambda s: token_hash32(s)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs = base.select(
+        F.col(id_col),
+        F.col("_new"),
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_h"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME),
+                )
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+    # same (band, md5-bucket) strings as lsh_candidate_pairs, so the
+    # SQL oracle generator replays them unchanged
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{bnd * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for bnd in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.col("_new"), F.explode(band_entries).alias("be")
+    ).select(
+        id_col,
+        "_new",
+        F.col("be.band").alias("band"),
+        F.col("be.bucket").alias("bucket"),
+    )
+    if max_bucket_size is not None:
+        # combined occupancy: the window counts batch + corpus rows per
+        # (band, bucket) in one derivation, pre-partitioned on the join key
+        buckets = prune_df_window(buckets, ["band", "bucket"], max_bucket_size)
+    a = buckets.where(F.col("_new")).select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
+    )
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = jaccard_verify_arrays(
+        cands, combined, text_col, id_col, n=n, arrays=base
+    )
+    out = verified.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+    from .cache import attach_cached
+
+    return attach_cached(out, base)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -2806,6 +2806,101 @@ def dhash_near_duplicates(
     )
 
 
+def dhash_near_duplicates_incremental(
+    new_hashes: DataFrame,
+    corpus_hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """INCREMENTAL Hamming-near image retrieval — an incoming batch of
+    ``image_dhash`` rows paired against itself and the existing corpus,
+    NEVER corpus x corpus (the image analogue of
+    ``dedup.minhash_near_duplicates_incremental``).
+
+    Nightly image ingest does not re-pair a trillion-image signature
+    store; per 16-bit chunk bucket the candidate volume here is
+    O(|bucket ∩ batch| x |bucket|) — the batch side is the build side of
+    the chunk join, so corpus growth costs a bigger probe side, not a
+    quadratic re-pairing.  Semantics equal ``dhash_near_duplicates`` over
+    the UNION of the two inputs restricted to pairs with at least one
+    batch image (pinned in ``test_asof_multimodal.py``):
+    ``max_bucket_size`` counts COMBINED (batch ∪ corpus) chunk-bucket
+    occupancy — a boilerplate-hot bucket must prune even when the batch
+    contributes one row, exactly like the MinHash incremental form — and
+    the exact per-half ``bit_count(xor)`` verify keeps the result
+    lossless for Hamming <= ``max_hamming``.  Ids must be unique across
+    the two inputs.  Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    assert max_hamming <= 3, "4-chunk bucketing is lossy beyond Hamming 3"
+    combined = corpus_hashes.select(
+        F.col(id_col), "dhash_hi", "dhash_lo", F.lit(False).alias("_new")
+    ).unionByName(
+        new_hashes.select(
+            F.col(id_col), "dhash_hi", "dhash_lo", F.lit(True).alias("_new")
+        )
+    )
+    lo, hi = F.col("dhash_lo"), F.col("dhash_hi")
+    mask = F.lit((1 << 16) - 1)
+    chunks = F.array(
+        F.struct(F.lit(0).alias("ci"), lo.bitwiseAND(mask).alias("cv")),
+        F.struct(
+            F.lit(1).alias("ci"),
+            F.shiftrightunsigned(lo, 16).bitwiseAND(mask).alias("cv"),
+        ),
+        F.struct(F.lit(2).alias("ci"), hi.bitwiseAND(mask).alias("cv")),
+        F.struct(
+            F.lit(3).alias("ci"),
+            F.shiftrightunsigned(hi, 16).bitwiseAND(mask).alias("cv"),
+        ),
+    )
+    keyed = combined.select(
+        F.col(id_col), "dhash_hi", "dhash_lo", "_new",
+        F.explode(chunks).alias("c"),
+    ).select(
+        id_col,
+        "dhash_hi",
+        "dhash_lo",
+        "_new",
+        F.col("c.ci").alias("ci"),
+        F.col("c.cv").alias("cv"),
+    )
+    if max_bucket_size is not None:
+        from .dedup import prune_df_window
+
+        keyed = prune_df_window(keyed, ["ci", "cv"], max_bucket_size)
+    a = keyed.where(F.col("_new")).select(
+        F.col(id_col).alias("id_a"),
+        F.col("dhash_hi").alias("hi_a"),
+        F.col("dhash_lo").alias("lo_a"),
+        "ci",
+        "cv",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("dhash_hi").alias("hi_b"),
+        F.col("dhash_lo").alias("lo_b"),
+        "ci",
+        "cv",
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def synthetic_png_media(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic PNG payloads from an id column (test/oracle harness).
 

@@ -1175,9 +1175,17 @@ def _minhash_oracle_sql(
     rows_per_band: int = 4,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    batch_pred: str | None = None,
 ) -> str:
     """Generate the DuckDB twin of the MinHash-LSH pipeline (same constants,
-    incl. the optional bucket-size cap)."""
+    incl. the optional bucket-size cap).
+
+    ``batch_pred`` — a predicate over a bare ``doc_id`` marking the
+    incremental BATCH; when set, candidate pairs are restricted to those
+    touching the batch (at least one side satisfies it), which is exactly
+    the semantics contract of
+    ``dedup.minhash_near_duplicates_incremental``: same signatures, same
+    buckets, same combined-occupancy cap, batch-touching pairs only."""
     params = dedup.minhash_params(bands * rows_per_band, seed)
     p = dedup.MINHASH_PRIME
     h_expr = "('0x' || substr(md5(token), 1, 8))::BIGINT"
@@ -1204,6 +1212,14 @@ def _minhash_oracle_sql(
         if max_bucket_size is not None
         else "bkt AS (SELECT * FROM bkt0),"
     )
+    batch_where = (
+        ""
+        if batch_pred is None
+        else "WHERE ({p1}) OR ({p2})".format(
+            p1=batch_pred.replace("doc_id", "a.doc_id"),
+            p2=batch_pred.replace("doc_id", "b.doc_id"),
+        )
+    )
     return f"""
     WITH tok AS ({_SHINGLES_SQL}),
     h AS (SELECT doc_id, {h_expr} AS h FROM tok),
@@ -1214,6 +1230,7 @@ def _minhash_oracle_sql(
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bkt a JOIN bkt b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      {batch_where}
     ),
     sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY doc_id),
     inter AS (
@@ -1267,6 +1284,33 @@ def dedup_minhash_lsh_uncapped(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_near_duplicates_shared(
         docs, "text", "doc_id", n=3, bands=4, rows_per_band=4,
         threshold=0.3, seed=42, max_bucket_size=None,
+    )
+
+
+@query(
+    "dedup_incremental_minhash",
+    _minhash_oracle_sql(max_bucket_size=32, batch_pred="doc_id % 7 = 0"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL MinHash-LSH dedup — the production shape for the
+    family that actually runs at 100 TB: the incoming batch
+    (doc_id % 7 == 0) joins the (batch ∪ corpus) bucket index with the
+    BATCH as build side, never corpus x corpus, mirroring
+    ``dedup_incremental_jaccard``'s asymmetric join.  The bucket cap
+    counts COMBINED occupancy (a boilerplate-hot corpus bucket prunes
+    even when the batch adds one row), and the oracle is the full
+    capped-LSH twin with candidates restricted to batch-touching pairs —
+    signatures, banding, cap, candidate join, and exact-Jaccard verify
+    all value-checked.  Per band bucket the candidate volume is
+    O(|bucket ∩ batch| x |bucket|), vanishing as batch/corpus shrinks —
+    re-running the full self-join every ingest is the 100 TB mistake
+    this replaces (see ``dedup.minhash_near_duplicates_incremental``)."""
+    docs = load_docs(spark, sf)
+    new = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    return dedup.minhash_near_duplicates_incremental(
+        new, corpus, "text", "doc_id", n=3, bands=4, rows_per_band=4,
+        threshold=0.3, seed=42,
     )
 
 
@@ -4356,9 +4400,23 @@ def multimodal_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_image_neardup",
-    """
+def _dhash_neardup_oracle_sql(batch_pred: str | None = None) -> str:
+    """DuckDB twin of the perturbed-harness dHash Hamming retrieval:
+    pixels -> block sums -> gradient bits -> (hi, lo) packing -> 4x16-bit
+    chunk buckets -> combined-occupancy cap (64) -> exact per-half
+    ``bit_count(xor)``.  ``batch_pred`` (a predicate over a bare
+    ``doc_id``) restricts pairs to those touching the incremental batch —
+    the semantics contract of
+    ``multimodal.dhash_near_duplicates_incremental``."""
+    batch_where = (
+        ""
+        if batch_pred is None
+        else "WHERE ({p1}) OR ({p2})".format(
+            p1=batch_pred.replace("doc_id", "a.doc_id"),
+            p2=batch_pred.replace("doc_id", "b.doc_id"),
+        )
+    )
+    return f"""
     WITH d AS (
       SELECT doc_id, doc_id % 50 AS gid, (doc_id // 50) % 3 AS delta
       FROM documents
@@ -4414,10 +4472,13 @@ def multimodal_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
           AS hamming
       FROM sized a JOIN sized b
         ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+      {batch_where}
     )
     SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
-    """,
-)
+    """
+
+
+@query("multimodal_image_neardup", _dhash_neardup_oracle_sql())
 def multimodal_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Hamming-near image retrieval: the perceptual generator with
     ``perturb=True`` paints one copy-specific 4x4 block solid, so copies of
@@ -4440,6 +4501,40 @@ def multimodal_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     hashes = multimodal.image_dhash(media)
     return multimodal.dhash_near_duplicates(
         hashes, max_hamming=3, max_bucket_size=64
+    )
+
+
+@query(
+    "multimodal_image_neardup_incremental",
+    _dhash_neardup_oracle_sql(batch_pred="doc_id % 7 = 0"),
+)
+def multimodal_image_neardup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL Hamming-near image retrieval — the production shape
+    for nightly image ingest: the batch (doc_id % 7 == 0) joins the
+    (batch ∪ corpus) chunk-bucket index with the batch as build side,
+    never corpus x corpus (the image analogue of
+    ``dedup_incremental_minhash``; see
+    ``multimodal.dhash_near_duplicates_incremental``).  The chunk-bucket
+    cap counts COMBINED occupancy, and the oracle is the full perturbed
+    dHash twin — pixels, block sums, gradient bits, chunk buckets, cap,
+    exact Hamming — with pairs restricted to batch-touching ones.  Per
+    bucket the candidate volume is O(|bucket ∩ batch| x |bucket|),
+    vanishing as batch/corpus shrinks."""
+    docs = load_docs(spark, sf).select("doc_id")
+    # split BEFORE synthesis/decode: a post-decode filter would not push
+    # through mapInPandas, so each side would decode the full corpus
+    new = multimodal.image_dhash(
+        multimodal.synthetic_bmp_media_perceptual(
+            docs.where(F.col("doc_id") % 7 == 0), "doc_id", perturb=True
+        )
+    )
+    corpus = multimodal.image_dhash(
+        multimodal.synthetic_bmp_media_perceptual(
+            docs.where(F.col("doc_id") % 7 != 0), "doc_id", perturb=True
+        )
+    )
+    return multimodal.dhash_near_duplicates_incremental(
+        new, corpus, max_hamming=3, max_bucket_size=64
     )
 
 

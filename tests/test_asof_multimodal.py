@@ -1053,3 +1053,65 @@ def test_dhash_bucket_cap_drops_mega_clusters(spark):
         assert capped <= uncapped
     finally:
         hashes.unpersist()
+
+
+def test_dhash_incremental_matches_full_restriction(spark):
+    """The incremental dHash form must equal the full chunk-bucket join
+    over the union restricted to batch-touching pairs (capped and
+    uncapped), with the cap counting COMBINED occupancy — the law
+    ``multimodal_image_neardup_incremental``'s oracle encodes."""
+    from pyspark.sql import functions as F
+
+    # three content groups x three deltas -> near-dup trios (perturbed)
+    ids = [g + 50 * d for g in (1, 2, 3) for d in range(3)]
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    media = multimodal.synthetic_bmp_media_perceptual(df, "doc_id", perturb=True)
+    hashes = multimodal.image_dhash(media).persist()
+    try:
+        batch_ids = {1, 52}
+        new = hashes.where(F.col("media_id").isin(*batch_ids))
+        corpus = hashes.where(~F.col("media_id").isin(*batch_ids))
+        for cap in (None, 64):
+            full = {
+                (r.id_a, r.id_b): r.hamming
+                for r in multimodal.dhash_near_duplicates(
+                    hashes, max_bucket_size=cap
+                ).collect()
+                if r.id_a in batch_ids or r.id_b in batch_ids
+            }
+            inc = {
+                (r.id_a, r.id_b): r.hamming
+                for r in multimodal.dhash_near_duplicates_incremental(
+                    new, corpus, max_bucket_size=cap
+                ).collect()
+            }
+            assert inc == full, (cap, inc, full)
+            assert full  # harness must produce batch-touching pairs
+
+        # combined occupancy: 5 corpus copies + 1 batch copy of one group
+        # = every chunk bucket holds 6; cap=5 drops all pairs, cap=6 keeps
+        big = spark.createDataFrame(
+            [(7 + 150 * i,) for i in range(6)], ["doc_id"]
+        )
+        bh = multimodal.image_dhash(
+            multimodal.synthetic_bmp_media_perceptual(big, "doc_id")
+        ).persist()
+        try:
+            bnew = bh.where(F.col("media_id") == 7)
+            bcorp = bh.where(F.col("media_id") != 7)
+            assert (
+                multimodal.dhash_near_duplicates_incremental(
+                    bnew, bcorp, max_bucket_size=5
+                ).count()
+                == 0
+            )
+            assert (
+                multimodal.dhash_near_duplicates_incremental(
+                    bnew, bcorp, max_bucket_size=6
+                ).count()
+                == 5
+            )
+        finally:
+            bh.unpersist()
+    finally:
+        hashes.unpersist()

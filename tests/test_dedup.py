@@ -298,3 +298,54 @@ def test_jaccard_incremental_matches_full_restriction(docs):
             ).collect()
         }
         assert inc == full, (cap, inc, full)
+
+
+def test_minhash_incremental_matches_full_restriction(docs):
+    """The incremental LSH form must equal the full shared pipeline over
+    the union restricted to batch-touching pairs — same pairs, same
+    scores — on capped and uncapped settings (the law
+    ``dedup_incremental_minhash``'s oracle encodes)."""
+    batch_ids = {2, 5}
+    new_docs = docs.where(F.col("doc_id").isin(*batch_ids))
+    corpus_docs = docs.where(~F.col("doc_id").isin(*batch_ids))
+
+    for cap in (None, 32):
+        full = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.minhash_near_duplicates_shared(
+                docs, "text", "doc_id", n=1, threshold=0.0,
+                max_bucket_size=cap,
+            ).collect()
+            if r.id_a in batch_ids or r.id_b in batch_ids
+        }
+        inc = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.minhash_near_duplicates_incremental(
+                new_docs, corpus_docs, "text", "doc_id", n=1, threshold=0.0,
+                max_bucket_size=cap,
+            ).collect()
+        }
+        assert inc == full, (cap, inc, full)
+        assert full, "harness must produce at least one batch-touching pair"
+
+
+def test_minhash_incremental_cap_counts_combined_occupancy(spark):
+    """A bucket hot in the CORPUS must prune even when the batch adds a
+    single row: 5 exact copies in the corpus + 1 in the batch = combined
+    occupancy 6, so cap=5 drops every pair while cap=6 keeps them."""
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(5)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    capped = dedup.minhash_near_duplicates_incremental(
+        new, corpus, "text", "doc_id", n=1, threshold=0.0, max_bucket_size=5
+    )
+    assert capped.count() == 0
+    kept = dedup.minhash_near_duplicates_incremental(
+        new, corpus, "text", "doc_id", n=1, threshold=0.0, max_bucket_size=6
+    )
+    assert {(r.id_a, r.id_b) for r in kept.collect()} == {
+        (i, 100) for i in range(5)
+    }

@@ -2651,6 +2651,130 @@ def synthetic_bmp_media_perceptual(
     return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
 
 
+def synthetic_bmp_media_ragged(
+    df: DataFrame, id_col: str, group_mod: int = 50
+) -> DataFrame:
+    """The perceptual-duplicate harness at RAGGED, group-dependent sizes
+    (test/oracle harness for resize-then-hash): same content formula as
+    ``synthetic_bmp_media_perceptual`` — pixel(x, y, c) =
+    ((gid*13+7)x + (gid*5+3)y) % 240 + 2c + delta — but width/height are
+    ``40 + gid % 7`` x ``33 + gid % 5``: not multiples of the 9x8 dHash
+    grid (the sizes real pipelines see), yet shared within a content
+    group, so brightness-shifted copies stay provably hash-identical
+    AFTER a deterministic resize (a uniform +delta survives integer
+    box-averaging exactly: floor((s + delta*area)/area) =
+    floor(s/area) + delta)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                gid, delta = mid % group_mod, (mid // group_mod) % 3
+                w, h = 40 + gid % 7, 33 + gid % 5
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                rgb = (
+                    ((gid * 13 + 7) * x + (gid * 5 + 3) * y) % 240
+                    + 2 * c + delta
+                ).astype(np.uint8)
+                rows.append((mid, encode_bmp(rgb)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def image_resize_box(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Integer box-average thumbnail resize — the upstream ``image_dhash``
+    needs for arbitrary-sized images (real image dedup hashes thumbnails;
+    the dHash grid requires dims that tile evenly, which a thumbnail of
+    chosen size guarantees).
+
+    DETERMINISTIC INTEGER DISCIPLINE (so oracles stay exact): output
+    pixel (X, Y) averages the source box with floor boundaries
+    ``y0 = (Y*h_in)//out_h, y1 = ((Y+1)*h_in)//out_h`` (same for x), and
+    the per-channel average is the floor division ``box_sum // box_area``.
+    When the source dims divide evenly this IS the exact equal-box mean;
+    for ragged dims box sizes differ by at most one row/column and every
+    step is integer arithmetic an ANSI-SQL twin replays bit-for-bit.  A
+    uniform brightness shift survives exactly —
+    ``floor((s + d*area)/area) = floor(s/area) + d`` — so the
+    resize-then-dHash composition keeps the perceptual-dedup invariance
+    provable.  Upsampling is rejected (a floor-boundary box would be
+    empty): this is a thumbnail operator, ``out <= in`` on both axes.
+
+    Grayscale (1-channel) sources are replicated to 3 channels before
+    re-encoding.  Output: (media_id, width, height, content) with the
+    thumbnail re-encoded as BMP — composes with ``image_dhash`` and every
+    other decode consumer.  Arrow-batched ``mapInPandas``, map-only: at
+    100 TB each image is decoded, reduced ~(in/out)² in bytes, and
+    re-encoded where it lives; no shuffle.
+    """
+    if out_w < 1 or out_h < 1:
+        raise ValueError("output dimensions must be >= 1")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                w, h, c, vals = _real_decode(bytes(payload))
+                if out_w > w or out_h > h:
+                    raise ValueError(
+                        f"image {int(mid)} is {w}x{h}; box resize is "
+                        f"downsample-only (requested {out_w}x{out_h})"
+                    )
+                img = vals.reshape(h, w, c).astype(np.int64)
+                if c == 1:
+                    img = np.repeat(img, 3, axis=2)
+                # integral image -> box sums at floor boundaries, then
+                # integer floor division by the per-box area
+                cs = img.cumsum(axis=0).cumsum(axis=1)
+                cs = np.pad(cs, ((1, 0), (1, 0), (0, 0)))
+                yb = (np.arange(out_h + 1) * h) // out_h
+                xb = (np.arange(out_w + 1) * w) // out_w
+                sums = (
+                    cs[yb[1:, None], xb[None, 1:]]
+                    - cs[yb[:-1, None], xb[None, 1:]]
+                    - cs[yb[1:, None], xb[None, :-1]]
+                    + cs[yb[:-1, None], xb[None, :-1]]
+                )
+                areas = (
+                    (yb[1:] - yb[:-1])[:, None] * (xb[1:] - xb[:-1])[None, :]
+                )[:, :, None]
+                out = (sums // areas).astype(np.uint8)
+                rows.append(
+                    (int(mid), out_w, out_h, encode_bmp(np.ascontiguousarray(out)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "content"]
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        resize, schema=RESIZE_SCHEMA
+    )
+
+
 DHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

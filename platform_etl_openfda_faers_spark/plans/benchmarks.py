@@ -4400,6 +4400,87 @@ def multimodal_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_image_dedup_resized",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 50 AS gid, (doc_id // 50) % 3 AS delta,
+        40 + (doc_id % 50) % 7 AS w_in, 33 + (doc_id % 50) % 5 AS h_in
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    opx AS (
+      SELECT d.doc_id, ys.oy, xs.ox, cs.c,
+        SUM(((d.gid * 13 + 7) * sx.sx + (d.gid * 5 + 3) * sy.sy) % 240
+            + 2 * cs.c + d.delta)
+          // ((((ys.oy + 1) * d.h_in) // 16 - (ys.oy * d.h_in) // 16)
+            * (((xs.ox + 1) * d.w_in) // 18 - (xs.ox * d.w_in) // 18)) AS v
+      FROM d,
+      LATERAL (SELECT unnest(generate_series(0, 15)) AS oy) ys,
+      LATERAL (SELECT unnest(generate_series(0, 17)) AS ox) xs,
+      LATERAL (SELECT unnest([0, 1, 2]) AS c) cs,
+      LATERAL (SELECT unnest(generate_series(
+        (ys.oy * d.h_in) // 16, ((ys.oy + 1) * d.h_in) // 16 - 1)) AS sy) sy,
+      LATERAL (SELECT unnest(generate_series(
+        (xs.ox * d.w_in) // 18, ((xs.ox + 1) * d.w_in) // 18 - 1)) AS sx) sx
+      GROUP BY d.doc_id, ys.oy, xs.ox, cs.c, d.h_in, d.w_in
+    ),
+    gray AS (
+      SELECT doc_id, oy, ox, SUM(v) AS g FROM opx GROUP BY doc_id, oy, ox
+    ),
+    blk AS (
+      SELECT doc_id, oy // 2 AS yb, ox // 2 AS xb, SUM(g) AS s
+      FROM gray GROUP BY doc_id, oy // 2, ox // 2
+    ),
+    bits AS (
+      SELECT a.doc_id, a.yb, a.xb,
+        CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+      FROM blk a JOIN blk b
+        ON b.doc_id = a.doc_id AND b.yb = a.yb AND b.xb = a.xb + 1
+      WHERE a.xb <= 7
+    ),
+    hashes AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN yb * 8 + xb >= 32
+          THEN bit * (1::BIGINT << (yb * 8 + xb - 32)) ELSE 0 END) AS BIGINT)
+          AS dhash_hi,
+        CAST(SUM(CASE WHEN yb * 8 + xb < 32
+          THEN bit * (1::BIGINT << (yb * 8 + xb)) ELSE 0 END) AS BIGINT)
+          AS dhash_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT dhash_hi, dhash_lo, COUNT(*) AS n_images,
+      MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+    FROM hashes GROUP BY dhash_hi, dhash_lo
+    """,
+)
+def multimodal_image_dedup_resized(spark: SparkSession, sf: str) -> DataFrame:
+    """Image dedup over ARBITRARY-sized images — the end-to-end story
+    ``image_dhash`` alone couldn't run (it requires grid-tiling dims):
+    ragged BMPs (40+gid%7 x 33+gid%5, the sizes real pipelines see) are
+    box-thumbnail-resized to 18x16 with the integer floor-boundary /
+    floor-division discipline of ``image_resize_box``, then dHashed (2x2
+    blocks) and exact-deduped on the 64-bit hash.  Brightness-shifted
+    copies still provably collide — floor((s + d*area)/area) =
+    floor(s/area) + d, so a uniform shift survives the resize exactly —
+    and the oracle replays pixels -> box boundaries -> floor-div resize
+    -> gray -> block sums -> gradient bits -> packing analytically, so
+    decode, resize arithmetic, and hash are all value-checked.  Scale
+    shape: two map-only Arrow stages (resize, hash) then one 16-byte
+    exact-dedup shuffle; resize cuts payload bytes ~(in/out)² before
+    anything shuffles."""
+    # % 3 is coprime with the 50-group harness, so every content group
+    # appears while the analytic oracle stays ~1/3 of the corpus
+    docs = load_docs(spark, sf).select("doc_id").where(F.col("doc_id") % 3 == 0)
+    media = multimodal.synthetic_bmp_media_ragged(docs, "doc_id")
+    resized = multimodal.image_resize_box(media, 18, 16)
+    hashes = multimodal.image_dhash(resized, grid_w=9, grid_h=8)
+    return hashes.groupBy("dhash_hi", "dhash_lo").agg(
+        F.count("*").alias("n_images"),
+        F.min("media_id").alias("first_id"),
+        F.max("media_id").alias("last_id"),
+    )
+
+
 def _dhash_neardup_oracle_sql(batch_pred: str | None = None) -> str:
     """DuckDB twin of the perturbed-harness dHash Hamming retrieval:
     pixels -> block sums -> gradient bits -> (hi, lo) packing -> 4x16-bit

@@ -1115,3 +1115,76 @@ def test_dhash_incremental_matches_full_restriction(spark):
             bh.unpersist()
     finally:
         hashes.unpersist()
+
+
+def test_image_resize_box_disciplines(spark):
+    """Box-thumbnail resize: even-division = exact block mean, ragged
+    dims match the documented floor-boundary/floor-div reference,
+    brightness shift survives exactly, grayscale replicates to RGB,
+    upsampling rejects — and the output composes with image_dhash."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def mdf(payloads):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"media_id": list(range(len(payloads))), "content": payloads}
+            )
+        )
+
+    def ref(img, ow, oh):
+        h, w, c = img.shape
+        out = np.zeros((oh, ow, c), np.int64)
+        for Y in range(oh):
+            for X in range(ow):
+                y0, y1 = (Y * h) // oh, ((Y + 1) * h) // oh
+                x0, x1 = (X * w) // ow, ((X + 1) * w) // ow
+                out[Y, X] = img[y0:y1, x0:x1].sum((0, 1)) // (
+                    (y1 - y0) * (x1 - x0)
+                )
+        return out.astype(np.uint8)
+
+    rng = np.random.default_rng(11)
+    even = rng.integers(0, 256, (32, 36, 3), np.uint8)
+    ragged = rng.integers(0, 240, (33, 41, 3), np.uint8)
+    shifted = (ragged.astype(np.int64) + 5).astype(np.uint8)
+    rows = multimodal.image_resize_box(
+        mdf([multimodal.encode_bmp(x) for x in (even, ragged, shifted)]), 18, 16
+    ).collect()
+    got = {r.media_id: multimodal.decode_bmp(bytes(r.content)) for r in rows}
+    assert all((r.width, r.height) == (18, 16) for r in rows)
+    blocks = (even.reshape(16, 2, 18, 2, 3).astype(np.int64).sum((1, 3)) // 4)
+    np.testing.assert_array_equal(got[0], blocks.astype(np.uint8))
+    np.testing.assert_array_equal(got[1], ref(ragged.astype(np.int64), 18, 16))
+    # uniform +5 survives integer box-averaging exactly
+    np.testing.assert_array_equal(got[2], got[1] + 5)
+
+    # grayscale (PPM has no gray mode; use a gray WAV? no — encode a
+    # single-channel path via PPM is 3ch, so exercise it through a P5-less
+    # route: a 1-channel array is only produced by gray PNGs)
+    gray = rng.integers(0, 256, (20, 20), np.uint8)
+    gpng = multimodal.encode_png(gray)
+    grow = multimodal.image_resize_box(mdf([gpng]), 10, 10).collect()[0]
+    gdec = multimodal.decode_bmp(bytes(grow.content))
+    gref = ref(gray[:, :, None].astype(np.int64), 10, 10)[:, :, 0]
+    for ch in range(3):
+        np.testing.assert_array_equal(gdec[:, :, ch], gref)
+
+    # upsampling rejects
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="downsample-only"):
+        multimodal.image_resize_box(
+            mdf([multimodal.encode_bmp(ragged)]), 50, 16
+        ).collect()
+
+    # composition: resized ragged harness images dhash-collide per group
+    ids = spark.createDataFrame([(1,), (51,), (101,), (2,)], ["doc_id"])
+    media = multimodal.synthetic_bmp_media_ragged(ids, "doc_id")
+    hashes = multimodal.image_dhash(
+        multimodal.image_resize_box(media, 18, 16)
+    ).collect()
+    hv = {r.media_id: (r.dhash_hi, r.dhash_lo) for r in hashes}
+    assert hv[1] == hv[51] == hv[101]  # brightness-shifted copies collide
+    assert hv[1] != hv[2]              # different content group differs

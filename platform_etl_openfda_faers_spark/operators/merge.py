@@ -141,6 +141,49 @@ def snapshot_diff(
     return out
 
 
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    change_col: str = "change",
+) -> DataFrame:
+    """Apply a :func:`snapshot_diff` result to a target snapshot — the
+    composed incremental-ingest step: upsert ``insert``/``update`` rows,
+    tombstone ``delete`` keys.  ``apply_changes(old, snapshot_diff(old,
+    new, keys), keys)`` returns exactly ``new`` (the round-trip law
+    ``cdc_apply_roundtrip`` value-checks and ``test_pipeline`` pins,
+    including NULL->value / value->NULL transitions).
+
+    ``unchanged`` rows (from ``include_unchanged=True``) are harmless
+    no-op upserts.  Any OTHER ``change_col`` value fails loudly via a
+    lazy distributed ``raise_error`` — a misspelled label silently
+    treated as an upsert would corrupt the target.
+
+    Scale shape: one full-outer merge join plus one left-anti tombstone
+    join, both keyed on ``keys`` — the partitioning is reused between
+    them, the delete side is a fraction of the diff (AQE broadcasts it
+    when small), and with bucketed snapshots neither join exchanges.
+    """
+    known = ["insert", "update", "delete", "unchanged"]
+    guarded = changes.withColumn(
+        change_col,
+        F.when(F.col(change_col).isin(known), F.col(change_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"apply_changes: unknown {change_col!r} value "
+                    ),
+                    F.coalesce(F.col(change_col), F.lit("NULL")),
+                )
+            )
+        ),
+    )
+    upserts = guarded.where(F.col(change_col) != "delete").drop(change_col)
+    deletes = guarded.where(F.col(change_col) == "delete").select(*keys)
+    merged = merge_upsert(target, upserts, keys)
+    return merged.join(deletes, keys, "left_anti")
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,

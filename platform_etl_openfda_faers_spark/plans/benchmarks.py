@@ -5350,6 +5350,14 @@ def cdc_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     classification is a codegen CASE."""
     from ..operators.merge import snapshot_diff
 
+    old, new = _cdc_snapshots(spark, sf)
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+def _cdc_snapshots(spark: SparkSession, sf: str):
+    """The deterministic old/new ``orders`` snapshot pair every CDC query
+    shares: 10% of keys deleted in the new snapshot, a different 10%
+    inserted, every 5th key's status rewritten."""
     orders = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -5360,7 +5368,158 @@ def cdc_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_orderstatus")
         ),
     )
-    return snapshot_diff(old, new, ["o_orderkey"])
+    return old, new
+
+
+@query(
+    "cdc_apply_roundtrip",
+    """
+    SELECT o_orderkey,
+      CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+        AS o_orderstatus,
+      o_totalprice,
+      1 AS matches_new
+    FROM orders WHERE o_orderkey % 10 <> 7
+    """,
+)
+def cdc_apply_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """The CDC chain COMPOSED end-to-end: ``snapshot_diff(old, new)`` ->
+    ``apply_changes(old, diff)`` must reproduce ``new`` exactly —
+    inserts added, updates applied, deletes tombstoned.  The query
+    full-outer-joins the applied result against the real new snapshot
+    and emits ``matches_new`` per key (1 = present on both sides with
+    null-safely equal values); the oracle is simply the new snapshot
+    with a literal 1 — ANY apply defect (lost delete, resurrected value,
+    misclassified insert) shows up as a row-count or value mismatch.
+    Scale shape: diff + merge + tombstone anti-join all shuffle on the
+    one snapshot key (none with bucketed snapshots); the verify join is
+    test harness, not production path."""
+    from ..operators.merge import apply_changes, snapshot_diff
+
+    old, new = _cdc_snapshots(spark, sf)
+    changes = snapshot_diff(old, new, ["o_orderkey"])
+    applied = apply_changes(old, changes, ["o_orderkey"])
+    a = applied.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("a_status"),
+        F.col("o_totalprice").alias("a_total"),
+        F.lit(1).alias("_a"),
+    )
+    n = new.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("n_status"),
+        F.col("o_totalprice").alias("n_total"),
+        F.lit(1).alias("_n"),
+    )
+    return a.join(n, ["o_orderkey"], "full_outer").select(
+        "o_orderkey",
+        F.coalesce("n_status", "a_status").alias("o_orderstatus"),
+        F.coalesce("n_total", "a_total").alias("o_totalprice"),
+        (
+            F.col("_a").isNotNull()
+            & F.col("_n").isNotNull()
+            & F.col("a_status").eqNullSafe(F.col("n_status"))
+            & F.col("a_total").eqNullSafe(F.col("n_total"))
+        )
+        .cast("int")
+        .alias("matches_new"),
+    )
+
+
+@query(
+    "cdc_scd2_history",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 10 <> 3
+    ),
+    n AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+          AS o_orderstatus,
+        o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 7
+    ),
+    chg AS (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+             WHEN n.o_orderkey IS NULL THEN 'delete'
+             WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+               OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+               THEN 'update'
+             ELSE 'unchanged' END AS change,
+        n.o_orderstatus AS o_orderstatus
+      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    ),
+    log AS (
+      SELECT o_orderkey, o_orderstatus, 0 AS ts FROM o
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, 1 AS ts FROM chg
+      WHERE change IN ('insert', 'update')
+    ),
+    ordered AS (
+      SELECT o_orderkey, o_orderstatus, ts,
+        CASE WHEN row_number() OVER w = 1 THEN 1
+             WHEN o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w
+               THEN 1
+             ELSE 0 END AS chgflag
+      FROM log
+      WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts)
+    ),
+    runs AS (
+      SELECT o_orderkey, o_orderstatus, ts,
+        SUM(chgflag) OVER (PARTITION BY o_orderkey ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS version
+      FROM ordered
+    ),
+    per_run AS (
+      SELECT o_orderkey, version, MIN(o_orderstatus) AS o_orderstatus,
+        MIN(ts) AS valid_from
+      FROM runs GROUP BY o_orderkey, version
+    )
+    SELECT o_orderkey, o_orderstatus,
+      CAST(valid_from AS INT) AS valid_from,
+      CAST(lead(valid_from) OVER wv AS INT) AS valid_to,
+      CAST(version AS BIGINT) AS version,
+      CAST(lead(valid_from) OVER wv IS NULL AS INT) AS is_current
+    FROM per_run
+    WINDOW wv AS (PARTITION BY o_orderkey ORDER BY version)
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """The HISTORY side of the composed CDC chain: the diff's
+    insert/update rows become a change log (old snapshot at ts=0,
+    applied changes at ts=1) historized through ``scd2_from_log`` —
+    updated keys get two versions with the first interval closed,
+    inserts open at ts=1, unchanged keys one open run.  Tombstones
+    deliberately do NOT close intervals here (a delete is absence from
+    the log, not a new state; pair with a sentinel state upstream if
+    deletion history is required — documented boundary).  The oracle
+    replays diff -> log -> null-safe run detection -> validity windows
+    in pure SQL.  Scale shape: diff shuffles on the key, then the SCD2
+    windows reuse that same key partitioning; integer ts keeps the
+    interval bounds cross-engine exact."""
+    from ..operators.merge import snapshot_diff
+    from ..operators.scd import scd2_from_log
+
+    old, new = _cdc_snapshots(spark, sf)
+    changes = snapshot_diff(old, new, ["o_orderkey"])
+    log = old.select("o_orderkey", "o_orderstatus").withColumn(
+        "ts", F.lit(0)
+    ).unionByName(
+        changes.where(F.col("change") != "delete")
+        .select("o_orderkey", "o_orderstatus")
+        .withColumn("ts", F.lit(1))
+    )
+    hist = scd2_from_log(log, "o_orderkey", "o_orderstatus", "ts")
+    return hist.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("valid_from").cast("int").alias("valid_from"),
+        F.col("valid_to").cast("int").alias("valid_to"),
+        F.col("version").cast("long").alias("version"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
 
 
 @query(

@@ -393,3 +393,37 @@ def test_snapshot_diff_classification_and_null_semantics(spark):
             snapshot_diff(bad, new, ["k"]).collect()
         except Py4JJavaError as e:
             raise RuntimeError(str(e.java_exception)) from e
+
+
+def test_apply_changes_roundtrip_law(spark):
+    """apply_changes(old, snapshot_diff(old, new), keys) == new exactly —
+    including NULL -> value / value -> NULL updates, inserts, and
+    tombstoned deletes; unknown change labels fail loudly."""
+    from platform_etl_openfda_faers_spark.operators.merge import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None), (5, "gone")],
+        "k int, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "b2"), (3, None), (4, None), (6, "fresh")],
+        "k int, v string",
+    )
+    for unchanged in (False, True):
+        changes = snapshot_diff(old, new, ["k"], include_unchanged=unchanged)
+        applied = {
+            r.k: r.v for r in apply_changes(old, changes, ["k"]).collect()
+        }
+        assert applied == {r.k: r.v for r in new.collect()}, unchanged
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    bad = snapshot_diff(old, new, ["k"]).withColumn(
+        "change", F.regexp_replace("change", "delete", "dletee")
+    )
+    with pytest.raises(Exception, match="unknown 'change' value"):
+        apply_changes(old, bad, ["k"]).collect()

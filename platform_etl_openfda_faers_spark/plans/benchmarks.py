@@ -2693,7 +2693,7 @@ def _lsh_multiprobe_oracle_sql(
 
 @query(
     "emb_lsh_multiprobe_topk",
-    _lsh_multiprobe_oracle_sql(n_planes=6, n_tables=3, n_probes=4),
+    _lsh_multiprobe_oracle_sql(n_planes=6, n_tables=3, n_probes=7),
 )
 def emb_lsh_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-probe LSH top-5 (Lv et al., VLDB 2007): per table, probe the
@@ -2702,11 +2702,15 @@ def emb_lsh_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
     single-probe recall/cost dilemma — candidate volume is
     ``tables x probes / 2^planes`` of the corpus with NO extra corpus-side
     work (the index stays one home bucket per table; only the small query
-    side fans out).  At planes=6 tables=3 probes=4 (~n/5 candidates) the
-    measured recall@10 is 0.38-0.55 (sf0.01-1) vs 0.13-0.17 for the same
-    geometry single-probe at ~n/21, and probes=7 (~n/3) reaches
-    0.57-0.73 — the dense default's recall band at a third of its
-    candidate volume (QUALITY.md)."""
+    side fans out).  Runs the MEASURED sweet spot promoted in r9:
+    planes=6 tables=3 probes=7 buys recall@10 0.57-0.73 (sf0.01-1) at
+    ~30% of the corpus scored per query — the dense single-probe
+    default's recall band (0.65-0.75) at under three-quarters of its
+    0.41 candidate fraction, vs 0.13-0.17 for the same geometry
+    single-probe (QUALITY.md grid; probes=4 measured 0.38-0.55 at ~18%
+    — the budget setting, still available via the API).  CI pins a 0.5
+    recall floor for this exact configuration
+    (``test_ann_recall.py``)."""
     emb = load_emb(spark, sf)
     return similarity.hyperplane_lsh_multiprobe_topk(
         emb,
@@ -2714,7 +2718,7 @@ def emb_lsh_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
         k=5,
         n_planes=6,
         n_tables=3,
-        n_probes=4,
+        n_probes=7,
     )
 
 

@@ -1647,6 +1647,259 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("no image descriptor in GIF")
 
 
+def encode_gif_anim(
+    screen_w: int,
+    screen_h: int,
+    palette: np.ndarray,
+    frames: list,
+    bg_index: int = 0,
+) -> bytes:
+    """Multi-frame GIF89a encoder (global color table, per-frame Graphic
+    Control Extensions): ``frames`` is a list of
+    ``(left, top, indices, disposal, transparent_idx)`` tuples — each a
+    palette-index sub-rectangle painted at (left, top), ``disposal`` the
+    GIF89a method applied AFTER the frame displays (0/1 leave, 2 restore
+    the rect to the background color, 3 restore to the previous canvas),
+    ``transparent_idx`` an index whose pixels leave the canvas unchanged
+    (None = opaque).  Same real-LZW path as :func:`encode_gif`."""
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())
+    gct = np.zeros((1 << bits, 3), dtype=np.uint8)
+    gct[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack(
+        "<HHBBB",
+        screen_w,
+        screen_h,
+        0x80 | ((bits - 1) << 4) | (bits - 1),
+        bg_index,
+        0,
+    )
+    out += gct.tobytes()
+    min_code = max(2, bits)
+    for left, top, indices, disposal, trans in frames:
+        h, w = indices.shape
+        packed = (disposal & 0x07) << 2 | (0 if trans is None else 1)
+        out += b"\x21\xf9\x04" + bytes(
+            [packed, 0, 0, 0 if trans is None else trans]
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        out.append(min_code)
+        lzw = _lzw_encode_gif(indices.reshape(-1), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """GIF bytes -> [(h, w, 3) RGB canvas per displayed frame] with FULL
+    GIF89a animation semantics: the logical-screen canvas starts as the
+    background color (documented discipline — the spec's background
+    semantics; some browsers render it transparent instead), each image
+    descriptor composites its sub-rectangle (transparent-index pixels
+    leave the canvas untouched), the post-display disposal method then
+    runs — 0/1 leave, 2 restore the RECT to the background color, 3
+    restore the rect to the canvas as it was before the frame drew.
+    Interlaced frames and local color tables are honored per frame."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (missing GIF87a/89a signature)")
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(-1, 3)
+        pos += size * 3
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    disposal, trans = 0, None
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # Graphic Control Extension
+                gp = payload[pos + 1]
+                disposal = (gp >> 2) & 0x07
+                trans = payload[pos + 4] if gp & 0x01 else None
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            size = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(-1, 3)
+            pos += size * 3
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode_gif(bytes(data), min_code)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data short of descriptor dims")
+        arr = np.array(idx[: w * h], dtype=np.int32).reshape(h, w)
+        if ipacked & 0x40:
+            rows = [
+                r for start, step in _GIF_INTERLACE for r in range(start, h, step)
+            ]
+            out = np.empty_like(arr)
+            out[rows] = arr
+            arr = out
+        if (arr >= len(ct)).any():
+            raise ValueError("palette index out of range")
+        if top + h > sh or left + w > sw:
+            raise ValueError("GIF frame rect outside the logical screen")
+        before = canvas[top : top + h, left : left + w].copy()
+        rect = ct[arr]
+        if trans is not None:
+            keep = arr == trans
+            rect = np.where(keep[:, :, None], before, rect)
+        canvas[top : top + h, left : left + w] = rect
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3:
+            canvas[top : top + h, left : left + w] = before
+        disposal, trans = 0, None
+    if not frames:
+        raise ValueError("no image descriptor in GIF")
+    return frames
+
+
+GIF_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_vals", T.LongType()),
+        T.StructField("first_r", T.IntegerType()),
+    ]
+)
+
+
+def gif_frames(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    every_n: int = 1,
+) -> DataFrame:
+    """Animated-GIF frame extraction + sampling: one output row per
+    sampled DISPLAYED frame (full disposal-composited canvas, not the raw
+    sub-rectangle) with decoded pixel stats — the GIF counterpart of
+    ``video_frames``.  Arrow-batched ``mapInPandas``; map-only at any
+    scale (each payload composites where it lives, no shuffle)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                canvases = decode_gif_frames(bytes(payload))
+                nf = len(canvases)
+                for idx, img in enumerate(canvases):
+                    if idx % every_n:
+                        continue
+                    rows.append(
+                        (
+                            int(mid), idx, nf, img.shape[1], img.shape[0],
+                            int(img.astype(np.int64).sum()),
+                            int(img[0, 0, 0]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_frames",
+                    "width", "height", "sum_vals", "first_r",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        gen, schema=GIF_FRAMES_SCHEMA
+    )
+
+
+def synthetic_gif_anim_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic ANIMATED GIFs from an id column (test/oracle
+    harness): logical screen 16x10, 8-color analytic palette
+    ``pal[i] = ((i*31)%256, (i*57+11)%256, (i*89+7)%256)``, background
+    index ``id % 8``; frame 0 paints the full screen with
+    ``idx(x, y) = (x + y + id) % 8``, then ``1 + id % 3`` sub-frames
+    f = 1.. paint NON-OVERLAPPING 4x3 rects at
+    ``left = 4*(f-1), top = (id + f) % 7`` with
+    ``idx = (x_local + 2*y_local + f + id) % 8``, disposal cycling
+    ``1 + (id + f) % 3`` (leave / restore-background /
+    restore-previous) and a transparent index 7 on odd ``id + f``.
+
+    Non-overlap is the analytic trick: the canvas under any sub-rect is
+    ALWAYS frame 0's content, so the displayed canvas at frame F has the
+    closed form the SQL oracle replays — rect_F's own pixels (minus
+    transparent ones), each EARLIER rect persisted / background /
+    restored-to-base by its disposal method, base elsewhere — no
+    sequential state needed."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(8)
+        pal = np.stack(
+            [(i * 31) % 256, (i * 57 + 11) % 256, (i * 89 + 7) % 256], axis=1
+        ).astype(np.uint8)
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                y, x = np.ogrid[0:10, 0:16]
+                base = ((x + y + mid) % 8).astype(np.uint8)
+                frames = [(0, 0, base, 1, None)]
+                for f in range(1, 2 + mid % 3):
+                    yl, xl = np.ogrid[0:3, 0:4]
+                    rect = ((xl + 2 * yl + f + mid) % 8).astype(np.uint8)
+                    frames.append(
+                        (
+                            4 * (f - 1),
+                            (mid + f) % 7,
+                            rect,
+                            1 + (mid + f) % 3,
+                            7 if (mid + f) % 2 else None,
+                        )
+                    )
+                rows.append(
+                    (
+                        mid,
+                        encode_gif_anim(16, 10, pal, frames, bg_index=mid % 8),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # MP4 / ISO BMFF (ISO 14496-12): container-structure parsing, no codec.
 #

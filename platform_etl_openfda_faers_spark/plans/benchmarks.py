@@ -4485,6 +4485,77 @@ def multimodal_image_dedup_resized(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_gif_frames",
+    """
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 3 AS n_sub, doc_id % 8 AS bgi
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, fr.f, xs.x, ys.y, d.n_sub, d.bgi,
+        (xs.x + ys.y + d.doc_id) % 8 AS base_ix,
+        xs.x // 4 + 1 AS gx
+      FROM d,
+      LATERAL (SELECT unnest(generate_series(0, d.n_sub)) AS f) fr,
+      LATERAL (SELECT unnest(generate_series(0, 15)) AS x) xs,
+      LATERAL (SELECT unnest(generate_series(0, 9)) AS y) ys
+    ),
+    ix AS (
+      SELECT doc_id, f, x, y, n_sub,
+        CASE
+          WHEN f >= 1 AND gx = f
+               AND y >= (doc_id + gx) % 7 AND y < (doc_id + gx) % 7 + 3 THEN
+            CASE WHEN (doc_id + gx) % 2 = 1
+                      AND ((x - 4 * (gx - 1)) + 2 * (y - (doc_id + gx) % 7)
+                           + gx + doc_id) % 8 = 7
+                 THEN base_ix
+                 ELSE ((x - 4 * (gx - 1)) + 2 * (y - (doc_id + gx) % 7)
+                       + gx + doc_id) % 8 END
+          WHEN gx < f AND gx <= n_sub
+               AND y >= (doc_id + gx) % 7 AND y < (doc_id + gx) % 7 + 3 THEN
+            CASE 1 + (doc_id + gx) % 3
+              WHEN 1 THEN
+                CASE WHEN (doc_id + gx) % 2 = 1
+                          AND ((x - 4 * (gx - 1)) + 2 * (y - (doc_id + gx) % 7)
+                               + gx + doc_id) % 8 = 7
+                     THEN base_ix
+                     ELSE ((x - 4 * (gx - 1)) + 2 * (y - (doc_id + gx) % 7)
+                           + gx + doc_id) % 8 END
+              WHEN 2 THEN bgi
+              ELSE base_ix END
+          ELSE base_ix
+        END AS ix
+      FROM px
+    )
+    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+      CAST(n_sub + 1 AS INT) AS n_frames, 16 AS width, 10 AS height,
+      CAST(SUM((ix * 31) % 256 + (ix * 57 + 11) % 256
+               + (ix * 89 + 7) % 256) AS BIGINT) AS sum_vals,
+      CAST(MAX(CASE WHEN x = 0 AND y = 0
+        THEN (ix * 31) % 256 END) AS INT) AS first_r
+    FROM ix GROUP BY doc_id, f, n_sub
+    """,
+)
+def multimodal_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """ANIMATED-GIF multi-frame extraction with full GIF89a disposal
+    compositing (r8's ``decode_gif`` handled stills): per displayed
+    frame the canvas composites the sub-rectangle over prior state, with
+    transparent-index pixels left untouched and the prior frame's
+    disposal method applied first — leave (1), restore-rect-to-
+    background (2), restore-to-previous (3).  The harness paints
+    NON-OVERLAPPING sub-rects so every canvas has a closed form the
+    oracle replays per pixel — rect_F's own content (minus transparent
+    hits), earlier rects persisted / background / restored-to-base by
+    their disposal, base elsewhere — value-checking the LZW decode,
+    GCE parsing, transparency, and all three disposal paths at once.
+    Scale shape: map-only Arrow compositing like ``video_frames``; one
+    output row per sampled frame, no shuffle."""
+    docs = load_docs(spark, sf).select("doc_id")
+    media = multimodal.synthetic_gif_anim_media(docs, "doc_id")
+    return multimodal.gif_frames(media)
+
+
 def _dhash_neardup_oracle_sql(batch_pred: str | None = None) -> str:
     """DuckDB twin of the perturbed-harness dHash Hamming retrieval:
     pixels -> block sums -> gradient bits -> (hi, lo) packing -> 4x16-bit

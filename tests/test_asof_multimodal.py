@@ -1188,3 +1188,82 @@ def test_image_resize_box_disciplines(spark):
     hv = {r.media_id: (r.dhash_hi, r.dhash_lo) for r in hashes}
     assert hv[1] == hv[51] == hv[101]  # brightness-shifted copies collide
     assert hv[1] != hv[2]              # different content group differs
+
+
+def test_gif_animation_disposal_semantics(spark):
+    """encode_gif_anim -> decode_gif_frames pins all three disposal
+    methods, transparency, background initialization, and the
+    still-GIF degenerate case; the Spark gif_frames operator matches
+    per-frame canvas stats end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    pal = np.array(
+        [[0, 0, 0], [10, 0, 0], [20, 0, 0], [30, 0, 0]], np.uint8
+    )
+    base = np.ones((4, 6), np.uint8)          # screen filled with color 1
+    rect2 = np.full((2, 2), 2, np.uint8)      # painted at (1,1)
+    rect3 = np.full((2, 2), 3, np.uint8)      # painted at (1,3)
+    # frame0 leave; frame1 disposal=2 (restore bg); frame2 sees bg there
+    p = multimodal.encode_gif_anim(
+        6, 4, pal,
+        [(0, 0, base, 1, None), (1, 1, rect2, 2, None),
+         (3, 1, rect3, 1, None)],
+        bg_index=0,
+    )
+    f = multimodal.decode_gif_frames(p)
+    assert len(f) == 3
+    assert (f[0] == pal[1]).all()
+    assert (f[1][1:3, 1:3] == pal[2]).all()          # rect drawn
+    assert (f[2][1:3, 1:3] == pal[0]).all()          # disposal 2 -> bg
+    assert (f[2][1:3, 3:5] == pal[3]).all()          # new rect persists
+    assert (f[2][0, :] == pal[1]).all()              # base untouched
+
+    # disposal=3 restores the pre-draw canvas (here: base, then rect2
+    # persists because ITS disposal is leave)
+    p3 = multimodal.encode_gif_anim(
+        6, 4, pal,
+        [(0, 0, base, 1, None), (1, 1, rect2, 3, None),
+         (3, 1, rect3, 1, None)],
+        bg_index=0,
+    )
+    f3 = multimodal.decode_gif_frames(p3)
+    assert (f3[2][1:3, 1:3] == pal[1]).all()         # disposal 3 -> base
+
+    # transparency: index-2 pixels of the rect leave the canvas visible
+    tr = np.array([[2, 3], [3, 2]], np.uint8)
+    pt = multimodal.encode_gif_anim(
+        6, 4, pal, [(0, 0, base, 1, None), (1, 1, tr, 1, 2)], bg_index=0
+    )
+    ft = multimodal.decode_gif_frames(pt)
+    assert (ft[1][1, 1] == pal[1]).all() and (ft[1][1, 2] == pal[3]).all()
+    assert (ft[1][2, 1] == pal[3]).all() and (ft[1][2, 2] == pal[1]).all()
+
+    # a plain still (encode_gif, no GCE) yields exactly one frame and
+    # matches the single-frame decoder
+    still = multimodal.encode_gif(base, pal, interlace=True)
+    sf_ = multimodal.decode_gif_frames(still)
+    assert len(sf_) == 1
+    np.testing.assert_array_equal(sf_[0], multimodal.decode_gif(still))
+
+    # Spark operator end-to-end on the synthetic harness (ids hitting
+    # every disposal/transparency combination) + every_n sampling
+    ids = spark.createDataFrame([(i,) for i in range(9)], ["doc_id"])
+    media = multimodal.synthetic_gif_anim_media(ids, "doc_id")
+    rows = multimodal.gif_frames(media).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    for i in range(9):
+        assert len(by_id[i]) == 2 + i % 3 == by_id[i][0].n_frames
+        assert all((r.width, r.height) == (16, 10) for r in by_id[i])
+    pdf = media.toPandas()
+    exp = {
+        (int(m), k): int(c.astype(np.int64).sum())
+        for m, payload in zip(pdf.media_id, pdf.content)
+        for k, c in enumerate(multimodal.decode_gif_frames(bytes(payload)))
+    }
+    got = {(r.media_id, r.frame_idx): r.sum_vals for r in rows}
+    assert got == exp
+    sampled = multimodal.gif_frames(media, every_n=2).collect()
+    assert {r.frame_idx for r in sampled} <= {0, 2}

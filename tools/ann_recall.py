@@ -75,7 +75,7 @@ def method_grid(emb, queries, k):
         grid.append(
             (
                 f"lsh-multiprobe planes={planes} tables={tables} probes={probes}"
-                + ("*" if (planes, tables, probes) == (6, 3, 4) else ""),
+                + ("*" if (planes, tables, probes) == (6, 3, 7) else ""),
                 {"n_planes": planes, "n_tables": tables, "n_probes": probes},
                 lambda p=planes, t=tables, r=probes:
                     similarity.hyperplane_lsh_multiprobe_topk(

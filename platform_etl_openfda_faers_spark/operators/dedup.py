@@ -909,7 +909,8 @@ def simhash_portable(
 
 
 def simhash_local(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 16
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, simhash) computed row-local — no explode, no shuffle.
 
@@ -917,14 +918,19 @@ def simhash_local(
     per-bit ±1 majority vote) but as a map-only stage: hash the distinct
     token array once, then fold votes per bit position with nested
     higher-order functions.  The scale path next to the exploded variant
-    (which shuffles |docs| x |tokens| x bits rows).
+    (which shuffles |docs| x |tokens| x bits rows).  ``keep`` names extra
+    input columns carried through unchanged (still map-only — the
+    incremental form rides its batch flag here instead of joining it
+    back on afterwards).
     """
     assert bits <= 32
     toks = F.array_distinct(
         F.filter(tokens(F.col(text_col)), lambda t: t != "")
     )
     hashed = df.select(
-        F.col(id_col), F.transform(toks, lambda t: token_hash32(t)).alias("_h")
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.transform(toks, lambda t: token_hash32(t)).alias("_h"),
     )
 
     def vote(pos):
@@ -951,7 +957,9 @@ def simhash_local(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return hashed.select(F.col(id_col), sig.alias("simhash"))
+    return hashed.select(
+        F.col(id_col), *[F.col(c) for c in keep], sig.alias("simhash")
+    )
 
 
 def simhash_pairs_from_signatures(
@@ -1057,6 +1065,92 @@ def simhash_near_duplicates(
         a.join(b, ["ci", "cv"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_duplicates_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 16,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """INCREMENTAL SimHash near-dup — the asymmetric batch-vs-corpus
+    shape of :func:`minhash_near_duplicates_incremental` applied to the
+    Hamming family: an incoming batch is paired against itself and the
+    existing corpus, NEVER corpus x corpus.
+
+    Signatures are the portable row-local form (``simhash_local`` —
+    map-only, no shuffle; the batch flag rides through via ``keep``), so
+    the only shuffles are the chunk-bucket join's.  Pigeonhole: two
+    signatures within Hamming <= ``n_chunks - 1`` share at least one
+    exact bit-chunk, so candidates join on (chunk_idx, chunk_value) with
+    the BATCH side as build side — per bucket the candidate volume is
+    O(|bucket ∩ batch| x |bucket|), vanishing as batch/corpus shrinks —
+    and the exact ``bit_count(xor)`` filter keeps the result lossless.
+    Semantics equal :func:`simhash_near_duplicates_portable` over the
+    UNION of the two inputs restricted to pairs with at least one batch
+    document (the law ``test_dedup.py`` pins).  No bucket cap, matching
+    the full-form generator: at ``bits=16``/4 chunks the bucket keyspace
+    is 4 bits, so ANY useful occupancy cap would prune everything — the
+    cap slot belongs to wide-signature deployments (64-bit simhash,
+    16-bit chunks), where ``prune_df_window`` on (ci, cv) drops
+    degenerate buckets exactly as the dHash form does.  Ids must be
+    unique across the two inputs.  Output: (id_a, id_b, hamming),
+    id_a < id_b.
+    """
+    assert max_hamming <= n_chunks - 1, "bucketing is lossy beyond n_chunks-1"
+    assert bits % n_chunks == 0
+    combined = corpus_docs.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
+    ).unionByName(
+        new_docs.select(F.col(id_col), F.col(text_col), F.lit(True).alias("_new"))
+    )
+    sigs = simhash_local(combined, text_col, id_col, bits=bits, keep=("_new",))
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                (
+                    F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+                    .bitwiseAND(F.lit(mask))
+                ).alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    keyed = sigs.select(
+        F.col(id_col), F.col("_new"), F.col("simhash"),
+        F.explode(chunks).alias("c"),
+    ).select(
+        id_col,
+        "_new",
+        "simhash",
+        F.col("c.ci").alias("ci"),
+        F.col("c.cv").alias("cv"),
+    )
+    a = keyed.where(F.col("_new")).select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "ci", "cv"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "ci", "cv"
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )

@@ -1366,6 +1366,38 @@ def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental_simhash",
+    f"""
+    WITH sig AS ({_SIMHASH16_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      AND ((a.doc_id % 7 = 0) OR (b.doc_id % 7 = 0))
+    """,
+)
+def dedup_incremental_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL SimHash near-dup — completes the asymmetric
+    batch-vs-corpus form across all four near-dup families (Jaccard r8,
+    MinHash/dHash earlier this round, SimHash here): the incoming batch
+    (doc_id % 7 == 0) joins the (batch ∪ corpus) chunk-bucket index with
+    the BATCH as build side, never corpus x corpus.  Signatures are the
+    portable row-local 16-bit form (map-only; the batch flag rides the
+    signature projection, no join-back), so corpus growth costs a bigger
+    probe side only.  The oracle is the brute-force all-pairs Hamming
+    join over the same signatures restricted to batch-touching pairs —
+    value-checking both the asymmetric restriction AND the pigeonhole
+    bucketing's losslessness at Hamming <= 3 (the established
+    ``dedup_simhash_pairs`` oracle discipline)."""
+    docs = load_docs(spark, sf)
+    new = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    return dedup.simhash_near_duplicates_incremental(
+        new, corpus, "text", "doc_id", max_hamming=3, bits=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis over documents
 
@@ -6312,8 +6344,8 @@ _DRIVER_FIRST = [
     # driver evidence is 3 rounds old, the oldest in the registry (the
     # r8 comment's list corrected: j_merge_upsert appeared there
     # erroneously; it was IN the r8 window and is r8-certified) — then
-    # (b) the 6 brand-new r9 queries, (c) the 5 queries whose CODE PATH
-    # changed in r9, and (d) 1 slot of belt-and-braces re-certification.
+    # (b) the 7 brand-new r9 queries, and (c) the 5 queries whose CODE
+    # PATH changed in r9.
     # Counts and disjointness are ASSERTED in _apply_driver_order
     # against _DEFERRED_TO_R10 below — no more hand-counted audit trail
     # (the defect class ADVICE flagged in r7 AND r8).
@@ -6332,9 +6364,10 @@ _DRIVER_FIRST = [
     "text_chunking", "text_fingerprint", "text_langid", "text_packing",
     "text_repetition", "text_stats", "text_tfidf_topk",
     "text_vocab_coverage", "w_frames_suite", "w_ranking_suite",
-    # --- (b) 6 new in r9:
+    # --- (b) 7 new in r9:
     "dedup_incremental_minhash",      # asymmetric batch-vs-corpus LSH
     "multimodal_image_neardup_incremental",  # same shape, dHash chunks
+    "dedup_incremental_simhash",       # same shape, SimHash chunks
     "multimodal_image_dedup_resized",  # box-resize -> dHash -> dedup
     "cdc_apply_roundtrip",             # diff -> apply == new snapshot
     "cdc_scd2_history",                # diff -> change log -> SCD2
@@ -6353,23 +6386,22 @@ _DRIVER_FIRST = [
     "emb_lsh_multiprobe_topk", "multimodal_video_frames",
     "multimodal_image_dedup", "multimodal_image_neardup",
     "cdc_snapshot_diff",
-    # --- (d) 1 spare slot: dedup_minhash_lsh — its oracle comes from
-    # the generator touched this round (output byte-identical, see
-    # above) and it is the non-incremental twin the new
-    # dedup_incremental_minhash law references; cheap belt-and-braces.
-    "dedup_minhash_lsh",
 ]
 
 # Deferred to r10, MAINTAINED AS DATA so _apply_driver_order can assert
 # the bookkeeping (r8's hand-counted comment block listed j_merge_upsert
 # in two places; this list is checked, not trusted).  Provenance:
-# 44 r8-DRIVER-certified (CORRECTNESS_r08 rows), 42 r6/r7-driver-
+# 45 r8-DRIVER-certified (CORRECTNESS_r08 rows), 42 r6/r7-driver-
 # certified + judge-re-verified on the r8 tree (VERDICT r8: the 80-query
 # oracle re-run).  Rotation priority for r10: those 42 first — their
 # DRIVER evidence will be the oldest.
 _DEFERRED_TO_R10 = [
-    # 44 r8-driver-certified:
+    # 45 r8-driver-certified (dedup_minhash_lsh's oracle generator was
+    # touched in r9 but its emitted default-path SQL is byte-identical
+    # to r8 and its Spark callable untouched, so it keeps r8 provenance
+    # and yields its window slot to the brand-new incremental simhash):
     "corpus_curation_pipeline", "dedup_incremental_jaccard",
+    "dedup_minhash_lsh",
     "dedup_ngram_jaccard_capped", "emb_lsh_ann", "emb_lsh_ann_sparse",
     "f_array_suite", "f_datetime_suite", "f_from_json_typed",
     "f_inline_structs", "f_posexplode_tokens", "f_string_suite",

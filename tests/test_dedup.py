@@ -349,3 +349,48 @@ def test_minhash_incremental_cap_counts_combined_occupancy(spark):
     assert {(r.id_a, r.id_b) for r in kept.collect()} == {
         (i, 100) for i in range(5)
     }
+
+
+def test_simhash_incremental_matches_full_restriction(docs):
+    """The incremental SimHash form must equal the full portable pipeline
+    over the union restricted to batch-touching pairs — same pairs, same
+    Hamming distances (the law ``dedup_incremental_simhash``'s oracle
+    encodes), with max_hamming wide open so the restriction itself is
+    what's under test."""
+    batch_ids = {2, 5}
+    new_docs = docs.where(F.col("doc_id").isin(*batch_ids))
+    corpus_docs = docs.where(~F.col("doc_id").isin(*batch_ids))
+
+    full = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_duplicates_portable(
+            docs, "text", "doc_id", max_hamming=3, bits=16
+        ).collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    inc = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_duplicates_incremental(
+            new_docs, corpus_docs, "text", "doc_id", max_hamming=3, bits=16
+        ).collect()
+    }
+    assert inc == full, (inc, full)
+    assert full, "harness must produce at least one batch-touching pair"
+
+
+def test_simhash_incremental_excludes_corpus_corpus_pairs(spark):
+    """Three exact copies: two in the corpus, one in the batch.  The
+    corpus-corpus pair (Hamming 0) must NOT appear; both batch-touching
+    pairs must."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame([(3, "alpha beta gamma")], ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_duplicates_incremental(
+            new, corpus, "text", "doc_id"
+        ).collect()
+    }
+    assert pairs == {(1, 3): 0, (2, 3): 0}

@@ -3542,6 +3542,115 @@ def synthetic_wav_media(
     return df.select(*cols).mapInPandas(gen, schema=schema)
 
 
+def synthetic_wav_media_tonal(
+    df: DataFrame,
+    id_col: str,
+    seed_col: str | None = None,
+    window: int = 64,
+    n_windows: int = 8,
+) -> DataFrame:
+    """Deterministic TONAL mono PCM-16 WAV payloads (test/oracle harness
+    for the spectral-fingerprint path).  Each payload is ``n_windows``
+    non-overlapping ``window``-sample windows; window ``w`` holds an
+    exact-bin sine ``round(8000 * sin(2*pi*k*j/window))`` with
+    ``k = 1 + (seed*7 + w*3) % (window//2 - 1)`` — an integer number of
+    periods per window, so the window's dominant rfft bin IS ``k`` by
+    construction: the main lobe carries amplitude*window/2 (~256,000)
+    while PCM quantization contributes <= 0.5 LSB of broadband noise
+    (~3 per bin), five orders of magnitude down.  The oracle therefore
+    replays the BIN FORMULA in SQL — no FFT needed on the DuckDB side —
+    while the Spark side must run the real decode + rfft to reproduce
+    it.  ``seed_col`` (e.g. ``doc_id % 50``) yields real duplicate
+    payloads under distinct ids, the audio-dedup harness case."""
+    seed_src = seed_col or id_col
+    half = window // 2 - 1
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(window, dtype=np.float64)
+        for pdf in batches:
+            rows = []
+            for mid, sd in zip(pdf[id_col], pdf[seed_src]):
+                mid, sd = int(mid), int(sd)
+                chunks = []
+                for w in range(n_windows):
+                    k = 1 + (sd * 7 + w * 3) % half
+                    chunks.append(
+                        np.round(
+                            8000.0 * np.sin(2.0 * np.pi * k * j / window)
+                        ).astype(np.int16)
+                    )
+                samples = np.concatenate(chunks)
+                rows.append((mid, encode_wav(samples, channels=1)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    cols = [F.col(id_col)] + ([F.col(seed_src)] if seed_col else [])
+    return df.select(*cols).mapInPandas(gen, schema=schema)
+
+
+def audio_spectral_peaks(df: DataFrame, window: int = 64) -> DataFrame:
+    """(media_id, win, peak_bin): dominant rfft POWER bin per full
+    non-overlapping ``window``-frame window of channel 0 — the spectral
+    primitive under audio fingerprinting (a track's peak-bin sequence is
+    its content address; Shazam-style retrieval hashes pairs of these).
+
+    Scale shape: Arrow-batched ``mapInPandas``, the window reshape and
+    FFT vectorized per payload (one 2-D ``rfft`` call, no Python loop
+    over windows) — map-only, no shuffle; output is
+    O(total_frames / window) integer rows.
+    """
+
+    def peaks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_win, out_bin = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["content"]):
+                samples, channels, _ = decode_wav(bytes(payload))
+                ch0 = samples[:: max(channels, 1)].astype(np.float64)
+                n_full = len(ch0) // window
+                if not n_full:
+                    continue
+                frames = ch0[: n_full * window].reshape(n_full, window)
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                dom = power.argmax(axis=1)
+                out_id.extend([int(media_id)] * n_full)
+                out_win.extend(range(n_full))
+                out_bin.extend(int(b) for b in dom)
+            yield pd.DataFrame(
+                {"media_id": out_id, "win": out_win, "peak_bin": out_bin}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("win", T.IntegerType()),
+            T.StructField("peak_bin", T.IntegerType()),
+        ]
+    )
+    return df.select("media_id", "content").mapInPandas(peaks, schema=schema)
+
+
+def audio_fingerprint(df: DataFrame, window: int = 64) -> DataFrame:
+    """(media_id, fingerprint): md5 of the win-ordered comma-joined
+    peak-bin sequence — a compact content address for exact audio dedup
+    (the WAV analogue of ``image_dhash``'s exact-group path; byte-level
+    container or encoder differences that preserve the audible content
+    collapse to one fingerprint).  One map-only spectral pass, one
+    16-byte-per-track aggregate shuffle."""
+    peaks = audio_spectral_peaks(df, window)
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("win", "peak_bin"))),
+        lambda s: s["peak_bin"].cast("string"),
+    )
+    return peaks.groupBy("media_id").agg(
+        F.md5(F.concat_ws(",", seq)).alias("fingerprint")
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
     """Video frame-sampling stub: emits (media_id, frame_idx) rows.
 

@@ -3311,6 +3311,93 @@ def emb_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ivf_incremental_oracle_sql(
+    k: int = 8, iterations: int = 2, nprobe: int = 3, topk: int = 5,
+    batch_mod: int = 7,
+) -> str:
+    """DuckDB twin of the FROZEN-INDEX append: Lloyd k-means replayed over
+    the CORPUS ONLY (``vec_id % batch_mod <> 0``), then the full
+    corpus-plus-batch set assigned to those frozen centroids and searched
+    with the standard probe/re-rank tail.  Composes the shared
+    ``_kmeans_ctes_for`` generator over a corpus CTE — one k-means
+    definition across all trained-centroid oracles."""
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"cv AS (SELECT vec_id, e FROM v WHERE vec_id % {batch_mod} <> 0)",
+    ]
+    kc, last = _kmeans_ctes_for("cv", "inc_", k, iterations)
+    ctes += kc
+    c_cos = _IVF_COS.format(a="v.e", b=f"{last}.c")
+    q_cos = _IVF_COS.format(a="q.e", b=f"{last}.c")
+    s_cos = _IVF_COS.format(a="qa.e", b="ca.e")
+    ctes.append("q AS (SELECT vec_id, e FROM v WHERE vec_id < 20)")
+    ctes.append(
+        f"""c_assign AS (
+      SELECT neighbor_id, e, cell FROM (
+        SELECT v.vec_id AS neighbor_id, v.e, {last}.cell,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {c_cos} DESC, {last}.cell) AS r
+        FROM v, {last}) WHERE r = 1
+    )"""
+    )
+    ctes.append(
+        f"""q_assign AS (
+      SELECT query_id, e, cell FROM (
+        SELECT q.vec_id AS query_id, q.e, {last}.cell,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY {q_cos} DESC, {last}.cell) AS r
+        FROM q, {last}) WHERE r <= {nprobe}
+    )"""
+    )
+    ctes.append(
+        f"""s AS (
+      SELECT qa.query_id, ca.neighbor_id, {s_cos} AS score
+      FROM q_assign qa JOIN c_assign ca USING (cell)
+      WHERE qa.query_id <> ca.neighbor_id
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) AS INT) AS rank
+      FROM s) WHERE rank <= {topk}
+    """
+
+
+@query("emb_ivf_incremental_topk", _ivf_incremental_oracle_sql())
+def emb_ivf_incremental_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL IVF — the ANN-index analogue of the incremental dedup
+    forms: a nightly embedding batch (vec_id % 7 == 0) is appended to an
+    index whose centroids were trained on the CORPUS ONLY and are FROZEN
+    — no retrain, no corpus re-clustering.  Production IVF indexes are
+    exactly this shape: centroids train once (or on a sample), appended
+    vectors get a map-only cell assignment against the broadcast
+    centroid array (the corpus side's assignments are content-addressed
+    and persistable — nothing about existing cells changes), and search
+    probes the same frozen geometry.  The Spark plan contains no
+    corpus-wide shuffle for the append: ``ivf_cells`` is a 1-row
+    broadcast argmax on each side.  The oracle replays corpus-only Lloyd
+    training (shared ``_kmeans_ctes_for`` CTEs), frozen-centroid
+    assignment of corpus ∪ batch, and the probe/re-rank tail — the
+    seed rule (ids < k within the corpus) matches the Spark
+    ``kmeans_centroids`` filter exactly, so fewer-than-k seeds when the
+    batch holds low ids is identical on both engines."""
+    emb = load_emb(spark, sf)
+    corpus = emb.where(F.col("vec_id") % 7 != 0)
+    cent = similarity.kmeans_centroids(corpus, k=8, iterations=2)
+    return similarity.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 20),
+        k=5,
+        nprobe=3,
+        centroids=cent,
+    )
+
+
 @query(
     "a_outlier_zscore",
     """
@@ -5677,6 +5764,76 @@ def multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_peaks",
+    """
+    WITH d AS (SELECT doc_id FROM documents),
+    w AS (
+      SELECT d.doc_id, ws.win FROM d,
+      LATERAL (SELECT unnest(generate_series(0, 7)) AS win) ws
+    )
+    SELECT doc_id AS media_id, CAST(win AS INT) AS win,
+      CAST(1 + (doc_id * 7 + win * 3) % 31 AS INT) AS peak_bin
+    FROM w
+    """,
+)
+def multimodal_audio_peaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Spectral peak extraction end-to-end: synthesize TONAL WAVs (one
+    exact-bin sine per 64-sample window, bin = 1 + (id*7 + win*3) % 31),
+    REAL-decode them, and take the dominant rfft power bin per window —
+    the primitive under audio fingerprinting.  The Spark side runs the
+    real PCM decode + vectorized 2-D FFT (Arrow map-only); the oracle
+    needs NO FFT because the harness makes the answer analytic: an
+    integer-periods sine concentrates amplitude*window/2 in its own bin
+    while PCM quantization noise sits five orders of magnitude down, so
+    the argmax is the generator formula, replayed in SQL.  Any decode,
+    windowing, reshape, or FFT-axis bug breaks the value hash."""
+    docs = load_docs(spark, sf).select("doc_id")
+    media = multimodal.synthetic_wav_media_tonal(docs, "doc_id")
+    return multimodal.audio_spectral_peaks(media, window=64)
+
+
+@query(
+    "multimodal_audio_dedup",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 50 AS gid FROM documents),
+    bins AS (
+      SELECT d.doc_id, d.gid, ws.win,
+        CAST(1 + (d.gid * 7 + ws.win * 3) % 31 AS VARCHAR) AS b
+      FROM d,
+      LATERAL (SELECT unnest(generate_series(0, 7)) AS win) ws
+    ),
+    fp AS (
+      SELECT doc_id, md5(string_agg(b, ',' ORDER BY win)) AS fingerprint
+      FROM bins GROUP BY doc_id
+    )
+    SELECT fingerprint, COUNT(*) AS n_tracks,
+      MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def multimodal_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact audio dedup by spectral fingerprint — the WAV analogue of
+    ``multimodal_image_dedup``: tonal payloads repeat every 50 ids
+    (seed = doc_id % 50), each track's win-ordered dominant-bin sequence
+    is md5-hashed into a 16-byte content address, and duplicates are one
+    groupBy on it.  The oracle replays bins-from-formula, the exact
+    string join, and the md5 in SQL — fingerprint VALUES are checked,
+    not just group sizes.  Scale shape: map-only decode + FFT, one
+    16-byte aggregate shuffle per track, one group shuffle — pixels and
+    samples never shuffle."""
+    docs = load_docs(spark, sf).select(
+        "doc_id", (F.col("doc_id") % 50).alias("gid")
+    )
+    media = multimodal.synthetic_wav_media_tonal(docs, "doc_id", seed_col="gid")
+    fp = multimodal.audio_fingerprint(media, window=64)
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_tracks"),
+        F.min("media_id").alias("first_id"),
+        F.max("media_id").alias("last_id"),
+    )
+
+
+@query(
     "f_from_json_typed",
     """
     SELECT event_id,
@@ -6434,6 +6591,13 @@ _DEFERRED_TO_R10 = [
     "j2_dimension_join", "j3_left_outer", "j6_full_outer", "j7_semi_join",
     "multimodal_decode_gif", "multimodal_mp4_meta", "p5_filter_inlist",
     "p6_null_guards", "set_ops_suite", "w_approx_distinct",
+    # new in r9 AFTER the 50-slot window was finalized (certified by the
+    # committed CORRECTNESS_LOCAL_r09 full-registry run on the closing
+    # tree; no driver row yet) — rotate into the r10 window FIRST,
+    # alongside the 42 above:
+    "emb_ivf_incremental_topk",
+    "multimodal_audio_peaks",
+    "multimodal_audio_dedup",
 ]
 
 

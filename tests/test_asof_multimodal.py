@@ -1267,3 +1267,54 @@ def test_gif_animation_disposal_semantics(spark):
     assert got == exp
     sampled = multimodal.gif_frames(media, every_n=2).collect()
     assert {r.frame_idx for r in sampled} <= {0, 2}
+
+
+def test_audio_spectral_peaks_match_formula(spark):
+    """The tonal harness makes the dominant rfft bin analytic:
+    peak_bin == 1 + (seed*7 + win*3) % 31 for every window.  Verifies
+    the full decode -> deinterleave -> reshape -> 2-D FFT -> argmax
+    chain on the Spark side against the generator formula."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    media = multimodal.synthetic_wav_media_tonal(ids, "doc_id")
+    got = {
+        (r.media_id, r.win): r.peak_bin
+        for r in multimodal.audio_spectral_peaks(media, window=64).collect()
+    }
+    want = {
+        (i, w): 1 + (i * 7 + w * 3) % 31
+        for i in range(12)
+        for w in range(8)
+    }
+    assert got == want
+
+
+def test_audio_tonal_argmax_immune_to_quantization():
+    """PCM-16 quantization noise must never flip the dominant bin: sweep
+    every possible bin at several amplitudes locally (NumPy only) and
+    assert the argmax is always the generated bin."""
+    import numpy as np
+
+    window = 64
+    j = np.arange(window, dtype=np.float64)
+    for amp in (200.0, 1000.0, 8000.0):
+        for k in range(1, 32):
+            v = np.round(amp * np.sin(2.0 * np.pi * k * j / window))
+            power = np.abs(np.fft.rfft(v)) ** 2
+            assert int(power.argmax()) == k, (amp, k)
+
+
+def test_audio_fingerprint_groups_duplicate_payloads(spark):
+    """seed = id % 3 yields real duplicate payloads under distinct ids:
+    same seed -> same fingerprint, different seed -> different."""
+    ids = spark.createDataFrame(
+        [(i, i % 3) for i in range(9)], ["doc_id", "gid"]
+    )
+    media = multimodal.synthetic_wav_media_tonal(ids, "doc_id", seed_col="gid")
+    fp = {
+        r.media_id: r.fingerprint
+        for r in multimodal.audio_fingerprint(media, window=64).collect()
+    }
+    assert len(fp) == 9
+    for i in range(9):
+        assert fp[i] == fp[i % 3]
+    assert len({fp[0], fp[1], fp[2]}) == 3

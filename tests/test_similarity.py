@@ -195,3 +195,46 @@ def test_ivf_pq_prunes_candidates_and_overlaps_adc(spark, sf_dir):
         ).collect()
     }
     assert again == {(r.query_id, r.neighbor_id, r.score, r.rank) for r in rows}
+
+
+def test_frozen_centroid_append_is_content_addressed(spark, sf_dir):
+    """The incremental-IVF property: appending a batch to a frozen-centroid
+    index must not move ANY existing corpus vector's cell assignment —
+    assignments are content-addressed (vector x centroids), so the corpus
+    side of the index is persistable and only batch vectors need scoring
+    at ingest.  Also pins that corpus-only training differs from
+    full-set training (the query is exercising a real frozen index, not
+    accidentally retraining)."""
+    from platform_etl_openfda_faers_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).limit(200)
+    corpus = emb.where(F.col("vec_id") % 7 != 0)
+    cent = similarity.kmeans_centroids(corpus, k=8, iterations=1)
+
+    c = corpus.select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    )
+    full = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    )
+    corpus_only = {
+        (r._id, r.cell)
+        for r in similarity.ivf_cells(c, cent, "_id", "_v", nprobe=1).collect()
+    }
+    with_batch = {
+        (r._id, r.cell)
+        for r in similarity.ivf_cells(full, cent, "_id", "_v", nprobe=1).collect()
+        if r._id % 7 != 0
+    }
+    assert corpus_only == with_batch and corpus_only
+
+    full_cent = {
+        tuple(r.centroid)
+        for r in similarity.kmeans_centroids(emb, k=8, iterations=1).collect()
+    }
+    frozen = {tuple(r.centroid) for r in cent.collect()}
+    assert frozen != full_cent

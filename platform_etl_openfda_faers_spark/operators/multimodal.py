@@ -3548,20 +3548,34 @@ def synthetic_wav_media_tonal(
     seed_col: str | None = None,
     window: int = 64,
     n_windows: int = 8,
+    offset_col: str | None = None,
 ) -> DataFrame:
     """Deterministic TONAL mono PCM-16 WAV payloads (test/oracle harness
     for the spectral-fingerprint path).  Each payload is ``n_windows``
     non-overlapping ``window``-sample windows; window ``w`` holds an
     exact-bin sine ``round(8000 * sin(2*pi*k*j/window))`` with
-    ``k = 1 + (seed*7 + w*3) % (window//2 - 1)`` — an integer number of
-    periods per window, so the window's dominant rfft bin IS ``k`` by
+    ``k = 1 + (seed*7 + w*(3 + 2*(seed % 14))) % (window//2 - 1)`` —
+    a per-seed bin STEP (odd, 3..29, never 0 mod the prime 31 at the
+    default window), so different seeds trace different chain
+    directions and a landmark pair (bin_w, bin_{w+dt}) pins its seed,
+    not just a phase.  (A seed-independent step is the audio analogue
+    of the fixed-direction gradient ramp that collided under dHash:
+    every track's landmarks land in one global chain, and landmark
+    bucket occupancy grows with the CORPUS instead of the content
+    group.)  Each window holds an integer number of
+    periods, so the window's dominant rfft bin IS ``k`` by
     construction: the main lobe carries amplitude*window/2 (~256,000)
     while PCM quantization contributes <= 0.5 LSB of broadband noise
     (~3 per bin), five orders of magnitude down.  The oracle therefore
     replays the BIN FORMULA in SQL — no FFT needed on the DuckDB side —
     while the Spark side must run the real decode + rfft to reproduce
     it.  ``seed_col`` (e.g. ``doc_id % 50``) yields real duplicate
-    payloads under distinct ids, the audio-dedup harness case."""
+    payloads under distinct ids, the audio-dedup harness case.
+    ``offset_col`` names a per-row starting window PHASE: the payload's
+    window ``w`` carries the tone of logical window ``offset + w`` — a
+    time-shifted ("clipped intro") rendition of the same content, the
+    case landmark retrieval handles and the global fingerprint does
+    not."""
     seed_src = seed_col or id_col
     half = window // 2 - 1
 
@@ -3569,11 +3583,16 @@ def synthetic_wav_media_tonal(
         j = np.arange(window, dtype=np.float64)
         for pdf in batches:
             rows = []
-            for mid, sd in zip(pdf[id_col], pdf[seed_src]):
-                mid, sd = int(mid), int(sd)
+            offs = (
+                pdf[offset_col] if offset_col is not None
+                else [0] * len(pdf)
+            )
+            for mid, sd, off in zip(pdf[id_col], pdf[seed_src], offs):
+                mid, sd, off = int(mid), int(sd), int(off)
+                step = 3 + 2 * (sd % 14)
                 chunks = []
                 for w in range(n_windows):
-                    k = 1 + (sd * 7 + w * 3) % half
+                    k = 1 + (sd * 7 + (off + w) * step) % half
                     chunks.append(
                         np.round(
                             8000.0 * np.sin(2.0 * np.pi * k * j / window)
@@ -3589,8 +3608,13 @@ def synthetic_wav_media_tonal(
             T.StructField("content", T.BinaryType()),
         ]
     )
-    cols = [F.col(id_col)] + ([F.col(seed_src)] if seed_col else [])
-    return df.select(*cols).mapInPandas(gen, schema=schema)
+    names = [id_col]
+    for extra in (seed_col, offset_col):
+        if extra and extra not in names:
+            names.append(extra)
+    return df.select(*[F.col(c) for c in names]).mapInPandas(
+        gen, schema=schema
+    )
 
 
 def audio_spectral_peaks(df: DataFrame, window: int = 64) -> DataFrame:
@@ -3648,6 +3672,92 @@ def audio_fingerprint(df: DataFrame, window: int = 64) -> DataFrame:
     )
     return peaks.groupBy("media_id").agg(
         F.md5(F.concat_ws(",", seq)).alias("fingerprint")
+    )
+
+
+def audio_landmarks(peaks: DataFrame, max_dt: int = 3) -> DataFrame:
+    """(media_id, a_bin, b_bin, dt): Shazam-style landmark keys — ordered
+    pairs of dominant bins ``dt`` windows apart (1 <= dt <= ``max_dt``).
+
+    A landmark is LOCAL to a dt-window span, so a time-shifted rendition
+    of the same content (clipped intro, concatenation) shares most of
+    its landmarks with the original even though every global digest of
+    the full bin sequence differs — the property retrieval needs and
+    ``audio_fingerprint`` deliberately does not have.
+
+    Built row-locally: one groupBy collects each track's win-ordered bin
+    array, then nested higher-order functions enumerate (position, dt)
+    pairs — no self-join, no per-landmark shuffle.  Output is DISTINCT
+    per (media, key): a track contributes each key once, so downstream
+    match counts are set intersections.
+    """
+    arr = peaks.groupBy("media_id").agg(
+        F.array_sort(F.collect_list(F.struct("win", "peak_bin"))).alias("s")
+    )
+    n = F.size("s")
+    # sequence() descends when start > stop — guard both ranges, then
+    # filter to the valid (i, i + dt <= n - 1) triangle
+    cand = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.lit(max_dt)),
+                lambda d: F.struct(
+                    # try_element_at: the (i, dt) rectangle overhangs the
+                    # triangle; out-of-range structs are NULL-filled here
+                    # and dropped by the _end filter below
+                    F.try_element_at("s", i + 1)["peak_bin"].alias("a_bin"),
+                    F.try_element_at("s", i + d + 1)["peak_bin"].alias("b_bin"),
+                    d.cast("int").alias("dt"),
+                    (i + d).alias("_end"),
+                ),
+            ),
+        )
+    )
+    lm = arr.where(n >= 2).select(
+        "media_id",
+        F.explode(F.filter(cand, lambda c: c["_end"] <= n - 1)).alias("c"),
+    )
+    return lm.select(
+        "media_id",
+        F.col("c.a_bin").alias("a_bin"),
+        F.col("c.b_bin").alias("b_bin"),
+        F.col("c.dt").alias("dt"),
+    ).distinct()
+
+
+def audio_landmark_matches(
+    peaks: DataFrame,
+    max_dt: int = 3,
+    min_matches: int = 10,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """Offset-robust audio near-dup retrieval: tracks sharing at least
+    ``min_matches`` landmark keys.  Output: (id_a, id_b, n_matches),
+    id_a < id_b.
+
+    Candidates join on the landmark key (a_bin, b_bin, dt) — pair
+    generation is quadratic PER KEY, and exact-duplicate mega-clusters
+    make keys arbitrarily hot (every copy of a track shares its whole
+    key set), so key buckets are CAPPED at ``max_bucket_size`` combined
+    occupancy by default, exactly the dHash/MinHash dial: oversized
+    buckets prune whole (replayed in the oracle), and mega-cluster exact
+    duplicates belong to the linear ``audio_fingerprint`` groupBy, not
+    the retrieval join.  ``None`` opts out for corpora known free of
+    degenerate keys."""
+    lm = audio_landmarks(peaks, max_dt=max_dt)
+    if max_bucket_size is not None:
+        from .dedup import prune_df_window
+
+        lm = prune_df_window(lm, ["a_bin", "b_bin", "dt"], max_bucket_size)
+    a = lm.toDF("id_a", "a_bin", "b_bin", "dt")
+    b = lm.toDF("id_b", "a_bin", "b_bin", "dt")
+    return (
+        a.join(b, ["a_bin", "b_bin", "dt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+        .where(F.col("n_matches") >= min_matches)
     )
 
 

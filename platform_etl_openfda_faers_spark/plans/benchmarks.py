@@ -5772,7 +5772,8 @@ def multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
       LATERAL (SELECT unnest(generate_series(0, 7)) AS win) ws
     )
     SELECT doc_id AS media_id, CAST(win AS INT) AS win,
-      CAST(1 + (doc_id * 7 + win * 3) % 31 AS INT) AS peak_bin
+      CAST(1 + (doc_id * 7 + win * (3 + 2 * (doc_id % 14))) % 31 AS INT)
+        AS peak_bin
     FROM w
     """,
 )
@@ -5798,7 +5799,8 @@ def multimodal_audio_peaks(spark: SparkSession, sf: str) -> DataFrame:
     WITH d AS (SELECT doc_id, doc_id % 50 AS gid FROM documents),
     bins AS (
       SELECT d.doc_id, d.gid, ws.win,
-        CAST(1 + (d.gid * 7 + ws.win * 3) % 31 AS VARCHAR) AS b
+        CAST(1 + (d.gid * 7 + ws.win * (3 + 2 * (d.gid % 14))) % 31
+          AS VARCHAR) AS b
       FROM d,
       LATERAL (SELECT unnest(generate_series(0, 7)) AS win) ws
     ),
@@ -5830,6 +5832,71 @@ def multimodal_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_tracks"),
         F.min("media_id").alias("first_id"),
         F.max("media_id").alias("last_id"),
+    )
+
+
+@query(
+    "multimodal_audio_neardup",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 10 AS gid, (doc_id // 10) % 2 AS off
+      FROM documents
+    ),
+    bins AS (
+      SELECT d.doc_id, ws.win,
+        1 + (d.gid * 7 + (d.off + ws.win) * (3 + 2 * (d.gid % 14))) % 31 AS b
+      FROM d, LATERAL (SELECT unnest(generate_series(0, 7)) AS win) ws
+    ),
+    lm AS (
+      SELECT DISTINCT a.doc_id, a.b AS a_bin, bb.b AS b_bin,
+        CAST(bb.win - a.win AS INT) AS dt
+      FROM bins a JOIN bins bb
+        ON bb.doc_id = a.doc_id AND bb.win BETWEEN a.win + 1 AND a.win + 3
+    ),
+    sized AS (
+      SELECT l.doc_id, l.a_bin, l.b_bin, l.dt FROM lm l
+      JOIN (SELECT a_bin, b_bin, dt, COUNT(*) AS n
+            FROM lm GROUP BY a_bin, b_bin, dt) s
+        USING (a_bin, b_bin, dt)
+      WHERE s.n <= 64
+    ),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM sized a JOIN sized b
+        ON a.a_bin = b.a_bin AND a.b_bin = b.b_bin AND a.dt = b.dt
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_matches FROM m WHERE n_matches >= 10
+    """,
+)
+def multimodal_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Offset-robust audio near-dup retrieval — landmark matching over
+    the tonal harness where content repeats every 10 ids and HALF the
+    copies are time-shifted one window (off = (doc_id // 10) % 2): the
+    global ``audio_fingerprint`` md5 splits those into different exact
+    groups, but shifted copies still share 15 of 18 landmark keys
+    (same-offset copies share all 18), so landmark retrieval finds every
+    same-content pair and nothing else.  Landmark keys are built
+    row-locally (no self-join), key buckets are capped at 64 combined
+    occupancy (the dHash/MinHash dial — mega-cluster exact duplicates
+    belong to the fingerprint groupBy, replayed in the oracle's sized
+    CTE), and the oracle recomputes bins-from-formula, the landmark
+    triangle, the cap, and the match counts in SQL."""
+    docs = load_docs(spark, sf).select(
+        "doc_id",
+        (F.col("doc_id") % 10).alias("gid"),
+        ((F.col("doc_id") / 10).cast("long") % 2).alias("off"),
+    )
+    media = multimodal.synthetic_wav_media_tonal(
+        docs, "doc_id", seed_col="gid", offset_col="off"
+    )
+    peaks = multimodal.audio_spectral_peaks(media, window=64)
+    return multimodal.audio_landmark_matches(
+        peaks, max_dt=3, min_matches=10, max_bucket_size=64
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("n_matches")
     )
 
 
@@ -6598,6 +6665,7 @@ _DEFERRED_TO_R10 = [
     "emb_ivf_incremental_topk",
     "multimodal_audio_peaks",
     "multimodal_audio_dedup",
+    "multimodal_audio_neardup",
 ]
 
 

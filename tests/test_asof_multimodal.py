@@ -1271,9 +1271,10 @@ def test_gif_animation_disposal_semantics(spark):
 
 def test_audio_spectral_peaks_match_formula(spark):
     """The tonal harness makes the dominant rfft bin analytic:
-    peak_bin == 1 + (seed*7 + win*3) % 31 for every window.  Verifies
-    the full decode -> deinterleave -> reshape -> 2-D FFT -> argmax
-    chain on the Spark side against the generator formula."""
+    peak_bin == 1 + (seed*7 + win*(3 + 2*(seed % 14))) % 31 for every
+    window.  Verifies the full decode -> deinterleave -> reshape ->
+    2-D FFT -> argmax chain on the Spark side against the generator
+    formula."""
     ids = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
     media = multimodal.synthetic_wav_media_tonal(ids, "doc_id")
     got = {
@@ -1281,7 +1282,7 @@ def test_audio_spectral_peaks_match_formula(spark):
         for r in multimodal.audio_spectral_peaks(media, window=64).collect()
     }
     want = {
-        (i, w): 1 + (i * 7 + w * 3) % 31
+        (i, w): 1 + (i * 7 + w * (3 + 2 * (i % 14))) % 31
         for i in range(12)
         for w in range(8)
     }
@@ -1318,3 +1319,52 @@ def test_audio_fingerprint_groups_duplicate_payloads(spark):
     for i in range(9):
         assert fp[i] == fp[i % 3]
     assert len({fp[0], fp[1], fp[2]}) == 3
+
+
+def test_audio_landmarks_survive_time_shift(spark):
+    """Landmark retrieval must find a one-window-shifted rendition (15 of
+    18 keys shared) that the global fingerprint separates — and must NOT
+    pair different content.  Also pins the occupancy lesson: with a
+    per-seed bin step, a landmark key identifies its content group, so
+    bucket occupancy tracks the GROUP size, not the corpus."""
+    ids = spark.createDataFrame(
+        [(i, i % 3, (i // 3) % 2) for i in range(12)],
+        ["doc_id", "gid", "off"],
+    )
+    media = multimodal.synthetic_wav_media_tonal(
+        ids, "doc_id", seed_col="gid", offset_col="off"
+    )
+    peaks = multimodal.audio_spectral_peaks(media, window=64)
+
+    fp = {
+        r.media_id: r.fingerprint
+        for r in multimodal.audio_fingerprint(media, window=64).collect()
+    }
+    assert fp[0] != fp[3]  # same gid, shifted -> fingerprint SPLITS them
+
+    matches = {
+        (r.id_a, r.id_b): r.n_matches
+        for r in multimodal.audio_landmark_matches(
+            peaks, min_matches=10
+        ).collect()
+    }
+    for (a, b), n in matches.items():
+        assert a % 3 == b % 3  # no cross-content pair
+        assert n == (18 if (a // 3) % 2 == (b // 3) % 2 else 15)
+    assert (0, 3) in matches  # ...but landmark matching FINDS the shift
+    assert len(matches) == 3 * 6  # every same-gid pair, C(4,2) per gid
+
+    lm = multimodal.audio_landmarks(peaks)
+    occ = (
+        lm.groupBy("a_bin", "b_bin", "dt").count().agg(F.max("count"))
+    ).collect()[0][0]
+    assert occ <= 4  # == group size, not corpus size (12)
+
+
+def test_audio_landmarks_single_window_track(spark):
+    """A payload with only one full window yields no landmarks (and no
+    sequence()-descending artifacts)."""
+    ids = spark.createDataFrame([(1,)], ["doc_id"])
+    media = multimodal.synthetic_wav_media_tonal(ids, "doc_id", n_windows=1)
+    peaks = multimodal.audio_spectral_peaks(media, window=64)
+    assert multimodal.audio_landmarks(peaks).count() == 0

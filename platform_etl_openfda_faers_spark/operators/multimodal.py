@@ -3278,6 +3278,236 @@ def dhash_near_duplicates_incremental(
     )
 
 
+VIDEO_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash_hi", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+    ]
+)
+
+
+def video_frame_dhash(
+    df: DataFrame,
+    grid_w: int = 9,
+    grid_h: int = 8,
+    every_n: int = 1,
+) -> DataFrame:
+    """Per-frame perceptual dHash over MJPEG-in-AVI video payloads — the
+    video-dedup primitive: one RIFF walk + JPEG decode + 64-bit dHash per
+    sampled frame, ALL inside one Arrow-batched ``mapInPandas`` pass, so
+    frame pixels never leave the task that decoded them (at 100 TB the
+    only thing that ever shuffles is 16 bytes + 2 ints per frame).
+
+    The hash uses ``image_dhash``'s exact integer discipline — gray is
+    the channel SUM, block averages compare as block SUMS, bit i =
+    ``y * (grid_w-1) + x`` packed into two 32-bit halves — so a frame's
+    hash here equals ``image_dhash`` of that frame exported as a still,
+    and the same 4x16-bit chunk machinery does retrieval.  Frames must
+    tile evenly into the grid (resize upstream otherwise); sampling via
+    ``every_n`` mirrors :func:`video_frames`.
+    Output: (media_id, frame_idx, width, height, dhash_hi, dhash_lo).
+    """
+    if (grid_w - 1) * grid_h != 64:
+        raise ValueError(
+            f"dhash grid must yield exactly 64 bits, got "
+            f"({grid_w}-1)x{grid_h} = {(grid_w - 1) * grid_h}"
+        )
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                for idx, img in decode_avi_frames(bytes(payload), every_n):
+                    gray = (
+                        img.sum(axis=2, dtype=np.int64)
+                        if img.ndim == 3
+                        else img.astype(np.int64)
+                    )
+                    h, w = gray.shape
+                    if w % grid_w or h % grid_h:
+                        raise ValueError(
+                            f"video {int(mid)} frame {idx} is {w}x{h}; "
+                            f"dhash needs multiples of {grid_w}x{grid_h} "
+                            f"— resize upstream"
+                        )
+                    bw, bh = w // grid_w, h // grid_h
+                    blocks = gray.reshape(grid_h, bh, grid_w, bw).sum(
+                        axis=(1, 3)
+                    )
+                    bits = (blocks[:, 1:] > blocks[:, :-1]).astype(
+                        np.int64
+                    ).reshape(-1)
+                    ks = np.arange(bits.size, dtype=np.int64)
+                    lo = int((bits[ks < 32] << ks[ks < 32]).sum())
+                    hi = int((bits[ks >= 32] << (ks[ks >= 32] - 32)).sum())
+                    rows.append((int(mid), idx, w, h, hi, lo))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "dhash_hi", "dhash_lo",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        hashes, schema=VIDEO_DHASH_SCHEMA
+    )
+
+
+def video_near_duplicates(
+    frame_hashes: DataFrame,
+    max_hamming: int = 3,
+    min_frames: int = 2,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """Video near-dup retrieval by frame voting: two videos are near
+    duplicates when at least ``min_frames`` of their frame pairs are
+    within Hamming <= ``max_hamming`` of each other — the property a
+    re-encoded, trimmed, or time-shifted copy keeps while every global
+    digest of the byte stream breaks.
+
+    Candidates join on the frame hash's 4x16-bit pigeonhole chunks
+    (exactly :func:`dhash_near_duplicates` — a frame pair within
+    Hamming <= 3 agrees on at least one chunk), chunk buckets are capped
+    at ``max_bucket_size`` combined occupancy by default (mega-clusters
+    of identical frames belong to exact dedup — a groupBy on the hash —
+    not the retrieval join; a same-content pair pruned from one hot
+    chunk still reaches its partner through its other three), the exact
+    per-half ``bit_count(xor)`` verify keeps frame matches lossless, and
+    the vote is one groupBy per video pair.  Input: a
+    :func:`video_frame_dhash` table.  Output: (id_a, id_b,
+    n_frame_matches), id_a < id_b.
+    """
+    assert max_hamming <= 3, "4-chunk bucketing is lossy beyond Hamming 3"
+    lo, hi = F.col("dhash_lo"), F.col("dhash_hi")
+    mask = F.lit((1 << 16) - 1)
+    chunks = F.array(
+        F.struct(F.lit(0).alias("ci"), lo.bitwiseAND(mask).alias("cv")),
+        F.struct(
+            F.lit(1).alias("ci"),
+            F.shiftrightunsigned(lo, 16).bitwiseAND(mask).alias("cv"),
+        ),
+        F.struct(F.lit(2).alias("ci"), hi.bitwiseAND(mask).alias("cv")),
+        F.struct(
+            F.lit(3).alias("ci"),
+            F.shiftrightunsigned(hi, 16).bitwiseAND(mask).alias("cv"),
+        ),
+    )
+    keyed = frame_hashes.select(
+        "media_id", "frame_idx", "dhash_hi", "dhash_lo",
+        F.explode(chunks).alias("c"),
+    ).select(
+        "media_id",
+        "frame_idx",
+        "dhash_hi",
+        "dhash_lo",
+        F.col("c.ci").alias("ci"),
+        F.col("c.cv").alias("cv"),
+    )
+    if max_bucket_size is not None:
+        from .dedup import prune_df_window
+
+        keyed = prune_df_window(keyed, ["ci", "cv"], max_bucket_size)
+    a = keyed.toDF("id_a", "f_a", "hi_a", "lo_a", "ci", "cv")
+    b = keyed.toDF("id_b", "f_b", "hi_b", "lo_b", "ci", "cv")
+    frame_pairs = (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "f_a",
+            "id_b",
+            "f_b",
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return (
+        frame_pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_frame_matches"))
+        .where(F.col("n_frame_matches") >= min_frames)
+    )
+
+
+def synthetic_avi_media_grid(
+    df: DataFrame,
+    id_col: str,
+    seed_col: str | None = None,
+    offset_col: str | None = None,
+    n_frames: int = 4,
+) -> DataFrame:
+    """Deterministic MJPEG AVIs whose per-frame dHash is ANALYTIC — the
+    video harness for :func:`video_frame_dhash` /
+    :func:`video_near_duplicates` (the video analogue of
+    ``synthetic_wav_media_tonal``).
+
+    Each frame is a 72x64 grid of 9x8 constant 8px blocks — constant
+    JPEG blocks round-trip exactly through the all-ones-qtable path —
+    whose horizontal ±14 value walk ENCODES a chosen 64-bit pattern:
+    bit k (= row*8 + col) of frame content ``(s, t)`` is
+    ``((s*41 + t*17 + k)^2 * 37 + s*131 + t*73) % 251 % 2``, the block
+    value walks ``v(0,y) = 116, v(x+1,y) = v(x,y) ± 14`` (range 4..228),
+    so ``video_frame_dhash`` recovers exactly those bits.  The squared
+    term matters: affine-in-k formulas produce colliding bit patterns
+    (measured: min pairwise Hamming 0), while this one measures min
+    pairwise Hamming 22 over the query harness's 50 contents — far
+    above the <= 3 retrieval band, so frame matches identify content.
+    Frame f of a video with seed ``s`` and offset ``o`` carries content
+    ``(s, o + f)``: offset-shifted renditions share all but one frame
+    content while any whole-file digest separates them.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ks = np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            seeds = pdf[seed_col] if seed_col else pdf[id_col]
+            offs = pdf[offset_col] if offset_col else np.zeros(len(pdf))
+            for mid, s, off in zip(pdf[id_col], seeds, offs):
+                mid, s, off = int(mid), int(s), int(off)
+                frames = []
+                for f in range(n_frames):
+                    t = off + f
+                    b = (
+                        ((s * 41 + t * 17 + ks) ** 2 * 37 + s * 131 + t * 73)
+                        % 251
+                    ) % 2
+                    bg = b.reshape(8, 8)
+                    v = np.empty((8, 9), dtype=np.int64)
+                    v[:, 0] = 116
+                    np.cumsum(
+                        14 * (2 * bg - 1), axis=1, out=v[:, 1:]
+                    )
+                    v[:, 1:] += 116
+                    frames.append(
+                        np.kron(v, np.ones((8, 8), np.int64)).astype(np.uint8)
+                    )
+                rows.append((mid, encode_avi_mjpeg(frames, fps=10)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(
+        *dict.fromkeys(
+            c for c in (id_col, seed_col, offset_col) if c is not None
+        )
+    ).mapInPandas(gen, schema=schema)
+
+
 def synthetic_png_media(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic PNG payloads from an id column (test/oracle harness).
 
@@ -3757,6 +3987,71 @@ def audio_landmark_matches(
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_matches"))
+        .where(F.col("n_matches") >= min_matches)
+    )
+
+
+def audio_landmark_matches_incremental(
+    peaks_batch: DataFrame,
+    peaks_corpus: DataFrame,
+    max_dt: int = 3,
+    min_matches: int = 10,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """INCREMENTAL landmark retrieval — an incoming batch of tracks
+    matched against itself and the existing corpus, NEVER corpus x
+    corpus (the audio analogue of ``dhash_near_duplicates_incremental``,
+    completing the incremental form across every near-dup family:
+    Jaccard, MinHash, SimHash, dHash, and landmarks).
+
+    A nightly audio ingest does not re-match the whole catalog; per
+    landmark key the candidate volume here is O(|key ∩ batch| x |key|)
+    — the batch side is the build side of the key join, so catalog
+    growth costs a bigger probe side, not a quadratic re-pairing.
+
+    Semantics equal ``audio_landmark_matches`` over the UNION of the
+    two peak inputs restricted to pairs with at least one batch track
+    (pinned in ``test_asof_multimodal.py``): ``max_bucket_size`` counts
+    COMBINED (batch ∪ corpus) key occupancy — a key hot in the catalog
+    must prune even when the batch contributes one row — and a
+    batch-batch pair is generated from BOTH of its rows while a
+    batch-corpus pair is generated once, so each hit is weighted 1/2
+    when the probe row is also a batch row; n_matches is a set
+    intersection, the 0.5 sum is exact in binary and integral.  Ids
+    must be unique across the two inputs.  Output: (id_a, id_b,
+    n_matches), id_a < id_b.
+    """
+    lm = audio_landmarks(
+        peaks_corpus, max_dt=max_dt
+    ).withColumn("_new", F.lit(False)).unionByName(
+        audio_landmarks(peaks_batch, max_dt=max_dt).withColumn(
+            "_new", F.lit(True)
+        )
+    )
+    if max_bucket_size is not None:
+        from .dedup import prune_df_window
+
+        lm = prune_df_window(lm, ["a_bin", "b_bin", "dt"], max_bucket_size)
+    a = lm.where(F.col("_new")).select(
+        F.col("media_id").alias("id_a"), "a_bin", "b_bin", "dt"
+    )
+    b = lm.select(
+        F.col("media_id").alias("id_b"),
+        "a_bin",
+        "b_bin",
+        "dt",
+        F.when(F.col("_new"), F.lit(0.5)).otherwise(F.lit(1.0)).alias("_w"),
+    )
+    return (
+        a.join(b, ["a_bin", "b_bin", "dt"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "_w",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("_w").cast("long").alias("n_matches"))
         .where(F.col("n_matches") >= min_matches)
     )
 

@@ -5901,6 +5901,161 @@ def multimodal_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_neardup_incremental",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 10 AS gid, (doc_id // 10) % 2 AS off,
+        doc_id % 7 = 0 AS is_new
+      FROM documents
+    ),
+    bins AS (
+      SELECT d.doc_id, d.is_new, ws.win,
+        1 + (d.gid * 7 + (d.off + ws.win) * (3 + 2 * (d.gid % 14))) % 31 AS b
+      FROM d, LATERAL (SELECT unnest(generate_series(0, 7)) AS win) ws
+    ),
+    lm AS (
+      SELECT DISTINCT a.doc_id, a.is_new, a.b AS a_bin, bb.b AS b_bin,
+        CAST(bb.win - a.win AS INT) AS dt
+      FROM bins a JOIN bins bb
+        ON bb.doc_id = a.doc_id AND bb.win BETWEEN a.win + 1 AND a.win + 3
+    ),
+    sized AS (
+      SELECT l.doc_id, l.is_new, l.a_bin, l.b_bin, l.dt FROM lm l
+      JOIN (SELECT a_bin, b_bin, dt, COUNT(*) AS n
+            FROM lm GROUP BY a_bin, b_bin, dt) s
+        USING (a_bin, b_bin, dt)
+      WHERE s.n <= 64
+    ),
+    m AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+        GREATEST(a.doc_id, b.doc_id) AS id_b,
+        CAST(SUM(CASE WHEN b.is_new THEN 0.5 ELSE 1.0 END) AS BIGINT)
+          AS n_matches
+      FROM sized a JOIN sized b
+        ON a.a_bin = b.a_bin AND a.b_bin = b.b_bin AND a.dt = b.dt
+       AND a.doc_id <> b.doc_id
+      WHERE a.is_new
+      GROUP BY LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id)
+    )
+    SELECT id_a, id_b, n_matches FROM m WHERE n_matches >= 10
+    """,
+)
+def multimodal_audio_neardup_incremental(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """INCREMENTAL landmark retrieval over the same shifted-rendition
+    harness as ``multimodal_audio_neardup``: the batch is every 7th
+    track (1/7 of the corpus, the convention every incremental query
+    here uses), matched against itself and the catalog — candidates are
+    batch x (batch ∪ catalog), NEVER catalog x catalog, completing the
+    incremental form across all five near-dup families (Jaccard,
+    MinHash, SimHash, dHash, landmarks).  The landmark-key cap counts
+    COMBINED occupancy, batch-batch pairs are found from both of their
+    rows and 0.5-weighted back to exact set intersections, and the
+    oracle replays bins-from-formula, the landmark triangle, the cap,
+    the asymmetric restriction, and the weighted counts in SQL."""
+    docs = load_docs(spark, sf).select(
+        "doc_id",
+        (F.col("doc_id") % 10).alias("gid"),
+        ((F.col("doc_id") / 10).cast("long") % 2).alias("off"),
+    )
+    is_new = F.col("doc_id") % 7 == 0
+    batch = multimodal.synthetic_wav_media_tonal(
+        docs.where(is_new), "doc_id", seed_col="gid", offset_col="off"
+    )
+    corpus = multimodal.synthetic_wav_media_tonal(
+        docs.where(~is_new), "doc_id", seed_col="gid", offset_col="off"
+    )
+    return multimodal.audio_landmark_matches_incremental(
+        multimodal.audio_spectral_peaks(batch, window=64),
+        multimodal.audio_spectral_peaks(corpus, window=64),
+        max_dt=3,
+        min_matches=10,
+        max_bucket_size=64,
+    ).select(F.col("id_a"), F.col("id_b"), F.col("n_matches"))
+
+
+@query(
+    "multimodal_video_neardup",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 10 AS sd, (doc_id // 10) % 2 AS off
+      FROM documents
+    ),
+    bits AS (
+      SELECT d.doc_id, fs.f, ks.k,
+        ((((d.sd*41 + (d.off+fs.f)*17 + ks.k)
+           * (d.sd*41 + (d.off+fs.f)*17 + ks.k)) * 37
+          + d.sd*131 + (d.off+fs.f)*73) % 251) % 2 AS b
+      FROM d,
+      LATERAL (SELECT unnest(generate_series(0, 3)) AS f) fs,
+      LATERAL (SELECT unnest(generate_series(0, 63)) AS k) ks
+    ),
+    hash AS (
+      SELECT doc_id, f,
+        CAST(SUM(CASE WHEN k < 32 THEN b * (1::BIGINT << k)
+                 ELSE 0 END) AS BIGINT) AS lo,
+        CAST(SUM(CASE WHEN k >= 32 THEN b * (1::BIGINT << (k - 32))
+                 ELSE 0 END) AS BIGINT) AS hi
+      FROM bits GROUP BY doc_id, f
+    ),
+    keyed AS (
+      SELECT doc_id, f, hi, lo, cs.ci,
+        CASE cs.ci WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+                   WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS cv
+      FROM hash, LATERAL (SELECT unnest(generate_series(0, 3)) AS ci) cs
+    ),
+    sized AS (
+      SELECT k2.doc_id, k2.f, k2.hi, k2.lo, k2.ci, k2.cv FROM keyed k2
+      JOIN (SELECT ci, cv, COUNT(*) AS n FROM keyed GROUP BY ci, cv) oc
+        USING (ci, cv)
+      WHERE oc.n <= 64
+    ),
+    fp AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.f AS f_a,
+        b.doc_id AS id_b, b.f AS f_b,
+        bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+      FROM sized a JOIN sized b
+        ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    ),
+    m AS (
+      SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_frame_matches
+      FROM fp WHERE hamming <= 3 GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_frame_matches FROM m WHERE n_frame_matches >= 2
+    """,
+)
+def multimodal_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Video near-dup by per-frame dHash voting, end-to-end and REAL:
+    the grid harness encodes 4-frame MJPEG AVIs whose frame contents
+    repeat every 10 ids with half the copies one frame ahead
+    (off = (doc_id // 10) % 2), Spark RIFF-walks and JPEG-decodes every
+    frame, hashes it in-task (``video_frame_dhash`` — pixels never
+    shuffle), and votes per video pair on frames within Hamming <= 3:
+    shifted renditions share 3 of 4 frame contents while any whole-file
+    digest splits them.  Chunk buckets cap at 64 combined occupancy
+    (the dedup-family dial; a pair pruned from one hot chunk still
+    joins through its other three), and the oracle NEVER decodes video
+    — the harness makes each frame's 64 dHash bits a closed-form
+    integer formula, so it replays bits -> (hi, lo) packing -> chunk
+    pigeonhole -> cap -> exact Hamming -> frame vote in pure SQL.  Any
+    AVI-walk, JPEG-decode, block-sum, packing, bucketing, or vote bug
+    breaks the value hash."""
+    docs = load_docs(spark, sf).select(
+        "doc_id",
+        (F.col("doc_id") % 10).alias("gid"),
+        ((F.col("doc_id") / 10).cast("long") % 2).alias("off"),
+    )
+    media = multimodal.synthetic_avi_media_grid(
+        docs, "doc_id", seed_col="gid", offset_col="off"
+    )
+    hashes = multimodal.video_frame_dhash(media)
+    return multimodal.video_near_duplicates(
+        hashes, max_hamming=3, min_frames=2, max_bucket_size=64
+    ).select(F.col("id_a"), F.col("id_b"), F.col("n_frame_matches"))
+
+
+@query(
     "f_from_json_typed",
     """
     SELECT event_id,
@@ -6666,6 +6821,8 @@ _DEFERRED_TO_R10 = [
     "multimodal_audio_peaks",
     "multimodal_audio_dedup",
     "multimodal_audio_neardup",
+    "multimodal_audio_neardup_incremental",
+    "multimodal_video_neardup",
 ]
 
 

@@ -2,6 +2,7 @@
 
 import datetime as dt
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -1368,3 +1369,102 @@ def test_audio_landmarks_single_window_track(spark):
     media = multimodal.synthetic_wav_media_tonal(ids, "doc_id", n_windows=1)
     peaks = multimodal.audio_spectral_peaks(media, window=64)
     assert multimodal.audio_landmarks(peaks).count() == 0
+
+
+def test_video_frame_dhash_matches_formula(spark):
+    """Per-frame dHash through the REAL pipeline — grid harness -> MJPEG
+    encode -> AVI walk -> JPEG decode -> block sums -> bit packing —
+    must equal the generator's bit formula exactly (constant JPEG blocks
+    are lossless through the all-ones-qtable path)."""
+    ids = spark.createDataFrame(
+        [(i, i % 3, (i // 3) % 2) for i in range(6)],
+        ["doc_id", "gid", "off"],
+    )
+    media = multimodal.synthetic_avi_media_grid(
+        ids, "doc_id", seed_col="gid", offset_col="off"
+    )
+    got = {
+        (r.media_id, r.frame_idx): (r.dhash_hi, r.dhash_lo)
+        for r in multimodal.video_frame_dhash(media).collect()
+    }
+    ks = np.arange(64, dtype=np.int64)
+    for i in range(6):
+        s, off = i % 3, (i // 3) % 2
+        for f in range(4):
+            t = off + f
+            b = (
+                ((s * 41 + t * 17 + ks) ** 2 * 37 + s * 131 + t * 73) % 251
+            ) % 2
+            lo = int((b[:32] << ks[:32]).sum())
+            hi = int((b[32:] << ks[:32]).sum())
+            assert got[(i, f)] == (hi, lo)
+    # a whole-video digest splits the shifted rendition the frame
+    # hashes will pair: videos 0 (off=0) and 3 (off=1) share 3 of 4
+    # frame hashes but no identical frame SEQUENCE
+    assert [got[(0, f)] for f in range(1, 4)] == [
+        got[(3, f)] for f in range(3)
+    ]
+    assert got[(0, 0)] != got[(3, 0)]
+
+
+def test_video_near_duplicates_frame_voting(spark):
+    """Frame-vote retrieval finds every same-content pair — 4 matching
+    frames for same-offset copies, 3 for one-window-shifted renditions —
+    and nothing across contents (min pairwise content Hamming is 22,
+    far above the <= 3 band)."""
+    ids = spark.createDataFrame(
+        [(i, i % 3, (i // 3) % 2) for i in range(12)],
+        ["doc_id", "gid", "off"],
+    )
+    media = multimodal.synthetic_avi_media_grid(
+        ids, "doc_id", seed_col="gid", offset_col="off"
+    )
+    hashes = multimodal.video_frame_dhash(media)
+    votes = {
+        (r.id_a, r.id_b): r.n_frame_matches
+        for r in multimodal.video_near_duplicates(
+            hashes, min_frames=2
+        ).collect()
+    }
+    assert len(votes) == 3 * 6  # every same-gid pair, C(4,2) per gid
+    for (a, b), n in votes.items():
+        assert a % 3 == b % 3  # no cross-content pair
+        assert n == (4 if (a // 3) % 2 == (b // 3) % 2 else 3)
+
+
+def test_audio_landmark_matches_incremental_law(spark):
+    """The incremental form's defining law: its output equals the full
+    self-match over batch ∪ catalog RESTRICTED to pairs touching the
+    batch — batch-batch pairs once (0.5-weighted from both rows),
+    batch-catalog once, catalog-catalog never."""
+    ids = spark.createDataFrame(
+        [(i, i % 3, (i // 3) % 2) for i in range(12)],
+        ["doc_id", "gid", "off"],
+    )
+    media = multimodal.synthetic_wav_media_tonal(
+        ids, "doc_id", seed_col="gid", offset_col="off"
+    )
+    peaks = multimodal.audio_spectral_peaks(media, window=64)
+    full = {
+        (r.id_a, r.id_b): r.n_matches
+        for r in multimodal.audio_landmark_matches(
+            peaks, min_matches=10
+        ).collect()
+    }
+
+    batch_ids = {i for i in range(12) if i % 4 == 0}
+    is_new = F.col("media_id") % 4 == 0
+    inc = {
+        (r.id_a, r.id_b): r.n_matches
+        for r in multimodal.audio_landmark_matches_incremental(
+            peaks.where(is_new), peaks.where(~is_new), min_matches=10
+        ).collect()
+    }
+    expected = {
+        p: n for p, n in full.items()
+        if p[0] in batch_ids or p[1] in batch_ids
+    }
+    assert inc == expected
+    assert expected  # the law is vacuous on an empty restriction
+    # and strictly smaller than the full set (catalog-catalog dropped)
+    assert len(inc) < len(full)

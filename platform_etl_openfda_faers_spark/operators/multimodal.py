@@ -3439,6 +3439,31 @@ def video_near_duplicates(
     )
 
 
+def video_fingerprint(frame_hashes: DataFrame) -> DataFrame:
+    """(media_id, fingerprint): md5 of the frame-ordered ``hi:lo`` dHash
+    sequence — a compact content address for EXACT video dedup, the
+    video analogue of ``audio_fingerprint``: byte-level container or
+    encoder differences that preserve every frame's perceptual content
+    collapse to one fingerprint, while :func:`video_near_duplicates`
+    handles the shifted/trimmed tail the global digest deliberately
+    splits.  Input: a :func:`video_frame_dhash` table (so sampling via
+    ``every_n`` composes).  One 16-byte-per-video aggregate shuffle;
+    exact dedup is a groupBy on the fingerprint."""
+    seq = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("frame_idx", "dhash_hi", "dhash_lo"))
+        ),
+        lambda s: F.concat_ws(
+            ":",
+            s["dhash_hi"].cast("string"),
+            s["dhash_lo"].cast("string"),
+        ),
+    )
+    return frame_hashes.groupBy("media_id").agg(
+        F.md5(F.concat_ws(",", seq)).alias("fingerprint")
+    )
+
+
 def synthetic_avi_media_grid(
     df: DataFrame,
     id_col: str,

@@ -6056,6 +6056,69 @@ def multimodal_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 10 AS sd, (doc_id // 10) % 2 AS off
+      FROM documents
+    ),
+    bits AS (
+      SELECT d.doc_id, fs.f, ks.k,
+        ((((d.sd*41 + (d.off+fs.f)*17 + ks.k)
+           * (d.sd*41 + (d.off+fs.f)*17 + ks.k)) * 37
+          + d.sd*131 + (d.off+fs.f)*73) % 251) % 2 AS b
+      FROM d,
+      LATERAL (SELECT unnest(generate_series(0, 3)) AS f) fs,
+      LATERAL (SELECT unnest(generate_series(0, 63)) AS k) ks
+    ),
+    hash AS (
+      SELECT doc_id, f,
+        CAST(SUM(CASE WHEN k < 32 THEN b * (1::BIGINT << k)
+                 ELSE 0 END) AS BIGINT) AS lo,
+        CAST(SUM(CASE WHEN k >= 32 THEN b * (1::BIGINT << (k - 32))
+                 ELSE 0 END) AS BIGINT) AS hi
+      FROM bits GROUP BY doc_id, f
+    ),
+    fp AS (
+      SELECT doc_id,
+        md5(string_agg(CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR),
+                       ',' ORDER BY f)) AS fingerprint
+      FROM hash GROUP BY doc_id
+    )
+    SELECT fingerprint, COUNT(*) AS n_videos,
+      MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def multimodal_video_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact video dedup by frame-sequence fingerprint — the linear
+    complement to ``multimodal_video_neardup`` (the same pairing as
+    audio: fingerprint groupBy for exact mega-clusters, vote retrieval
+    for the shifted tail): each video's frame-ordered dHash sequence is
+    md5-hashed into a 16-byte content address and duplicates are one
+    groupBy on it.  Same (gid, off) videos share all 4 frame contents
+    in order, so the harness yields exactly 20 groups; shifted
+    renditions land in DIFFERENT groups — the split the near-dup vote
+    repairs.  The oracle replays bits -> (hi, lo) -> ordered
+    string_agg -> md5 in SQL, checking fingerprint VALUES, not just
+    group sizes."""
+    docs = load_docs(spark, sf).select(
+        "doc_id",
+        (F.col("doc_id") % 10).alias("gid"),
+        ((F.col("doc_id") / 10).cast("long") % 2).alias("off"),
+    )
+    media = multimodal.synthetic_avi_media_grid(
+        docs, "doc_id", seed_col="gid", offset_col="off"
+    )
+    fp = multimodal.video_fingerprint(multimodal.video_frame_dhash(media))
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_videos"),
+        F.min("media_id").alias("first_id"),
+        F.max("media_id").alias("last_id"),
+    )
+
+
+@query(
     "f_from_json_typed",
     """
     SELECT event_id,
@@ -6823,6 +6886,7 @@ _DEFERRED_TO_R10 = [
     "multimodal_audio_neardup",
     "multimodal_audio_neardup_incremental",
     "multimodal_video_neardup",
+    "multimodal_video_dedup",
 ]
 
 

@@ -1407,6 +1407,29 @@ def test_video_frame_dhash_matches_formula(spark):
     assert got[(0, 0)] != got[(3, 0)]
 
 
+def test_video_fingerprint_groups_exact_copies(spark):
+    """The global fingerprint groups same-content same-offset videos and
+    SPLITS shifted renditions — exactly the division of labor with the
+    frame-vote retrieval."""
+    ids = spark.createDataFrame(
+        [(i, i % 3, (i // 3) % 2) for i in range(12)],
+        ["doc_id", "gid", "off"],
+    )
+    media = multimodal.synthetic_avi_media_grid(
+        ids, "doc_id", seed_col="gid", offset_col="off"
+    )
+    fp = {
+        r.media_id: r.fingerprint
+        for r in multimodal.video_fingerprint(
+            multimodal.video_frame_dhash(media)
+        ).collect()
+    }
+    assert fp[0] == fp[6]  # same gid, same off -> one content address
+    assert fp[0] != fp[3]  # same gid, shifted -> split
+    assert fp[0] != fp[1]  # different content
+    assert len(set(fp.values())) == 6  # 3 gids x 2 offsets
+
+
 def test_video_near_duplicates_frame_voting(spark):
     """Frame-vote retrieval finds every same-content pair — 4 matching
     frames for same-offset copies, 3 for one-window-shifted renditions —

@@ -3439,6 +3439,116 @@ def video_near_duplicates(
     )
 
 
+def video_near_duplicates_incremental(
+    new_frame_hashes: DataFrame,
+    corpus_frame_hashes: DataFrame,
+    max_hamming: int = 3,
+    min_frames: int = 2,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """INCREMENTAL video near-dup retrieval — an incoming batch of
+    :func:`video_frame_dhash` rows frame-voted against itself and the
+    existing catalog, NEVER catalog x catalog: the batch's frames are
+    the build side of the chunk join, so catalog growth costs a bigger
+    probe side, not a quadratic re-pairing.  The sixth and last
+    near-dup family to get the incremental form (Jaccard, MinHash,
+    SimHash, dHash, landmarks, frame votes).
+
+    Semantics equal :func:`video_near_duplicates` over the UNION of the
+    two inputs restricted to pairs with at least one batch video
+    (pinned in ``test_asof_multimodal.py``): ``max_bucket_size`` counts
+    COMBINED (batch ∪ catalog) chunk-bucket occupancy, and — unlike the
+    landmark/Jaccard families, whose votes are SUMS and need the
+    0.5-weighting for twice-found batch-batch hits — the frame vote is
+    a count of DISTINCT frame pairs, so orientation-normalizing
+    (id, frame) before the ``distinct`` dedupes the second sighting
+    exactly.  Video ids must be unique across the two inputs.
+    Output: (id_a, id_b, n_frame_matches), id_a < id_b.
+    """
+    assert max_hamming <= 3, "4-chunk bucketing is lossy beyond Hamming 3"
+    combined = corpus_frame_hashes.select(
+        "media_id", "frame_idx", "dhash_hi", "dhash_lo",
+        F.lit(False).alias("_new"),
+    ).unionByName(
+        new_frame_hashes.select(
+            "media_id", "frame_idx", "dhash_hi", "dhash_lo",
+            F.lit(True).alias("_new"),
+        )
+    )
+    lo, hi = F.col("dhash_lo"), F.col("dhash_hi")
+    mask = F.lit((1 << 16) - 1)
+    chunks = F.array(
+        F.struct(F.lit(0).alias("ci"), lo.bitwiseAND(mask).alias("cv")),
+        F.struct(
+            F.lit(1).alias("ci"),
+            F.shiftrightunsigned(lo, 16).bitwiseAND(mask).alias("cv"),
+        ),
+        F.struct(F.lit(2).alias("ci"), hi.bitwiseAND(mask).alias("cv")),
+        F.struct(
+            F.lit(3).alias("ci"),
+            F.shiftrightunsigned(hi, 16).bitwiseAND(mask).alias("cv"),
+        ),
+    )
+    keyed = combined.select(
+        "media_id", "frame_idx", "dhash_hi", "dhash_lo", "_new",
+        F.explode(chunks).alias("c"),
+    ).select(
+        "media_id",
+        "frame_idx",
+        "dhash_hi",
+        "dhash_lo",
+        "_new",
+        F.col("c.ci").alias("ci"),
+        F.col("c.cv").alias("cv"),
+    )
+    if max_bucket_size is not None:
+        from .dedup import prune_df_window
+
+        keyed = prune_df_window(keyed, ["ci", "cv"], max_bucket_size)
+    a = keyed.where(F.col("_new")).select(
+        F.col("media_id").alias("id_a"),
+        F.col("frame_idx").alias("f_a"),
+        F.col("dhash_hi").alias("hi_a"),
+        F.col("dhash_lo").alias("lo_a"),
+        "ci",
+        "cv",
+    )
+    b = keyed.select(
+        F.col("media_id").alias("id_b"),
+        F.col("frame_idx").alias("f_b"),
+        F.col("dhash_hi").alias("hi_b"),
+        F.col("dhash_lo").alias("lo_b"),
+        "ci",
+        "cv",
+    )
+    fwd = F.col("id_a") < F.col("id_b")
+    frame_pairs = (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("vid_a"),
+            F.when(fwd, F.col("f_a")).otherwise(F.col("f_b")).alias("vf_a"),
+            F.greatest("id_a", "id_b").alias("vid_b"),
+            F.when(fwd, F.col("f_b")).otherwise(F.col("f_a")).alias("vf_b"),
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return (
+        frame_pairs.groupBy(
+            F.col("vid_a").alias("id_a"), F.col("vid_b").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_frame_matches"))
+        .where(F.col("n_frame_matches") >= min_frames)
+    )
+
+
 def video_fingerprint(frame_hashes: DataFrame) -> DataFrame:
     """(media_id, fingerprint): md5 of the frame-ordered ``hi:lo`` dHash
     sequence — a compact content address for EXACT video dedup, the

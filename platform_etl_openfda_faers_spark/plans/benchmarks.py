@@ -6119,6 +6119,98 @@ def multimodal_video_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_neardup_incremental",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 10 AS sd, (doc_id // 10) % 2 AS off,
+        doc_id % 7 = 0 AS is_new
+      FROM documents
+    ),
+    bits AS (
+      SELECT d.doc_id, d.is_new, fs.f, ks.k,
+        ((((d.sd*41 + (d.off+fs.f)*17 + ks.k)
+           * (d.sd*41 + (d.off+fs.f)*17 + ks.k)) * 37
+          + d.sd*131 + (d.off+fs.f)*73) % 251) % 2 AS b
+      FROM d,
+      LATERAL (SELECT unnest(generate_series(0, 3)) AS f) fs,
+      LATERAL (SELECT unnest(generate_series(0, 63)) AS k) ks
+    ),
+    hash AS (
+      SELECT doc_id, is_new, f,
+        CAST(SUM(CASE WHEN k < 32 THEN b * (1::BIGINT << k)
+                 ELSE 0 END) AS BIGINT) AS lo,
+        CAST(SUM(CASE WHEN k >= 32 THEN b * (1::BIGINT << (k - 32))
+                 ELSE 0 END) AS BIGINT) AS hi
+      FROM bits GROUP BY doc_id, is_new, f
+    ),
+    keyed AS (
+      SELECT doc_id, is_new, f, hi, lo, cs.ci,
+        CASE cs.ci WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+                   WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS cv
+      FROM hash, LATERAL (SELECT unnest(generate_series(0, 3)) AS ci) cs
+    ),
+    sized AS (
+      SELECT k2.doc_id, k2.is_new, k2.f, k2.hi, k2.lo, k2.ci, k2.cv
+      FROM keyed k2
+      JOIN (SELECT ci, cv, COUNT(*) AS n FROM keyed GROUP BY ci, cv) oc
+        USING (ci, cv)
+      WHERE oc.n <= 64
+    ),
+    fp AS (
+      SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+        CASE WHEN a.doc_id < b.doc_id THEN a.f ELSE b.f END AS f_a,
+        GREATEST(a.doc_id, b.doc_id) AS id_b,
+        CASE WHEN a.doc_id < b.doc_id THEN b.f ELSE a.f END AS f_b,
+        bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+      FROM sized a JOIN sized b
+        ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id <> b.doc_id
+      WHERE a.is_new
+    ),
+    m AS (
+      SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_frame_matches
+      FROM fp WHERE hamming <= 3 GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_frame_matches FROM m WHERE n_frame_matches >= 2
+    """,
+)
+def multimodal_video_neardup_incremental(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """INCREMENTAL frame-vote retrieval over the same shifted-rendition
+    AVI harness as ``multimodal_video_neardup``: the batch is every 7th
+    video (the convention every incremental query here uses), decoded
+    and hashed alongside the catalog, then frame-voted batch x
+    (batch ∪ catalog) — NEVER catalog x catalog — completing the
+    incremental form across all six near-dup families (Jaccard,
+    MinHash, SimHash, dHash, landmarks, frame votes).  The chunk cap
+    counts COMBINED occupancy; batch-batch pairs are found from both
+    rows but the vote counts DISTINCT orientation-normalized frame
+    pairs, so no weighting is needed (unlike the sum-vote families).
+    The oracle replays bits -> packing -> pigeonhole -> combined cap ->
+    the asymmetric restriction -> normalized-DISTINCT Hamming -> vote
+    in pure SQL."""
+    docs = load_docs(spark, sf).select(
+        "doc_id",
+        (F.col("doc_id") % 10).alias("gid"),
+        ((F.col("doc_id") / 10).cast("long") % 2).alias("off"),
+    )
+    is_new = F.col("doc_id") % 7 == 0
+    batch = multimodal.synthetic_avi_media_grid(
+        docs.where(is_new), "doc_id", seed_col="gid", offset_col="off"
+    )
+    catalog = multimodal.synthetic_avi_media_grid(
+        docs.where(~is_new), "doc_id", seed_col="gid", offset_col="off"
+    )
+    return multimodal.video_near_duplicates_incremental(
+        multimodal.video_frame_dhash(batch),
+        multimodal.video_frame_dhash(catalog),
+        max_hamming=3,
+        min_frames=2,
+        max_bucket_size=64,
+    ).select(F.col("id_a"), F.col("id_b"), F.col("n_frame_matches"))
+
+
+@query(
     "f_from_json_typed",
     """
     SELECT event_id,
@@ -6887,6 +6979,7 @@ _DEFERRED_TO_R10 = [
     "multimodal_audio_neardup_incremental",
     "multimodal_video_neardup",
     "multimodal_video_dedup",
+    "multimodal_video_neardup_incremental",
 ]
 
 

@@ -1430,6 +1430,54 @@ def test_video_fingerprint_groups_exact_copies(spark):
     assert len(set(fp.values())) == 6  # 3 gids x 2 offsets
 
 
+def test_video_neardup_incremental_law(spark):
+    """The incremental frame-vote form's defining law: its output equals
+    the full vote over the union restricted to batch-touching pairs
+    (capped and uncapped) — batch-batch pairs are found from both rows
+    but the orientation-normalized DISTINCT dedupes the second sighting,
+    so the vote needs no weighting."""
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame(
+        [(i, i % 3, (i // 3) % 2) for i in range(12)],
+        ["doc_id", "gid", "off"],
+    )
+    media = multimodal.synthetic_avi_media_grid(
+        ids, "doc_id", seed_col="gid", offset_col="off"
+    )
+    hashes = multimodal.video_frame_dhash(media).persist()
+    try:
+        batch_ids = {0, 4}  # one gid-0/off-0 video, one gid-1/off-1
+        new = hashes.where(F.col("media_id").isin(*batch_ids))
+        corpus = hashes.where(~F.col("media_id").isin(*batch_ids))
+        for cap in (None, 64):
+            full = {
+                (r.id_a, r.id_b): r.n_frame_matches
+                for r in multimodal.video_near_duplicates(
+                    hashes, max_bucket_size=cap
+                ).collect()
+                if r.id_a in batch_ids or r.id_b in batch_ids
+            }
+            inc = {
+                (r.id_a, r.id_b): r.n_frame_matches
+                for r in multimodal.video_near_duplicates_incremental(
+                    new, corpus, max_bucket_size=cap
+                ).collect()
+            }
+            assert inc == full, (cap, inc, full)
+            assert full  # harness must produce batch-touching pairs
+        # batch-batch dedup: 0 and 6 share gid 0 / off 0 — both in batch,
+        # their 4/4 vote must count each frame pair ONCE
+        both = multimodal.video_near_duplicates_incremental(
+            hashes.where(F.col("media_id").isin(0, 6)),
+            hashes.where(~F.col("media_id").isin(0, 6)),
+        )
+        got = {(r.id_a, r.id_b): r.n_frame_matches for r in both.collect()}
+        assert got[(0, 6)] == 4
+    finally:
+        hashes.unpersist()
+
+
 def test_video_near_duplicates_frame_voting(spark):
     """Frame-vote retrieval finds every same-content pair — 4 matching
     frames for same-offset copies, 3 for one-window-shifted renditions —

@@ -626,6 +626,83 @@ def cosine_near_duplicates(
     )
 
 
+def semantic_near_duplicates_incremental(
+    new_vectors: DataFrame,
+    corpus_vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+    score_decimals: int = 6,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL SemDeDup: an incoming embedding batch is compared
+    against itself and the existing corpus WITHIN FROZEN k-means cells —
+    never corpus x corpus, and never a retrain.  The embedding-space
+    member of the incremental near-dup family (Jaccard, MinHash,
+    SimHash, dHash, landmarks, frame votes, and now semantic cells).
+
+    Production shape: centroids train once on the corpus (or pass
+    ``centroids=`` from a stored index — same frozen-geometry contract
+    as ``ivf_topk``'s incremental use), the batch gets a MAP-ONLY
+    broadcast cell assignment, and candidate volume per cell is
+    |cell ∩ batch| x |cell| instead of |cell|^2 — at 100 TB raise ``k``
+    so cells stay bounded and the within-cell equi-join stays
+    AQE-splittable.  Batch-batch pairs are found from both of their
+    rows; scores are orientation-exact (element products and the norm
+    product commute), so the normalized projection's ``distinct``
+    dedupes them without weighting.  Ids must be unique across the two
+    inputs.  Output: (id_a, id_b, cell, score), id_a < id_b, score >=
+    ``threshold``.
+    """
+    cent = centroids
+    if cent is None:
+        cent = kmeans_centroids(
+            corpus_vectors, k=k, iterations=iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
+    combined = corpus_vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+        F.lit(False).alias("_new"),
+    ).unionByName(
+        new_vectors.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("e"),
+            F.lit(True).alias("_new"),
+        )
+    )
+    cells = ivf_cells(
+        combined, cent, "vid", "e", nprobe=1, score_decimals=score_decimals
+    )
+    a = cells.where(F.col("_new")).select(
+        F.col("vid").alias("id_a"), F.col("e").alias("e_a"), "cell"
+    )
+    b = cells.select(
+        F.col("vid").alias("id_b"),
+        F.col("e").alias("e_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("id_a") != F.col("id_b")),
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cell",
+            F.round(cosine(F.col("e_a"), F.col("e_b")), score_decimals).alias(
+                "score"
+            ),
+        )
+        .distinct()
+        .where(F.col("score") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (IVF-PQ's PQ half)
 

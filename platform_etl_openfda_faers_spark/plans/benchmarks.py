@@ -3987,6 +3987,73 @@ def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _semantic_incremental_oracle_sql(
+    k: int = 8, iterations: int = 2, threshold: float = 0.4,
+    batch_mod: int = 7,
+) -> str:
+    """DuckDB twin of the FROZEN-CELL incremental SemDeDup: Lloyd k-means
+    replayed over the CORPUS ONLY, the full corpus-plus-batch set assigned
+    to those frozen cells, then within-cell cosine pairs restricted to
+    batch-touching — batch-batch doubles collapsed by DISTINCT over the
+    orientation-normalized projection (cosine commutes exactly)."""
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"cv AS (SELECT vec_id, e FROM v WHERE vec_id % {batch_mod} <> 0)",
+    ]
+    kc, last = _kmeans_ctes_for("cv", "sem_", k, iterations)
+    ctes += kc
+    a_cos = _IVF_COS.format(a="v.e", b=f"{last}.c")
+    pair_cos = _IVF_COS.format(a="a.e", b="b.e")
+    ctes.append(
+        f"""asg AS (
+      SELECT vec_id, e, cell, vec_id % {batch_mod} = 0 AS is_new FROM (
+        SELECT v.vec_id, v.e, {last}.cell,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {a_cos} DESC, {last}.cell) AS r
+        FROM v, {last}) WHERE r = 1
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS id_a,
+      GREATEST(a.vec_id, b.vec_id) AS id_b, a.cell AS cell,
+      {pair_cos} AS score
+    FROM asg a JOIN asg b
+      ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    WHERE a.is_new AND {pair_cos} >= {threshold}
+    """
+
+
+@query("dedup_semantic_incremental", _semantic_incremental_oracle_sql())
+def dedup_semantic_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL SemDeDup — the embedding-space member of the
+    incremental near-dup family: a nightly embedding batch
+    (vec_id % 7 == 0, the convention) is compared against itself and
+    the corpus WITHIN CELLS whose centroids were trained on the CORPUS
+    ONLY and are frozen (the same no-retrain contract as
+    ``emb_ivf_incremental_topk``): the batch's cell assignment is a
+    map-only broadcast argmax, candidate volume per cell is
+    |cell ∩ batch| x |cell| instead of |cell|^2, and NEVER corpus x
+    corpus.  The oracle replays corpus-only Lloyd training (shared
+    ``_kmeans_ctes_for`` CTEs), frozen assignment of corpus ∪ batch,
+    the asymmetric restriction, and the normalized DISTINCT in SQL —
+    cosine commutes exactly (element products and the norm product are
+    the same in both orientations), so batch-batch doubles collapse
+    without weighting."""
+    emb = load_emb(spark, sf)
+    is_new = F.col("vec_id") % 7 == 0
+    return similarity.semantic_near_duplicates_incremental(
+        emb.where(is_new),
+        emb.where(~is_new),
+        threshold=0.4,
+        k=8,
+        iterations=2,
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("cell"), F.col("score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join, streaming twins, multimodal, JSON props
 
@@ -6188,26 +6255,41 @@ def multimodal_video_neardup_incremental(
     pairs, so no weighting is needed (unlike the sum-vote families).
     The oracle replays bits -> packing -> pigeonhole -> combined cap ->
     the asymmetric restriction -> normalized-DISTINCT Hamming -> vote
-    in pure SQL."""
+    in pure SQL.
+
+    The harness hashes ONCE and persists the frame-hash table (40
+    bytes/frame) before splitting batch from catalog: the operator's
+    two join sides both derive from the combined input, and since the
+    occupancy window must see every row, the batch side cannot prune
+    the catalog branch — without the persist the synthesis+decode
+    pipeline runs TWICE (measured: both derivations ~equal executor
+    time in the sf1 stage profile).  In production the catalog side is
+    a STORED hash table, so the cache stands in for that storage; the
+    decode-owning input is exactly the batch, once."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.cache import attach_cached
+
     docs = load_docs(spark, sf).select(
         "doc_id",
         (F.col("doc_id") % 10).alias("gid"),
         ((F.col("doc_id") / 10).cast("long") % 2).alias("off"),
     )
-    is_new = F.col("doc_id") % 7 == 0
-    batch = multimodal.synthetic_avi_media_grid(
-        docs.where(is_new), "doc_id", seed_col="gid", offset_col="off"
+    media = multimodal.synthetic_avi_media_grid(
+        docs, "doc_id", seed_col="gid", offset_col="off"
     )
-    catalog = multimodal.synthetic_avi_media_grid(
-        docs.where(~is_new), "doc_id", seed_col="gid", offset_col="off"
+    hashes = multimodal.video_frame_dhash(media).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    return multimodal.video_near_duplicates_incremental(
-        multimodal.video_frame_dhash(batch),
-        multimodal.video_frame_dhash(catalog),
+    is_new = F.col("media_id") % 7 == 0
+    out = multimodal.video_near_duplicates_incremental(
+        hashes.where(is_new),
+        hashes.where(~is_new),
         max_hamming=3,
         min_frames=2,
         max_bucket_size=64,
     ).select(F.col("id_a"), F.col("id_b"), F.col("n_frame_matches"))
+    return attach_cached(out, hashes)
 
 
 @query(
@@ -6980,6 +7062,7 @@ _DEFERRED_TO_R10 = [
     "multimodal_video_neardup",
     "multimodal_video_dedup",
     "multimodal_video_neardup_incremental",
+    "dedup_semantic_incremental",
 ]
 
 

@@ -238,3 +238,57 @@ def test_frozen_centroid_append_is_content_addressed(spark, sf_dir):
     }
     frozen = {tuple(r.centroid) for r in cent.collect()}
     assert frozen != full_cent
+
+def test_semantic_incremental_law(spark, sf_dir):
+    """The incremental SemDeDup form's defining law: within FROZEN
+    corpus-trained cells, its output equals the full within-cell pair
+    join over the union restricted to batch-touching pairs — and
+    batch-batch doubles collapse via the normalized DISTINCT (cosine
+    commutes exactly)."""
+    from platform_etl_openfda_faers_spark.functions.vectors import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_new = F.col("vec_id") % 7 == 0
+    cent = similarity.kmeans_centroids(
+        emb.where(~is_new), k=8, iterations=2
+    )
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cells = similarity.ivf_cells(v, cent, "vec_id", "e", nprobe=1)
+    a = cells.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), "cell"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("e_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    full = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "cell",
+            F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("score"),
+        )
+        .where(F.col("score") >= 0.2)
+    )
+    want = {
+        (r.id_a, r.id_b): (r.cell, r.score)
+        for r in full.collect()
+        if r.id_a % 7 == 0 or r.id_b % 7 == 0
+    }
+    got = {
+        (r.id_a, r.id_b): (r.cell, r.score)
+        for r in similarity.semantic_near_duplicates_incremental(
+            emb.where(is_new), emb.where(~is_new), threshold=0.2
+        ).collect()
+    }
+    assert got == want
+    assert got  # harness must produce batch-touching pairs
+    assert all(x % 7 == 0 or y % 7 == 0 for x, y in got)

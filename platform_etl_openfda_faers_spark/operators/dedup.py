@@ -1156,6 +1156,167 @@ def simhash_near_duplicates_incremental(
     )
 
 
+def _simhash_sig32(hash_arr_col: str):
+    """Column expr: 32-bit SimHash signature (as a non-negative long) from
+    an array-of-32-bit-token-hashes column — the per-bit ±1 majority fold
+    of ``simhash_local``, factored so the 64-bit form can run it once per
+    half."""
+
+    def vote(pos):
+        return F.aggregate(
+            F.transform(
+                F.col(hash_arr_col),
+                lambda h: F.when(
+                    F.floor(h / F.pow(F.lit(2), pos).cast("long")) % 2 == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+
+    positions = F.sequence(F.lit(0), F.lit(31))
+    return F.aggregate(
+        F.transform(
+            positions,
+            lambda pos: F.when(
+                vote(pos) > 0, F.pow(F.lit(2), pos).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_local64(
+    df: DataFrame, text_col: str, id_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, sim_hi, sim_lo) — the PRODUCTION 64-bit SimHash signature,
+    row-local and map-only, kept as two 32-bit halves in longs.
+
+    Why halves: packing 64 bits into one long means bit 63 lands in the
+    sign position and ``x << 32``-style packing sign-overflows (the same
+    trap the dHash pipeline hit); two non-negative 32-bit halves keep
+    every intermediate exactly representable in BOTH engines (DuckDB
+    replays the fold with ``power(2, pos)`` DOUBLE arithmetic, exact for
+    values < 2^32).  Each token contributes 64 independent hash bits from
+    one md5: hex chars 1-8 are the lo half, 9-16 the hi half (the lo half
+    is byte-identical to ``token_hash32``, so the 16-bit family's hash
+    constants are a strict prefix of this one's).  Same distinct-token,
+    ±1-majority semantics as ``simhash_local``; ``keep`` rides extra
+    columns through the map-only stage."""
+    toks = F.array_distinct(
+        F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    )
+    hexes = F.transform(toks, lambda t: F.md5(t))
+    hashed = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.transform(
+            hexes, lambda x: F.conv(F.substring(x, 1, 8), 16, 10).cast("long")
+        ).alias("_hlo"),
+        F.transform(
+            hexes, lambda x: F.conv(F.substring(x, 9, 8), 16, 10).cast("long")
+        ).alias("_hhi"),
+    )
+    return hashed.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        _simhash_sig32("_hhi").alias("sim_hi"),
+        _simhash_sig32("_hlo").alias("sim_lo"),
+    )
+
+
+def simhash_near_duplicates_incremental64(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """INCREMENTAL SimHash near-dup at the PRODUCTION geometry: 64-bit
+    signatures in 4 x 16-bit pigeonhole chunks, WITH the combined-
+    occupancy bucket cap the 16-bit form cannot take.
+
+    Why this geometry is the 100 TB deployment (and the 16-bit/4-chunk
+    form is the checkable miniature): at bits=16 the chunk keyspace is 4
+    bits — 16 buckets per chunk index, 64 total — so corpus-size/64
+    rows pile into EVERY bucket and any useful occupancy cap would prune
+    everything (SCALING.md measured the blow-up).  At bits=64 each chunk
+    is 16 bits — 65,536 buckets per chunk index — so expected occupancy
+    at 500k docs is ~8 and a cap of ``max_bucket_size`` only drops
+    degenerate boilerplate buckets, exactly like the dHash image form
+    (same hi/lo packing, same chunk map, same cap discipline).
+
+    Shape: asymmetric batch-vs-(batch ∪ corpus) — signatures map-only via
+    :func:`simhash_local64` (batch flag rides ``keep``), candidates join
+    on (chunk_idx, chunk_value) with the BATCH side as build side, the
+    cap counts COMBINED occupancy via one count-window
+    (:func:`prune_df_window` — single derivation, output pre-partitioned
+    on the join key), and the exact per-half ``bit_count(xor)`` sum keeps
+    the result lossless for Hamming <= 3 (pigeonhole over 4 chunks).
+    Never corpus x corpus.  Ids must be unique across the two inputs.
+    Output: (id_a, id_b, hamming), id_a < id_b."""
+    assert max_hamming <= 3, "4-chunk bucketing is lossy beyond Hamming 3"
+    combined = corpus_docs.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
+    ).unionByName(
+        new_docs.select(F.col(id_col), F.col(text_col), F.lit(True).alias("_new"))
+    )
+    sigs = simhash_local64(combined, text_col, id_col, keep=("_new",))
+    mask = F.lit((1 << 16) - 1)
+    chunks = F.array(
+        F.struct(F.lit(0).alias("ci"), F.col("sim_lo").bitwiseAND(mask).alias("cv")),
+        F.struct(
+            F.lit(1).alias("ci"),
+            F.shiftrightunsigned(F.col("sim_lo"), 16).bitwiseAND(mask).alias("cv"),
+        ),
+        F.struct(F.lit(2).alias("ci"), F.col("sim_hi").bitwiseAND(mask).alias("cv")),
+        F.struct(
+            F.lit(3).alias("ci"),
+            F.shiftrightunsigned(F.col("sim_hi"), 16).bitwiseAND(mask).alias("cv"),
+        ),
+    )
+    keyed = sigs.select(
+        F.col(id_col), F.col("_new"), F.col("sim_hi"), F.col("sim_lo"),
+        F.explode(chunks).alias("c"),
+    ).select(
+        id_col, "_new", "sim_hi", "sim_lo",
+        F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"),
+    )
+    if max_bucket_size is not None:
+        keyed = prune_df_window(keyed, ["ci", "cv"], max_bucket_size)
+    a = keyed.where(F.col("_new")).select(
+        F.col(id_col).alias("id_a"),
+        F.col("sim_hi").alias("hi_a"),
+        F.col("sim_lo").alias("lo_a"),
+        "ci", "cv",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sim_hi").alias("hi_b"),
+        F.col("sim_lo").alias("lo_b"),
+        "ci", "cv",
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def shingle_array(text, n: int = 3):
     """Column expr: distinct nonempty word n-gram array, row-local — the
     set form of ``functions.text.word_ngrams`` (the multiset form)."""

@@ -1707,11 +1707,22 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     Interlaced frames and local color tables are honored per frame."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (missing GIF87a/89a signature)")
+
+    def _need(upto: int) -> None:
+        # Parse-error discipline (matches parse_avi_meta): a byte stream
+        # ending mid-structure must fail with a ValueError the decode UDF
+        # surfaces as a typed reject, not an IndexError/struct.error
+        # inside a Spark task.
+        if upto > len(payload):
+            raise ValueError("truncated GIF")
+
+    _need(13)
     sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
         size = 2 << (packed & 0x07)
+        _need(pos + size * 3)
         gct = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(-1, 3)
         pos += size * 3
     bg_rgb = (
@@ -1725,34 +1736,44 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
         if block == 0x3B:
             break
         if block == 0x21:
+            _need(pos + 2)
             label = payload[pos + 1]
             pos += 2
             if label == 0xF9:  # Graphic Control Extension
+                _need(pos + 5)
                 gp = payload[pos + 1]
                 disposal = (gp >> 2) & 0x07
                 trans = payload[pos + 4] if gp & 0x01 else None
+            _need(pos + 1)
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
+                _need(pos + 1)
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _need(pos + 10)
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
         pos += 10
         ct = gct
         if ipacked & 0x80:
             size = 2 << (ipacked & 0x07)
+            _need(pos + size * 3)
             ct = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(-1, 3)
             pos += size * 3
         if ct is None:
             raise ValueError("GIF image has no color table")
+        _need(pos + 1)
         min_code = payload[pos]
         pos += 1
         data = bytearray()
+        _need(pos + 1)
         while payload[pos] != 0:
             ln = payload[pos]
+            _need(pos + 1 + ln)
             data += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+            _need(pos + 1)
         pos += 1
         idx = _lzw_decode_gif(bytes(data), min_code)
         if len(idx) < w * h:
@@ -4186,7 +4207,13 @@ def audio_landmark_matches_incremental(
             "_w",
         )
         .groupBy("id_a", "id_b")
-        .agg(F.sum("_w").cast("long").alias("n_matches"))
+        # round() before the cast: the sum is integral only because every
+        # batch-batch pair is generated from BOTH orientations (0.5 + 0.5);
+        # if that invariant ever breaks (an asymmetric pruning change), a
+        # bare cast would TRUNCATE and silently under-count below
+        # min_matches — rounding turns the break into a value mismatch the
+        # oracle catches.
+        .agg(F.round(F.sum("_w")).cast("long").alias("n_matches"))
         .where(F.col("n_matches") >= min_matches)
     )
 

@@ -412,6 +412,7 @@ def ivf_cells(
     vec_col: str,
     nprobe: int = 1,
     score_decimals: int = 6,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroid cells — as a
     MAP-ONLY stage.
@@ -428,6 +429,14 @@ def ivf_cells(
     ``emb_ivf_topk``).  Assignment semantics are unchanged and bit-stable:
     scores round to ``score_decimals`` before ranking, ties break on the
     lower cell id (ascending struct sort on (-score, cell)).
+
+    ``keep`` names extra input columns to carry through to the output
+    (projected alongside id/vec/cell).  Callers that need a flag past the
+    assignment (the incremental SemDeDup batch marker) must thread it here
+    rather than referencing a dropped column downstream: that works only
+    via Spark's implicit missing-reference resolution in ``Dataset.where``
+    and breaks with an AnalysisException the moment a barrier (distinct /
+    aggregate / checkpoint) lands inside this function.
     """
     cent_arr = centroids.groupBy().agg(
         F.collect_list(F.struct(F.col("cell"), F.col("centroid"))).alias("_cents")
@@ -448,9 +457,12 @@ def ivf_cells(
         .select(
             id_col,
             vec_col,
+            *keep,
             F.slice(ranked, 1, nprobe).alias("_top"),
         )
-        .select(id_col, vec_col, F.explode(F.col("_top.cell")).alias("cell"))
+        .select(
+            id_col, vec_col, *keep, F.explode(F.col("_top.cell")).alias("cell")
+        )
     )
 
 
@@ -674,7 +686,8 @@ def semantic_near_duplicates_incremental(
         )
     )
     cells = ivf_cells(
-        combined, cent, "vid", "e", nprobe=1, score_decimals=score_decimals
+        combined, cent, "vid", "e", nprobe=1,
+        score_decimals=score_decimals, keep=("_new",),
     )
     a = cells.where(F.col("_new")).select(
         F.col("vid").alias("id_a"), F.col("e").alias("e_a"), "cell"

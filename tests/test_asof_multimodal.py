@@ -1539,3 +1539,31 @@ def test_audio_landmark_matches_incremental_law(spark):
     assert expected  # the law is vacuous on an empty restriction
     # and strictly smaller than the full set (catalog-catalog dropped)
     assert len(inc) < len(full)
+
+
+def test_gif_frames_truncation_raises_valueerror():
+    """Truncating an animated GIF at EVERY byte offset must fail with the
+    parse-error discipline (ValueError 'truncated GIF' / other GIF
+    ValueErrors) or still decode a frame prefix — never IndexError or
+    struct.error inside a Spark task (the parse_avi_meta contract)."""
+    import numpy as np
+    import pytest
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+    base = np.zeros((6, 8), dtype=np.uint8)
+    base[1:3, 2:5] = 1
+    payload = multimodal.encode_gif_anim(
+        8, 6, pal,
+        [(0, 0, base, 2, None), (1, 1, base[:4, :5], 3, 0)],
+    )
+    full = multimodal.decode_gif_frames(payload)
+    assert len(full) == 2
+    for cut in range(len(payload)):
+        try:
+            multimodal.decode_gif_frames(payload[:cut])
+        except ValueError:
+            continue  # the required failure mode
+        # short prefixes that still parse (e.g. cut right after a full
+        # frame but before the trailer) are legitimate decodes

@@ -394,3 +394,89 @@ def test_simhash_incremental_excludes_corpus_corpus_pairs(spark):
         ).collect()
     }
     assert pairs == {(1, 3): 0, (2, 3): 0}
+
+
+def test_simhash64_lo_half_matches_local32(docs):
+    """simhash_local64's lo half must be byte-identical to
+    simhash_local(bits=32): the 64-bit token hash's lo slice IS
+    token_hash32 (md5 hex chars 1-8), so the narrow family's signatures
+    are a strict prefix of the production geometry's."""
+    lo = {
+        r.doc_id: r.sim_lo
+        for r in dedup.simhash_local64(docs, "text", "doc_id").collect()
+    }
+    narrow = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_local(docs, "text", "doc_id", bits=32).collect()
+    }
+    assert lo == narrow
+
+
+def test_simhash64_halves_are_32bit_nonnegative(docs):
+    for r in dedup.simhash_local64(docs, "text", "doc_id").collect():
+        assert 0 <= r.sim_hi < (1 << 32)
+        assert 0 <= r.sim_lo < (1 << 32)
+
+
+def test_simhash64_incremental_matches_full_restriction(docs):
+    """The 64-bit incremental form must equal the everything-as-batch run
+    (which emits ALL pairs — every pair touches the batch) restricted to
+    batch-touching pairs: same pairs, same exact Hamming distances."""
+    batch_ids = {2, 5}
+    new_docs = docs.where(F.col("doc_id").isin(*batch_ids))
+    corpus_docs = docs.where(~F.col("doc_id").isin(*batch_ids))
+    empty = docs.where(F.lit(False))
+
+    full = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_duplicates_incremental64(
+            docs, empty, "text", "doc_id", max_hamming=3
+        ).collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    inc = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_duplicates_incremental64(
+            new_docs, corpus_docs, "text", "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert inc == full, (inc, full)
+    assert full, "harness must produce at least one batch-touching pair"
+
+
+def test_simhash64_incremental_excludes_corpus_corpus_pairs(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame([(3, "alpha beta gamma")], ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_duplicates_incremental64(
+            new, corpus, "text", "doc_id"
+        ).collect()
+    }
+    assert pairs == {(1, 3): 0, (2, 3): 0}
+
+
+def test_simhash64_incremental_cap_counts_combined_occupancy(spark):
+    """Five identical corpus docs + one identical batch doc: every chunk
+    bucket holds 6 COMBINED rows, so a cap of 5 prunes everything (the
+    corpus-hot bucket must prune even though the batch adds one row) and
+    a cap of 6 admits exactly the five batch-touching pairs."""
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(5)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    capped = dedup.simhash_near_duplicates_incremental64(
+        new, corpus, "text", "doc_id", max_bucket_size=5
+    )
+    assert capped.count() == 0
+    kept = dedup.simhash_near_duplicates_incremental64(
+        new, corpus, "text", "doc_id", max_bucket_size=6
+    )
+    assert {(r.id_a, r.id_b, r.hamming) for r in kept.collect()} == {
+        (i, 100, 0) for i in range(5)
+    }

@@ -4076,6 +4076,25 @@ def audio_landmarks(peaks: DataFrame, max_dt: int = 3) -> DataFrame:
     pairs — no self-join, no per-landmark shuffle.  Output is DISTINCT
     per (media, key): a track contributes each key once, so downstream
     match counts are set intersections.
+
+    PRODUCTION GEOMETRY (catalog-scale keyspace arithmetic — the same
+    checkable-vs-scalable note as SimHash-16 vs -64 and SemDeDup's k):
+    the retrieval join buckets on the key (a_bin, b_bin, dt), so its
+    health is keyspace vs landmark count.  The test harness's
+    ``window=64`` peaks yield 33 rfft bins; with ``max_dt=3`` that is
+    33 x 33 x 3 ≈ 3.3e3 distinct keys — fine for the 500k-track test
+    grid (~10 landmarks/track → ~1.5e3 rows/bucket pre-cap) but
+    SATURATED at catalog scale: 1e8 tracks x ~1e2 landmarks = 1e10 rows
+    over 3.3e3 keys ≈ 3e6 rows/bucket, where the combined-occupancy cap
+    would prune essentially every bucket (no retrieval) and uncapped
+    pair generation is ~1e16 candidates (no run).  A real deployment
+    raises the dials this function and ``audio_spectral_peaks`` already
+    expose: window=1024+ (513+ bins) and max_dt≈64 fan-out gives
+    513^2 x 64 ≈ 1.7e7 keys — 1e10 landmarks land ~6e2 rows/bucket, so
+    the cap trims only degenerate (tonal/silence) keys and per-bucket
+    pair volume stays bounded.  Keyspace must scale with the catalog,
+    exactly as SemDeDup scales k with the corpus (SCALING.md 'Audio
+    landmark keyspace' has the full arithmetic).
     """
     arr = peaks.groupBy("media_id").agg(
         F.array_sort(F.collect_list(F.struct("win", "peak_bin"))).alias("s")

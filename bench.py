@@ -102,7 +102,10 @@ def main() -> None:
     shuffle: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
-    names = benchmarks.HEADLINE
+    # legacy-20 + the v2 extras (r10): the summary keeps "value"/"queries"
+    # as the FROZEN legacy set (cross-round comparable back to r5) and
+    # adds a "headline_v2" block with the extended total + extra timings
+    names = [*benchmarks.HEADLINE, *benchmarks.HEADLINE_V2_EXTRA]
     if subset:
         wanted = [q.strip() for q in subset.split(",") if q.strip()]
         unknown = [q for q in wanted if q not in benchmarks.SPARK_QUERIES]
@@ -169,17 +172,41 @@ def main() -> None:
     )
     Path(detail_path).write_text(json.dumps(detail, indent=1))
     print(f"detail -> {detail_path}", file=sys.stderr)
+    # explicit-subset spot runs keep the old whole-result contract; only
+    # the default full-suite run splits legacy vs v2-extra
+    legacy = (
+        timings
+        if subset
+        else {n: t for n, t in timings.items() if n in benchmarks.HEADLINE}
+    )
+    extra = (
+        {}
+        if subset
+        else {
+            n: t
+            for n, t in timings.items()
+            if n in benchmarks.HEADLINE_V2_EXTRA
+        }
+    )
     out = {
         "metric": "headline-queries wall time",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(legacy.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": legacy,
         "sf": sf_val,
         "cold": cold,
         # a partial total is NOT comparable to a complete one (a failing
         # slow query would read as a speedup) — flag it loudly
         "complete": not errors,
     }
+    if extra:
+        # the v2 total sums the legacy set AND the family representatives;
+        # only the four extra per-query timings are repeated here (the
+        # stdout line must stay inside the driver's tail-capture window)
+        out["headline_v2"] = {
+            "value": round(sum(legacy.values()) + sum(extra.values()), 3),
+            "extra_queries": extra,
+        }
     print(json.dumps(out))
 
 

@@ -89,6 +89,20 @@ HEADLINE = [
     "multimodal_audio_features",
 ]
 
+# headline v2 (r10, VERDICT r9 #5): the legacy-20 list above is FROZEN
+# for cross-round comparability (every BENCH_r{N} since r5 sums it);
+# these four extend it with one representative per family the engine
+# grew since — incremental LSH dedup, audio landmark retrieval, video
+# fingerprint dedup, and the composed CDC chain.  bench.py reports both:
+# "value"/"queries" stay the legacy 20, and a "headline_v2" block
+# carries the extended total plus the four extra timings.
+HEADLINE_V2_EXTRA = [
+    "dedup_incremental_minhash",
+    "multimodal_audio_neardup",
+    "multimodal_video_dedup",
+    "cdc_apply_roundtrip",
+]
+
 
 def query(name: str, sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:

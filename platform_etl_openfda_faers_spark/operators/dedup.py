@@ -306,6 +306,53 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    index: DataFrame,
+    id_col: str,
+    threshold: float = 0.8,
+    key: str = "token",
+    max_doc_freq: int | None = 1000,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Containment (overlap-coefficient) near-dup pairs:
+    ``|A∩B| / min(|A|,|B|)`` >= ``threshold`` — the ASYMMETRIC companion
+    to Jaccard that catches sub-document duplication Jaccard misses.
+
+    A short document quoted whole inside a long one (a reused paragraph,
+    a benchmark question embedded in a scrape, boilerplate wrapped
+    around real content) has containment 1.0 from the small side but
+    Jaccard |A|/|B| → 0 as the big side grows, so a Jaccard threshold
+    never fires; training-data pipelines run BOTH scores over the same
+    inverted index (containment for quote/subset detection, Jaccard for
+    whole-document near-dups).  The overlap coefficient is the max of
+    the two directional Broder containments, so one row per unordered
+    pair suffices and the per-direction values are recoverable from
+    (inter, size_a, size_b).
+
+    Same candidate machinery, cap discipline, and pruned-set semantics
+    as :func:`jaccard_pairs` (the cap applies to BOTH numerator and
+    denominators — replayed identically in the oracle).  The score is
+    one exact-integer division, reproducible bit-for-bit across engines.
+    Output: (id_a, id_b, inter, size_a, size_b, containment), id_a <
+    id_b."""
+    base = jaccard_pairs(
+        index,
+        id_col,
+        threshold=0.0,
+        key=key,
+        max_doc_freq=max_doc_freq,
+        sizes=sizes,
+    )
+    return (
+        base.drop("jaccard")
+        .withColumn(
+            "containment",
+            F.col("inter") / F.least("size_a", "size_b").cast("double"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def jaccard_pairs_incremental(
     new_index: DataFrame,
     corpus_index: DataFrame,

@@ -480,3 +480,47 @@ def test_simhash64_incremental_cap_counts_combined_occupancy(spark):
     assert {(r.id_a, r.id_b, r.hamming) for r in kept.collect()} == {
         (i, 100, 0) for i in range(5)
     }
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc quoted whole inside a long one: containment must be
+    1.0 (pair fires) while Jaccard = |A|/|B| is small (pair does not fire
+    at any whole-document threshold) — the asymmetric property the
+    operator exists for."""
+    short = "alpha beta gamma delta"
+    long_ = short + " " + " ".join(f"filler{i} word{i} pad{i}" for i in range(12))
+    df = spark.createDataFrame([(1, short), (2, long_)], ["doc_id", "text"])
+    index = dedup.distinct_tokens(df, "text", "doc_id")
+
+    got = dedup.containment_pairs(
+        index, "doc_id", threshold=0.8, max_doc_freq=None
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment == 1.0
+    assert r.inter == r.size_a == 4
+    # the same pair under Jaccard at a modest threshold: no row
+    jac = dedup.jaccard_pairs(
+        index, "doc_id", threshold=0.3, max_doc_freq=None
+    ).collect()
+    assert jac == []
+
+
+def test_containment_respects_df_cap(spark):
+    """The df-cap prunes hot tokens from BOTH numerator and denominator
+    (pruned-set semantics, like jaccard_pairs): with the shared token
+    capped away, doc 1's set empties and no pair can form."""
+    df = spark.createDataFrame(
+        [(1, "hot"), (2, "hot unique2a unique2b"), (3, "hot unique3a")],
+        ["doc_id", "text"],
+    )
+    index = dedup.distinct_tokens(df, "text", "doc_id")
+    assert (
+        dedup.containment_pairs(index, "doc_id", threshold=0.1,
+                                max_doc_freq=2).count() == 0
+    )
+    kept = dedup.containment_pairs(
+        index, "doc_id", threshold=0.99, max_doc_freq=None
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in kept} == {(1, 2), (1, 3)}

@@ -415,7 +415,12 @@ def jaccard_pairs_incremental(
             "_w",
         )
         .groupBy("id_a", "id_b")
-        .agg(F.sum("_w").cast("long").alias("inter"))
+        # round() before the cast (same guard as the audio landmark
+        # incremental): the sum is integral only while every new x new
+        # pair is generated from both orientations; if that invariant
+        # breaks, truncation would silently shrink intersections —
+        # rounding turns the break into an oracle value mismatch
+        .agg(F.round(F.sum("_w")).cast("long").alias("inter"))
     )
     sz_a = sizes.toDF("id_a", "size_a")
     sz_b = sizes.toDF("id_b", "size_b")
@@ -428,6 +433,45 @@ def jaccard_pairs_incremental(
             / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs_incremental(
+    new_index: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str,
+    key: str = "token",
+    threshold: float = 0.8,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """INCREMENTAL containment — :func:`containment_pairs`'s overlap
+    coefficient in :func:`jaccard_pairs_incremental`'s asymmetric
+    batch-vs-corpus shape: candidates are (new x new) and (new x
+    corpus), NEVER corpus x corpus, the df-cap counts COMBINED document
+    frequency, and sizes count the pruned sets.
+
+    This is the form decontamination-style scanning actually runs
+    nightly: "is any part of tonight's batch quoted inside the corpus
+    (or vice versa)?" — the asymmetric score over the asymmetric join.
+    Output rows equal :func:`containment_pairs` over the union index
+    restricted to pairs touching the batch (the family law pinned in
+    ``test_dedup.py``): (id_a, id_b, inter, size_a, size_b,
+    containment), id_a < id_b.  Ids must be unique across inputs."""
+    base = jaccard_pairs_incremental(
+        new_index,
+        corpus_index,
+        id_col,
+        key=key,
+        threshold=0.0,
+        max_doc_freq=max_doc_freq,
+    )
+    return (
+        base.drop("jaccard")
+        .withColumn(
+            "containment",
+            F.col("inter") / F.least("size_a", "size_b").cast("double"),
+        )
+        .where(F.col("containment") >= threshold)
     )
 
 

@@ -524,3 +524,29 @@ def test_containment_respects_df_cap(spark):
         index, "doc_id", threshold=0.99, max_doc_freq=None
     ).collect()
     assert {(r.id_a, r.id_b) for r in kept} == {(1, 2), (1, 3)}
+
+
+def test_containment_incremental_matches_full_restriction(docs):
+    """Incremental containment must equal the full form over the union
+    index restricted to batch-touching pairs — same pairs, same exact
+    inter/size/containment values (the family law)."""
+    index = dedup.distinct_tokens(docs, "text", "doc_id")
+    batch_ids = {2, 5}
+    new_index = index.where(F.col("doc_id").isin(*batch_ids))
+    corpus_index = index.where(~F.col("doc_id").isin(*batch_ids))
+
+    full = {
+        (r.id_a, r.id_b): (r.inter, r.size_a, r.size_b, r.containment)
+        for r in dedup.containment_pairs(
+            index, "doc_id", threshold=0.5, max_doc_freq=4
+        ).collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    inc = {
+        (r.id_a, r.id_b): (r.inter, r.size_a, r.size_b, r.containment)
+        for r in dedup.containment_pairs_incremental(
+            new_index, corpus_index, "doc_id", threshold=0.5, max_doc_freq=4
+        ).collect()
+    }
+    assert inc == full, (inc, full)
+    assert full, "harness must produce at least one batch-touching pair"

@@ -1190,7 +1190,9 @@ def simhash_near_duplicates_incremental(
     is 4 bits, so ANY useful occupancy cap would prune everything — the
     cap slot belongs to wide-signature deployments (64-bit simhash,
     16-bit chunks), where ``prune_df_window`` on (ci, cv) drops
-    degenerate buckets exactly as the dHash form does.  Ids must be
+    degenerate buckets exactly as the dHash form does — that deployment
+    geometry is implemented as
+    :func:`simhash_near_duplicates_incremental64`.  Ids must be
     unique across the two inputs.  Output: (id_a, id_b, hamming),
     id_a < id_b.
     """

@@ -1380,6 +1380,19 @@ def simhash_near_duplicates_incremental64(
     )
     if max_bucket_size is not None:
         keyed = prune_df_window(keyed, ["ci", "cv"], max_bucket_size)
+    # persist the capped chunk table: the a/b sides below consume it under
+    # DIFFERENT exchange types (shuffle probe vs broadcast build), so
+    # exchange reuse cannot collapse the duplicate lineage and the
+    # 64-position signature fold — the query's dominant CPU — would run
+    # TWICE over the full corpus (profiled: 2 x ~190 executor-seconds at
+    # sf1).  Four small rows per doc (~50 B each); the same persisted-base
+    # discipline as minhash_near_duplicates_incremental's shingle table.
+    # In production this table is the stored signature index — content-
+    # addressed, computed once at ingest — so the cache stands in for
+    # that storage exactly as the video frame-hash cache does.
+    from pyspark import StorageLevel
+
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     a = keyed.where(F.col("_new")).select(
         F.col(id_col).alias("id_a"),
         F.col("sim_hi").alias("hi_a"),
@@ -1392,7 +1405,7 @@ def simhash_near_duplicates_incremental64(
         F.col("sim_lo").alias("lo_b"),
         "ci", "cv",
     )
-    return (
+    out = (
         a.join(b, ["ci", "cv"])
         .where(F.col("id_a") != F.col("id_b"))
         .select(
@@ -1408,6 +1421,9 @@ def simhash_near_duplicates_incremental64(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    from .cache import attach_cached
+
+    return attach_cached(out, keyed)
 
 
 def shingle_array(text, n: int = 3):

@@ -3267,6 +3267,18 @@ def dhash_near_duplicates_incremental(
         from .dedup import prune_df_window
 
         keyed = prune_df_window(keyed, ["ci", "cv"], max_bucket_size)
+    # persist the capped chunk table: the a/b sides consume it under
+    # DIFFERENT exchange types (shuffle probe vs broadcast build), so
+    # exchange reuse cannot collapse the duplicate lineage — WITHOUT the
+    # cache the upstream decode+hash pipeline runs TWICE (profiled at
+    # sf1: two decode stages, 124 + 47 executor-seconds, vs the full
+    # form's single 105s stage).  Four ~50-byte rows per image; the
+    # production analogue is the stored hash index, computed once at
+    # ingest (the same discipline as the video frame-hash cache and the
+    # 64-bit SimHash chunk table).
+    from pyspark import StorageLevel
+
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     a = keyed.where(F.col("_new")).select(
         F.col(id_col).alias("id_a"),
         F.col("dhash_hi").alias("hi_a"),
@@ -3281,7 +3293,7 @@ def dhash_near_duplicates_incremental(
         "ci",
         "cv",
     )
-    return (
+    out = (
         a.join(b, ["ci", "cv"])
         .where(F.col("id_a") != F.col("id_b"))
         .select(
@@ -3297,6 +3309,9 @@ def dhash_near_duplicates_incremental(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    from .cache import attach_cached
+
+    return attach_cached(out, keyed)
 
 
 VIDEO_DHASH_SCHEMA = T.StructType(
@@ -4207,6 +4222,16 @@ def audio_landmark_matches_incremental(
         from .dedup import prune_df_window
 
         lm = prune_df_window(lm, ["a_bin", "b_bin", "dt"], max_bucket_size)
+    # persist the capped landmark table: the a/b sides consume it under
+    # DIFFERENT exchange types (shuffle probe vs broadcast build), so
+    # exchange reuse cannot collapse the duplicate lineage — WITHOUT the
+    # cache the synthesis + FFT + landmark build runs TWICE (profiled at
+    # sf1: 118 + 28 executor-second stages).  One small integer row per
+    # landmark; the production analogue is the stored landmark index
+    # (same discipline as the dHash chunk and video frame-hash caches).
+    from pyspark import StorageLevel
+
+    lm = lm.persist(StorageLevel.MEMORY_AND_DISK)
     a = lm.where(F.col("_new")).select(
         F.col("media_id").alias("id_a"), "a_bin", "b_bin", "dt"
     )
@@ -4217,7 +4242,7 @@ def audio_landmark_matches_incremental(
         "dt",
         F.when(F.col("_new"), F.lit(0.5)).otherwise(F.lit(1.0)).alias("_w"),
     )
-    return (
+    out = (
         a.join(b, ["a_bin", "b_bin", "dt"])
         .where(F.col("id_a") != F.col("id_b"))
         .select(
@@ -4235,6 +4260,9 @@ def audio_landmark_matches_incremental(
         .agg(F.round(F.sum("_w")).cast("long").alias("n_matches"))
         .where(F.col("n_matches") >= min_matches)
     )
+    from .cache import attach_cached
+
+    return attach_cached(out, lm)
 
 
 def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:

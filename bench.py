@@ -46,6 +46,44 @@ import sys
 import time
 from pathlib import Path
 
+# Cold medians on these two queries historically swing ±40% between
+# iterations (heavy persisting Arrow-kernel queries — r8/r10 SCALING
+# profiles); at the default 3 iterations the committed median can land
+# anywhere in that envelope and round-over-round comparison needs prose
+# adjudication.  Five iterations tighten the median enough that two
+# consecutive cold runs agree within ~15% (measured r11).  Cold mode
+# bumps ONLY these to max(iters, 5); warm mode (min-of-N) is unaffected.
+FLAPPER_MIN_ITERS = {"faers_llr": 5, "faers_significant": 5}
+
+# Cold-run box-state gate: a timed cold bench started while the box is
+# still busy (sibling Spark JVM, pytest teardown, another bench) measures
+# contention, not the plan — r9/r10 both committed inflated artifacts
+# that needed byte-level adjudication to exonerate.  The standing manual
+# rule ("check uptime load < ~1 before any timed cold bench") is now
+# code: --cold reads /proc/loadavg and REFUSES to start when the 1-min
+# load exceeds LOAD_GATE, unless SPARK_GRAFT_BENCH_FORCE=1 (which tags
+# the artifact "box_state.gate": "forced_loaded" so the number is
+# machine-readably suspect).  The observed load is recorded into both
+# the summary line and the detail file either way.
+LOAD_GATE = 1.0
+
+
+def read_box_state() -> dict:
+    """1/5/15-min load plus the runnable/total task counts from
+    /proc/loadavg — enough to adjudicate 'was the box quiet' from the
+    committed artifact alone."""
+    try:
+        parts = Path("/proc/loadavg").read_text().split()
+        return {
+            "load1": float(parts[0]),
+            "load5": float(parts[1]),
+            "load15": float(parts[2]),
+            "tasks": parts[3],
+        }
+    except (OSError, IndexError, ValueError):  # non-Linux fallback
+        la = os.getloadavg()
+        return {"load1": la[0], "load5": la[1], "load15": la[2], "tasks": ""}
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from platform_etl_openfda_faers_spark.plans import benchmarks  # noqa: E402
@@ -59,6 +97,20 @@ def main() -> None:
     cold = "--cold" in sys.argv or os.environ.get(
         "SPARK_GRAFT_BENCH_COLD", ""
     ) not in ("", "0")
+    box = read_box_state()
+    box["gate"] = "ok"
+    if cold and box["load1"] > LOAD_GATE:
+        if os.environ.get("SPARK_GRAFT_BENCH_FORCE", "") in ("", "0"):
+            print(
+                f"REFUSING cold bench: 1-min load {box['load1']} > "
+                f"{LOAD_GATE} — a loaded box measures contention, not the "
+                "plan.  Wait for the box to quiesce, or set "
+                "SPARK_GRAFT_BENCH_FORCE=1 to run anyway (the artifact "
+                "will be tagged forced_loaded).",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        box["gate"] = "forced_loaded"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # shuffle partitions default to the core count; at larger scale
@@ -116,8 +168,9 @@ def main() -> None:
         runs: list[float] = []
         # one failing query must not sink the whole bench (r3: a single
         # analysis error -> rc=1 -> no official number for the round)
+        q_iters = max(iters, FLAPPER_MIN_ITERS.get(name, 0)) if cold else iters
         try:
-            for i in range(iters):
+            for i in range(q_iters):
                 if cold and i:
                     # cold mode: iteration 2+ must not ride iteration 1's
                     # persisted intermediates or OS-warm JVM buffers we
@@ -150,6 +203,13 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # iteration spread (max/min) per query — the uniform-inflation /
+    # flapper adjudication, readable from the artifact instead of prose
+    spread = {
+        n: round(max(rs) / min(rs), 3)
+        for n, rs in all_iters.items()
+        if rs and min(rs) > 0
+    }
     # full detail to a side file (r7: folding shuffle_bytes/queries_first
     # into the summary line overflowed the driver's tail window in r6 and
     # cost the round its official wall time — keep the stdout line compact)
@@ -158,9 +218,11 @@ def main() -> None:
         "cold": cold,
         "iters": iters,
         "shuffle_partitions": int(parts),
+        "box_state": box,
         "queries": timings,
         "queries_iters": all_iters,
         "queries_first": firsts,
+        "queries_spread": spread,
         "shuffle_bytes": shuffle,
         "complete": not errors,
     }
@@ -198,7 +260,16 @@ def main() -> None:
         # a partial total is NOT comparable to a complete one (a failing
         # slow query would read as a speedup) — flag it loudly
         "complete": not errors,
+        # box state at start: 1-min load + gate verdict (full triple in
+        # the detail/summary files) — "was the box quiet" is part of the
+        # number, not a footnote
+        "box_state": {"load1": box["load1"], "gate": box["gate"]},
     }
+    if subset:
+        # an explicit-subset spot run's "value" is NOT legacy-comparable;
+        # mark the artifact itself so downstream round-over-round
+        # comparisons can mechanically exclude it (r10 ADVICE)
+        out["subset"] = names
     if extra:
         # the v2 total sums the legacy set AND the family representatives;
         # only the four extra per-query timings are repeated here (the
@@ -207,6 +278,23 @@ def main() -> None:
             "value": round(sum(legacy.values()) + sum(extra.values()), 3),
             "extra_queries": extra,
         }
+    # committed-artifact form (SPARK_GRAFT_BENCH_SUMMARY=path): the
+    # summary ENRICHED with full box state, per-query iteration spreads,
+    # and per-query shuffle-byte totals — so the "byte-identical shuffles,
+    # uniform inflation" adjudication is machine-checkable from the
+    # committed BENCH_LOCAL_* file alone.  stdout stays compact (driver
+    # tail-capture window, r7 contract).
+    summary_path = os.environ.get("SPARK_GRAFT_BENCH_SUMMARY", "")
+    if summary_path:
+        enriched = {
+            **out,
+            "box_state": box,
+            "iters": iters,
+            "queries_spread": spread,
+            "shuffle_bytes": shuffle,
+        }
+        Path(summary_path).write_text(json.dumps(enriched, indent=1))
+        print(f"summary -> {summary_path}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -1029,6 +1029,13 @@ def simhash_local(
     input columns carried through unchanged (still map-only — the
     incremental form rides its batch flag here instead of joining it
     back on afterwards).
+
+    Token-less documents (empty/whitespace-only text) are EXCLUDED from
+    the output — a majority vote over zero tokens carries no signal, and
+    emitting the degenerate all-zero signature would pair every empty doc
+    with every other at Hamming 0.  This also matches the exploded
+    variant (``simhash_portable``: explode of an empty array yields no
+    rows) and the DuckDB oracle replay (its unnest CTE drops such docs).
     """
     assert bits <= 32
     toks = F.array_distinct(
@@ -1038,7 +1045,7 @@ def simhash_local(
         F.col(id_col),
         *[F.col(c) for c in keep],
         F.transform(toks, lambda t: token_hash32(t)).alias("_h"),
-    )
+    ).where(F.size("_h") > 0)
 
     def vote(pos):
         return F.aggregate(
@@ -1313,7 +1320,9 @@ def simhash_local64(
     is byte-identical to ``token_hash32``, so the 16-bit family's hash
     constants are a strict prefix of this one's).  Same distinct-token,
     ±1-majority semantics as ``simhash_local``; ``keep`` rides extra
-    columns through the map-only stage."""
+    columns through the map-only stage.  Token-less documents are
+    EXCLUDED, same rationale and same oracle semantics as
+    ``simhash_local`` (two empty docs must not pair at Hamming 0)."""
     toks = F.array_distinct(
         F.filter(tokens(F.col(text_col)), lambda t: t != "")
     )
@@ -1327,7 +1336,7 @@ def simhash_local64(
         F.transform(
             hexes, lambda x: F.conv(F.substring(x, 9, 8), 16, 10).cast("long")
         ).alias("_hhi"),
-    )
+    ).where(F.size("_hlo") > 0)
     return hashed.select(
         F.col(id_col),
         *[F.col(c) for c in keep],

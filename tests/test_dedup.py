@@ -550,3 +550,33 @@ def test_containment_incremental_matches_full_restriction(docs):
     }
     assert inc == full, (inc, full)
     assert full, "harness must produce at least one batch-touching pair"
+
+
+def test_simhash_local_excludes_tokenless_docs(spark):
+    """Token-less documents (empty / whitespace / punctuation-only text)
+    must be EXCLUDED from both row-local signature forms: a zero-token
+    majority vote carries no signal, and the degenerate all-zero
+    signature would pair every empty doc with every other at Hamming 0
+    on the Spark side only (the DuckDB oracle's unnest CTE drops such
+    docs, as does the exploded simhash_portable)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "   "), (4, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    for sigs in (
+        dedup.simhash_local(df, "text", "doc_id", bits=16),
+        dedup.simhash_local64(df, "text", "doc_id"),
+    ):
+        assert {r.doc_id for r in sigs.collect()} == {1, 4}
+    # and through the incremental pair generators: the two token-less
+    # docs (one per side) must NOT pair with each other or anything else
+    new = df.where(F.col("doc_id").isin(2, 4))
+    corpus = df.where(F.col("doc_id").isin(1, 3))
+    for fn in (
+        dedup.simhash_near_duplicates_incremental,
+        dedup.simhash_near_duplicates_incremental64,
+    ):
+        pairs = {
+            (r.id_a, r.id_b) for r in fn(new, corpus, "text", "doc_id").collect()
+        }
+        assert pairs == {(1, 4)}, (fn.__name__, pairs)

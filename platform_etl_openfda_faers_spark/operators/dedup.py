@@ -1345,13 +1345,55 @@ def simhash_local64(
     )
 
 
+def _simhash64_chunks(sigs: DataFrame, id_col: str, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Explode a (id, sim_hi, sim_lo) signature table into its 4 x 16-bit
+    pigeonhole chunk rows: (id, *keep, sim_hi, sim_lo, ci, cv)."""
+    mask = F.lit((1 << 16) - 1)
+    chunks = F.array(
+        F.struct(F.lit(0).alias("ci"), F.col("sim_lo").bitwiseAND(mask).alias("cv")),
+        F.struct(
+            F.lit(1).alias("ci"),
+            F.shiftrightunsigned(F.col("sim_lo"), 16).bitwiseAND(mask).alias("cv"),
+        ),
+        F.struct(F.lit(2).alias("ci"), F.col("sim_hi").bitwiseAND(mask).alias("cv")),
+        F.struct(
+            F.lit(3).alias("ci"),
+            F.shiftrightunsigned(F.col("sim_hi"), 16).bitwiseAND(mask).alias("cv"),
+        ),
+    )
+    return sigs.select(
+        F.col(id_col), *[F.col(c) for c in keep],
+        F.col("sim_hi"), F.col("sim_lo"),
+        F.explode(chunks).alias("c"),
+    ).select(
+        id_col, *keep, "sim_hi", "sim_lo",
+        F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"),
+    )
+
+
+def simhash64_chunk_table(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, sim_hi, sim_lo, ci, cv) — the UNCAPPED 64-bit SimHash chunk
+    table for a document set: exactly what a production deployment
+    computes ONCE at ingest and stores (partitioned on ``ci``) as the
+    corpus signature index.  Feed a stored copy back to
+    :func:`simhash_near_duplicates_incremental64` via ``corpus_index`` so
+    each incremental batch pays the signature fold only for its own docs;
+    the corpus side is then a decode-free parquet scan."""
+    return _simhash64_chunks(
+        simhash_local64(docs, text_col, id_col), id_col
+    )
+
+
 def simhash_near_duplicates_incremental64(
     new_docs: DataFrame,
-    corpus_docs: DataFrame,
+    corpus_docs: DataFrame | None,
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
     max_bucket_size: int | None = 64,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL SimHash near-dup at the PRODUCTION geometry: 64-bit
     signatures in 4 x 16-bit pigeonhole chunks, WITH the combined-
@@ -1375,34 +1417,47 @@ def simhash_near_duplicates_incremental64(
     on the join key), and the exact per-half ``bit_count(xor)`` sum keeps
     the result lossless for Hamming <= 3 (pigeonhole over 4 chunks).
     Never corpus x corpus.  Ids must be unique across the two inputs.
-    Output: (id_a, id_b, hamming), id_a < id_b."""
+    Output: (id_a, id_b, hamming), id_a < id_b.
+
+    ``corpus_index`` — a STORED corpus chunk table (the
+    :func:`simhash64_chunk_table` shape, typically a parquet table
+    written at ingest, partitioned on ``ci``).  When given,
+    ``corpus_docs`` must be None: the corpus side becomes a decode-free
+    scan of the stored index (no text read, no signature fold), the
+    batch side folds only ``new_docs``, and the combined-occupancy cap
+    applies across stored + batch rows exactly as in the recompute path
+    — results are identical by construction (tested)."""
     assert max_hamming <= 3, "4-chunk bucketing is lossy beyond Hamming 3"
-    combined = corpus_docs.select(
-        F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
-    ).unionByName(
-        new_docs.select(F.col(id_col), F.col(text_col), F.lit(True).alias("_new"))
+    assert (corpus_docs is None) != (corpus_index is None), (
+        "pass exactly one of corpus_docs (recompute) or corpus_index "
+        "(stored signature index)"
     )
-    sigs = simhash_local64(combined, text_col, id_col, keep=("_new",))
-    mask = F.lit((1 << 16) - 1)
-    chunks = F.array(
-        F.struct(F.lit(0).alias("ci"), F.col("sim_lo").bitwiseAND(mask).alias("cv")),
-        F.struct(
-            F.lit(1).alias("ci"),
-            F.shiftrightunsigned(F.col("sim_lo"), 16).bitwiseAND(mask).alias("cv"),
-        ),
-        F.struct(F.lit(2).alias("ci"), F.col("sim_hi").bitwiseAND(mask).alias("cv")),
-        F.struct(
-            F.lit(3).alias("ci"),
-            F.shiftrightunsigned(F.col("sim_hi"), 16).bitwiseAND(mask).alias("cv"),
-        ),
-    )
-    keyed = sigs.select(
-        F.col(id_col), F.col("_new"), F.col("sim_hi"), F.col("sim_lo"),
-        F.explode(chunks).alias("c"),
-    ).select(
-        id_col, "_new", "sim_hi", "sim_lo",
-        F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"),
-    )
+    if corpus_index is None:
+        combined = corpus_docs.select(
+            F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
+        ).unionByName(
+            new_docs.select(
+                F.col(id_col), F.col(text_col), F.lit(True).alias("_new")
+            )
+        )
+        sigs = simhash_local64(combined, text_col, id_col, keep=("_new",))
+        keyed = _simhash64_chunks(sigs, id_col, keep=("_new",))
+    else:
+        batch = _simhash64_chunks(
+            simhash_local64(
+                new_docs.select(
+                    F.col(id_col), F.col(text_col), F.lit(True).alias("_new")
+                ),
+                text_col, id_col, keep=("_new",),
+            ),
+            id_col, keep=("_new",),
+        )
+        keyed = corpus_index.select(
+            F.col(id_col), F.lit(False).alias("_new"),
+            F.col("sim_hi"), F.col("sim_lo"), F.col("ci"), F.col("cv"),
+        ).unionByName(
+            batch.select(id_col, "_new", "sim_hi", "sim_lo", "ci", "cv")
+        )
     if max_bucket_size is not None:
         keyed = prune_df_window(keyed, ["ci", "cv"], max_bucket_size)
     # persist the capped chunk table: the a/b sides below consume it under

@@ -2249,15 +2249,81 @@ def parse_avi_meta(payload: bytes) -> dict:
     return meta
 
 
+#: fourcc -> decoder(payload: bytes, every_n: int) -> [(frame_idx, ndarray)].
+#: The wrap-an-external-decoder seam for codecs this repo deliberately does
+#: not implement (H.264 etc. — COVERAGE.md decision note): a deployment
+#: registers its ffmpeg/hardware wrapper here and every downstream operator
+#: (video_frames, frame dHash, near-dup, incremental) works unchanged,
+#: because registered output is validated against the SAME row contract the
+#: MJPEG path honors (``_enforce_frame_contract``).  Empty by default, so
+#: unknown codecs stay a loud typed reject.  NOTE: register at MODULE
+#: IMPORT time (a package both driver and executors import) — Spark's
+#: Python workers re-import this module per process, so a driver-only
+#: runtime mutation is not visible inside mapInPandas tasks.
+EXTERNAL_VIDEO_DECODERS: dict = {}
+
+
+def _enforce_frame_contract(frames, every_n: int, codec: str) -> list:
+    """Validate an external decoder's output against the decode_avi_frames
+    row contract: a list of (int frame_idx, 2-D/3-D uint8 ndarray) with
+    strictly ascending indices, each divisible by ``every_n``.  Raises
+    TypeError/ValueError naming the codec, so a misbehaving wrapper fails
+    at the decode step with a diagnosable error instead of corrupting
+    downstream frame stats."""
+    if not isinstance(frames, list):
+        raise TypeError(
+            f"external {codec!r} decoder must return a list, "
+            f"got {type(frames).__name__}"
+        )
+    prev = -1
+    for item in frames:
+        if not (isinstance(item, tuple) and len(item) == 2):
+            raise TypeError(
+                f"external {codec!r} decoder rows must be "
+                f"(frame_idx, ndarray) tuples, got {item!r}"
+            )
+        idx, img = item
+        if not isinstance(idx, int) or not isinstance(img, np.ndarray):
+            raise TypeError(
+                f"external {codec!r} decoder row types must be "
+                f"(int, ndarray), got ({type(idx).__name__}, "
+                f"{type(img).__name__})"
+            )
+        if img.dtype != np.uint8 or img.ndim not in (2, 3):
+            raise ValueError(
+                f"external {codec!r} decoder frames must be 2-D/3-D "
+                f"uint8 arrays, got ndim={img.ndim} dtype={img.dtype}"
+            )
+        if idx <= prev:
+            raise ValueError(
+                f"external {codec!r} decoder frame indices must be "
+                f"strictly ascending, got {idx} after {prev}"
+            )
+        if idx % every_n:
+            raise ValueError(
+                f"external {codec!r} decoder returned frame {idx} not on "
+                f"the every_n={every_n} sampling grid"
+            )
+        prev = idx
+    return frames
+
+
 def decode_avi_frames(payload: bytes, every_n: int = 1) -> list:
     """AVI bytes -> [(frame_idx, ndarray)] for every ``every_n``-th
-    MJPEG frame.  Only 'MJPG' streams are decodable (each ``00dc`` chunk
-    is a standalone JPEG); other codecs raise NotImplementedError — the
-    documented codec boundary, now scoped to non-MJPEG payloads only."""
+    MJPEG frame.  Only 'MJPG' streams are decodable in-repo (each
+    ``00dc`` chunk is a standalone JPEG); any other codec is routed to a
+    registered :data:`EXTERNAL_VIDEO_DECODERS` wrapper (output validated
+    against this function's row contract) or raises NotImplementedError
+    — the documented codec boundary."""
     meta = parse_avi_meta(payload)
     if meta["codec"] != "MJPG":
-        raise NotImplementedError(
-            f"only MJPEG AVI frames are decodable, got {meta['codec']!r}"
+        external = EXTERNAL_VIDEO_DECODERS.get(meta["codec"])
+        if external is None:
+            raise NotImplementedError(
+                f"only MJPEG AVI frames are decodable, got {meta['codec']!r}"
+            )
+        return _enforce_frame_contract(
+            external(payload, every_n), every_n, meta["codec"]
         )
     out = []
     for fourcc, ltype, s, e in _riff_walk(payload, 12, len(payload)):

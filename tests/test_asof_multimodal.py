@@ -1567,3 +1567,68 @@ def test_gif_frames_truncation_raises_valueerror():
             continue  # the required failure mode
         # short prefixes that still parse (e.g. cut right after a full
         # frame but before the trailer) are legitimate decodes
+
+
+def test_external_video_decoder_seam_contract():
+    """The wrap-an-external-decoder seam (COVERAGE.md H.264 decision:
+    'revisit only by wrapping an external decoder behind the same
+    decode_avi_frames row contract'): a registered stub decoder for a
+    non-MJPEG fourcc flows through decode_avi_frames with its output
+    validated against the row contract — and every contract violation
+    (wrong container type, wrong row shape, wrong dtype, out-of-order or
+    off-grid indices) fails loudly with the codec named, while
+    unregistered codecs keep the original typed reject."""
+    import numpy as np
+    import pytest
+
+    frames = [
+        np.full((8, 8), (9 + 31 * f) % 256, np.uint8) for f in range(4)
+    ]
+    avi = multimodal.encode_avi_mjpeg(frames, fps=12)
+    xvid = avi.replace(b"vidsMJPG", b"vidsXVID", 1)
+    assert multimodal.parse_avi_meta(xvid)["codec"] == "XVID"
+
+    def stub(payload, every_n):
+        meta = multimodal.parse_avi_meta(payload)
+        return [
+            (i, np.full((meta["height"], meta["width"]), (7 * i + 3) % 256,
+                        np.uint8))
+            for i in range(0, meta["n_frames"], every_n)
+        ]
+
+    try:
+        multimodal.EXTERNAL_VIDEO_DECODERS["XVID"] = stub
+        got = multimodal.decode_avi_frames(xvid, every_n=2)
+        assert [i for i, _ in got] == [0, 2]
+        for i, img in got:
+            assert img.shape == (8, 8) and img.dtype == np.uint8
+            assert int(img[0, 0]) == (7 * i + 3) % 256
+
+        # contract violations, each a typed loud failure naming the codec
+        bad_cases = [
+            (lambda p, n: (0, frames[0]), TypeError, "must return a list"),
+            (lambda p, n: [frames[0]], TypeError, "tuples"),
+            (lambda p, n: [("0", frames[0])], TypeError, "int, ndarray"),
+            (
+                lambda p, n: [(0, frames[0].astype(np.int32))],
+                ValueError, "uint8",
+            ),
+            (
+                lambda p, n: [(2, frames[0]), (0, frames[1])],
+                ValueError, "ascending",
+            ),
+            (lambda p, n: [(1, frames[0])], ValueError, "sampling grid"),
+        ]
+        for fn, exc, match in bad_cases:
+            multimodal.EXTERNAL_VIDEO_DECODERS["XVID"] = fn
+            with pytest.raises(exc, match=match):
+                multimodal.decode_avi_frames(xvid, every_n=2)
+    finally:
+        multimodal.EXTERNAL_VIDEO_DECODERS.pop("XVID", None)
+
+    # unregistered codecs keep the documented boundary reject
+    with pytest.raises(NotImplementedError, match="MJPEG"):
+        multimodal.decode_avi_frames(xvid)
+    # and the MJPEG path is untouched by the seam: exact round-trip
+    dec = multimodal.decode_avi_frames(avi)
+    assert [i for i, _ in dec] == [0, 1, 2, 3]

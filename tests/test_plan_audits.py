@@ -313,3 +313,44 @@ def test_snapshot_diff_is_single_full_outer_join(spark, sf_dir):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 2, plan
+
+
+def test_sql_ranking_suite_plan_matches_dataframe_twin(spark, sf_dir):
+    """The SQL front end's window-function coverage (r11): sql_ranking_suite
+    (spark.sql text with named WINDOW clauses) must optimize to the SAME
+    plan as the DataFrame-API w_ranking_suite — same Window operators,
+    same sort/exchange structure, modulo expression ids and view naming."""
+    import re
+
+    a = benchmarks.SPARK_QUERIES["sql_ranking_suite"](spark, str(sf_dir))
+    b = benchmarks.SPARK_QUERIES["w_ranking_suite"](spark, str(sf_dir))
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def skeleton(s):
+        # operator-head sequence: the physical shape, names aside
+        heads = []
+        for ln in s.splitlines():
+            m = re.match(r"[\s+:*()\d-]*([A-Za-z]+)", ln)
+            if m:
+                heads.append(m.group(1))
+        return heads
+
+    def window_specs(s):
+        # every window function + its full spec, expr ids stripped —
+        # the semantics of the window computation
+        s = re.sub(r"#\d+", "", s)
+        return sorted(
+            re.findall(
+                r"(?:row_number\(\)|rank\([^)]*\)|dense_rank\([^)]*\)|"
+                r"lag\([^)]*\)|lead\([^)]*\)) "
+                r"windowspecdefinition\([^)]*\([^)]*\)[^)]*\)",
+                s,
+            )
+        )
+
+    pa, pb = plan(a), plan(b)
+    assert skeleton(pa) == skeleton(pb), (pa, pb)
+    specs_a, specs_b = window_specs(pa), window_specs(pb)
+    assert specs_a == specs_b and len(specs_a) == 5, (specs_a, specs_b)

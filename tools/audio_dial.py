@@ -38,7 +38,8 @@ contract).  Landmark-row volumes: 500k x 136 = 6.8e7 (sf10-prod-dt16),
 50k x 2,080 = 1.04e8 (sf1-prod-full), 500k x 18 = 9e6 (sf10-test-geom)
 — all bounded map/groupBy work.
 
-Usage: python tools/audio_dial.py [out_json]
+Usage: python tools/audio_dial.py [out_json] [row-name ...]
+(existing rows in out_json are preserved; named rows re-run)
 """
 
 from __future__ import annotations
@@ -46,6 +47,8 @@ from __future__ import annotations
 import json
 import statistics
 import sys
+
+import numpy as np
 import time
 from pathlib import Path
 
@@ -63,24 +66,76 @@ from platform_etl_openfda_faers_spark.plans.benchmarks import (  # noqa: E402
 from platform_etl_openfda_faers_spark.session import get_spark  # noqa: E402
 
 GEOMETRIES = [
-    # name, sf_dir, window, n_windows, max_dt
-    ("sf10-test-geom", "testdata/sf10", 64, 8, 3),
-    ("sf10-prod-dt16", "testdata/sf10", 1024, 17, 64),
-    ("sf1-prod-full", "testdata/sf1", 1024, 65, 64),
+    # name, sf_dir, window, n_windows, max_dt, content
+    # content="tonal": the oracle harness — exact-bin sines whose peak
+    #   bins follow per-seed ARITHMETIC CHAINS, so landmark keys
+    #   concentrate on ~(bins x steps x dt) chain families regardless of
+    #   the nominal keyspace.  This is, by construction, the DEGENERATE
+    #   (pure-tone) content class the occupancy cap exists to trim.
+    # content="noise": per-track seeded white noise — peak bins ~uniform
+    #   over the rfft bins, the spectrally-diverse content class real
+    #   catalogs are made of; this is the row that measures the
+    #   production keyspace claim (keys ≈ nominal keyspace, occupancy ≈
+    #   landmarks / keyspace, cap touches ~nothing).
+    ("sf10-test-geom", "testdata/sf10", 64, 8, 3, "tonal"),
+    ("sf10-prod-dt16", "testdata/sf10", 1024, 17, 64, "tonal"),
+    ("sf1-prod-full", "testdata/sf1", 1024, 65, 64, "tonal"),
+    ("sf10-prod-dt16-noise", "testdata/sf10", 1024, 17, 64, "noise"),
+    ("sf1-prod-full-noise", "testdata/sf1", 1024, 65, 64, "noise"),
 ]
 CAP = 64
 ITERS = 3
 
 
-def landmark_pipeline(spark, sf_dir, window, n_windows, max_dt):
+def synthetic_wav_media_noise(df, id_col, seed_col, window, n_windows):
+    """Seeded WHITE-NOISE mono PCM-16 WAVs: per-window dominant rfft
+    bins are ~uniform over the bin range and independent across windows
+    — the spectrally-diverse content class the production keyspace
+    arithmetic assumes.  Measurement harness only (no analytic bin
+    formula, so no oracle twin — the registry keeps the tonal form)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid, sd in zip(pdf[id_col], pdf[seed_col]):
+                rng = np.random.default_rng(int(sd))
+                samples = rng.integers(
+                    -8000, 8001, window * n_windows
+                ).astype(np.int16)
+                rows.append(
+                    (int(mid), multimodal.encode_wav(samples, channels=1))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col), F.col(seed_col)).mapInPandas(
+        gen, schema=schema
+    )
+
+
+def landmark_pipeline(spark, sf_dir, window, n_windows, max_dt, content):
     docs = load_docs(spark, sf_dir)
     n_docs = docs.count()
     seeds = docs.select(
         "doc_id", (F.col("doc_id") % max(n_docs // 10, 1)).alias("gid")
     )
-    media = multimodal.synthetic_wav_media_tonal(
-        seeds, "doc_id", seed_col="gid", window=window, n_windows=n_windows
-    )
+    if content == "noise":
+        media = synthetic_wav_media_noise(
+            seeds, "doc_id", "gid", window, n_windows
+        )
+    else:
+        media = multimodal.synthetic_wav_media_tonal(
+            seeds, "doc_id", seed_col="gid", window=window,
+            n_windows=n_windows,
+        )
     peaks = multimodal.audio_spectral_peaks(media, window=window)
     return multimodal.audio_landmarks(peaks, max_dt=max_dt), n_docs
 
@@ -109,8 +164,18 @@ def main() -> None:
             ),
         }
     }
-    for name, sf_dir, window, n_windows, max_dt in GEOMETRIES:
-        lm, n_docs = landmark_pipeline(spark, sf_dir, window, n_windows, max_dt)
+    only = set(sys.argv[2:])
+    if Path(out_path).exists():
+        result.update(
+            {k: v for k, v in json.loads(Path(out_path).read_text()).items()
+             if not k.startswith("_")}
+        )
+    for name, sf_dir, window, n_windows, max_dt, content in GEOMETRIES:
+        if only and name not in only:
+            continue
+        lm, n_docs = landmark_pipeline(
+            spark, sf_dir, window, n_windows, max_dt, content
+        )
         # --- wall: median of ITERS cold runs of the landmark pipeline
         runs = []
         for _ in range(ITERS):
@@ -139,6 +204,7 @@ def main() -> None:
         bins = window // 2 - 1
         result[name] = {
             "sf_dir": sf_dir,
+            "content": content,
             "tracks": n_docs,
             "window": window,
             "n_windows": n_windows,

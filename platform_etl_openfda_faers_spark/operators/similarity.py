@@ -544,8 +544,32 @@ def kmeans_centroids(
     return cent
 
 
-def ivf_topk(
+def ivf_index_table(
     corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """(neighbor_id, c_vec, cell) — the corpus-side IVF cell-assignment
+    table: exactly what a production vector index computes ONCE at ingest
+    and stores (partitioned on ``cell``) next to its frozen centroids.
+    Feed a stored copy back to :func:`ivf_topk` via ``corpus_cells`` so a
+    query batch pays only its own nprobe assignment; the corpus side is
+    then an embedding-source-free parquet scan of the index, pruned to
+    the probed cell partitions."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    return ivf_cells(
+        c, centroids, "neighbor_id", "c_vec", nprobe=1,
+        score_decimals=score_decimals,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
@@ -554,6 +578,7 @@ def ivf_topk(
     nprobe: int = 4,
     score_decimals: int = 6,
     centroids: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into centroid
     cells, probe only the query's ``nprobe`` nearest cells, exact-rerank.
@@ -564,22 +589,36 @@ def ivf_topk(
     vectors — deterministic and oracle-replicable; pass
     ``centroids=kmeans_centroids(...)`` for trained cells (same plan
     shape, better recall).
+
+    ``corpus_cells`` — a STORED corpus assignment table (the
+    :func:`ivf_index_table` shape, typically parquet partitioned on
+    ``cell``).  When given, ``corpus`` must be None and the corpus side
+    becomes a scan of the stored index: no corpus embedding source is
+    read and no corpus-side assignment is recomputed — the deployment
+    shape where centroids are frozen and ingest wrote the cells once.
     """
+    assert (corpus is None) != (corpus_cells is None), (
+        "pass exactly one of corpus= (recompute) or corpus_cells= (stored)"
+    )
     cent = centroids
     if cent is None:
+        assert corpus is not None, "default seed centroids need the corpus"
         cent = corpus.where(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cell"),
             F.col(vec_col).cast("array<double>").alias("centroid"),
         )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
-    c_cells = ivf_cells(c, cent, "neighbor_id", "c_vec", nprobe=1, score_decimals=score_decimals)
+    if corpus_cells is not None:
+        c_cells = corpus_cells.select("neighbor_id", "c_vec", "cell")
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        )
+        c_cells = ivf_cells(c, cent, "neighbor_id", "c_vec", nprobe=1, score_decimals=score_decimals)
     q_cells = ivf_cells(q, cent, "query_id", "q_vec", nprobe=nprobe, score_decimals=score_decimals)
     # no pair-dedup needed: each corpus vector lives in exactly one cell
     # (nprobe=1 on the corpus side), so a (query, neighbor) pair appears at

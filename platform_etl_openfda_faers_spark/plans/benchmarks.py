@@ -3810,6 +3810,122 @@ def a_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "a_sessionize_events",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+        CASE WHEN ts - LAG(ts) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+          ) <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT *, CAST(SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      ) AS BIGINT) AS session_idx FROM g
+    )
+    SELECT user_id, session_idx,
+      COUNT(*) AS n_events,
+      MIN(epoch_us(ts)) AS start_us,
+      MAX(epoch_us(ts)) AS end_us,
+      MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+      COUNT(DISTINCT event_type) AS n_types
+    FROM s GROUP BY 1, 2
+    """,
+)
+def a_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization with EXPLICIT per-event session ids — the
+    other half of the session story next to ``session_counts``'s
+    ``F.session_window`` (which merges windows but cannot hand back a
+    stable id to join events against).  The classic lag + running-sum
+    construction: an event opens a new session when it is >30 min after
+    its user's previous event; the cumulative count of session-opens is
+    the session index; per-session stats aggregate on (user, index).
+
+    Scale shape: ONE shuffle total.  The lag and the running sum share
+    the same (user_id → ts) sort, and the final groupBy(user_id,
+    session_idx) is satisfied by the existing HashPartitioning(user_id)
+    — partitioning on a subset of the grouping keys co-locates the
+    groups, so Catalyst plans no second exchange (plan-audited in
+    PLANS.md: exchanges=1).  Per-user state is one row of lookback —
+    nothing accumulates — and skew is bounded by the busiest user, the
+    same envelope every per-user window in the registry lives in.
+    Ties on ts are broken by event_id, so the ANSI default RANGE frame
+    degenerates to deterministic ROWS semantics in both engines; all
+    outputs are exact integers (micros, counts)."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = (
+        F.when(gap_us <= F.lit(30 * 60 * 1_000_000), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "session_idx", F.sum("new_s").over(w)
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+        (
+            F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))
+        ).alias("duration_us"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "a_event_transitions",
+    """
+    WITH p AS (
+      SELECT user_id, event_type AS next_type,
+        LAG(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+        ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, next_type,
+      COUNT(*) AS n_trans,
+      COUNT(DISTINCT user_id) AS n_users,
+      COUNT(*)::DOUBLE / CAST(SUM(COUNT(*)) OVER (
+        PARTITION BY prev_type
+      ) AS DOUBLE) AS p_trans
+    FROM p WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def a_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for each
+    ordered (prev, next) pair of consecutive events of one user, the
+    transition count, how many distinct users ever made it, and the
+    row-normalized transition probability — the behavioral fingerprint
+    product analytics builds bigram models and anomaly baselines from.
+
+    Scale shape: the lag shuffles once on user_id; the pair groupBy
+    aggregates with map-side partials down to at most |event_types|²
+    rows, so the row-normalizing window (sum over prev_type) and the
+    division run on a handful of rows regardless of input size.
+    n_trans/n_users are exact integers; p_trans is one correctly-rounded
+    division of two exact integers, bit-reproducible cross-engine."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n_trans"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    row_tot = Window.partitionBy("prev_type")
+    return counts.withColumn(
+        "p_trans",
+        F.col("n_trans") / F.sum("n_trans").over(row_tot).cast("double"),
+    )
+
+
+@query(
     "w_funnel_conversion",
     """
     WITH v AS (
@@ -7340,20 +7456,23 @@ _DRIVER_FIRST = [
     # sql_ranking_suite — the w_ranking_suite window-function text run
     # through the SQL front end (VERDICT #7); plan equality with the
     # DataFrame twin is pytest-asserted.
-    "sql_ranking_suite",
-    # --- (d) 35 of the 44 r8-driver-certified (the 9 NOT rotated are
-    # the decode-variant family + exif/frames — the densest pytest-
-    # golden coverage of the 44, each with 21 javax cross-decoder
-    # fixtures behind it; they stay certified by the committed
-    # full-registry CORRECTNESS_LOCAL runs and rotate first in r12):
+    # a_sessionize_events / a_event_transitions — batch sessionization
+    # (lag + running-sum session ids, one shuffle) and the Markov
+    # event-type transition matrix; new driver evidence required.
+    "sql_ranking_suite", "a_sessionize_events", "a_event_transitions",
+    # --- (d) 33 of the 44 r8-driver-certified (the 11 NOT rotated are
+    # the decode-variant family + exif/frames + multimodal_decode /
+    # multimodal_audio_features — the densest pytest-golden coverage of
+    # the 44, each with javax cross-decoder fixtures behind it; they
+    # stay certified by the committed full-registry CORRECTNESS_LOCAL
+    # runs and rotate first in r12):
     "corpus_curation_pipeline", "dedup_minhash_lsh",
     "dedup_ngram_jaccard_capped", "emb_lsh_ann", "emb_lsh_ann_sparse",
     "f_array_suite", "f_datetime_suite", "f_from_json_typed",
     "f_inline_structs", "f_posexplode_tokens", "f_string_suite",
     "faers_llr", "faers_significant", "j_bloom_prefilter",
     "j_exists_subquery", "j_merge_upsert", "j_nullsafe", "j_salted_skew",
-    "media_curation_pipeline", "multimodal_audio_features",
-    "multimodal_decode", "q1_pricing_summary", "q3_shipping_priority",
+    "media_curation_pipeline", "q1_pricing_summary", "q3_shipping_priority",
     "scd2_user_history", "sketch_hll_portable", "sketch_kmv_overlap",
     "stream_dedup_events", "stream_session_windows",
     "stream_tumbling_counts", "text_bm25_topk", "text_decontaminate",
@@ -7366,9 +7485,9 @@ _DRIVER_FIRST = [
 # rows — the r10 window minus the 2 simhash queries re-windowed for the
 # r11 token-less-doc change), 45 r9-driver-certified (CORRECTNESS_r09
 # rows minus the re-windowed dedup_simhash16 / dedup_incremental_simhash
-# / multimodal_video_frames), and 9 r8-driver-certified decode-family
+# / multimodal_video_frames), and 11 r8-driver-certified decode-family
 # hold-backs (see the _DRIVER_FIRST (d) note).
-# Rotation priority for r12: the 9 r8 hold-backs first (their driver
+# Rotation priority for r12: the 11 r8 hold-backs first (their driver
 # evidence will be four rounds old), then the r9 block.
 _DEFERRED_TO_R12 = [
     # 48 r10-driver-certified:
@@ -7391,13 +7510,16 @@ _DEFERRED_TO_R12 = [
     "multimodal_video_dedup", "multimodal_video_neardup",
     "multimodal_video_neardup_incremental", "p6_null_guards",
     "sql_q5_local_supplier",
-    # 45 r9-driver-certified + 9 r8-certified decode-family hold-backs:
+    # 45 r9-driver-certified + 11 r8-certified hold-backs (decode family
+    # plus multimodal_decode / multimodal_audio_features, displaced by the
+    # two new-in-r11 analytics queries):
     "a_pivot_counts", "a_rollup_totals", "a_weighted_sample",
     "asof_forward_events", "cdc_apply_roundtrip", "cdc_scd2_history",
     "cdc_snapshot_diff", "dedup_clusters", "dedup_exact_groups",
     "dedup_incremental_minhash", "dedup_jaccard_prefix", "dedup_semantic",
     "emb_ivf_kmeans_topk", "emb_lsh_multiprobe_topk", "emb_quantize_int8",
-    "f_meddra_parse", "f_scalar_suite", "graph_pagerank", "j1_blacklist_anti",
+    "f_meddra_parse", "f_scalar_suite", "multimodal_audio_features",
+    "multimodal_decode", "graph_pagerank", "j1_blacklist_anti",
     "j_range_join", "l1_explode_structs", "multimodal_decode_bmp",
     "multimodal_decode_jpeg", "multimodal_decode_jpeg12",
     "multimodal_decode_jpeg_420", "multimodal_decode_jpeg_prog",

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Measure the STORED-INDEX contract's scale win (the r11 follow-through
+on VERDICT r10 #4): for the two stored-index families — the SimHash-64
+chunk table and the IVF cell-assignment table — A/B the incremental
+operator consuming a REAL parquet index vs recomputing the corpus side,
+on the same box, mode=solo.
+
+Reported per family:
+  build_write_s  — the ONE-TIME ingest cost a deployment pays to compute
+                   and write the partitioned index (amortized across all
+                   future batches; not part of the per-batch A/B).
+  recompute_s    — per-batch cost when the corpus side re-derives its
+                   signatures/assignments from the raw source.
+  stored_s       — per-batch cost when the corpus side is a parquet scan
+                   of the stored index (decode-free / embedding-free).
+  index_rows     — stored table cardinality (what future batches scan).
+
+Timed runs are medians of 3 with cache cleared between runs; the stored
+path's persisted capped tables are unpersisted after every run so no
+iteration inherits another's cache.
+
+Usage: python tools/stored_index_dial.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from platform_etl_openfda_faers_spark.operators import dedup, similarity  # noqa: E402
+from platform_etl_openfda_faers_spark.operators.cache import cached_deps  # noqa: E402
+from platform_etl_openfda_faers_spark.sources import writers  # noqa: E402
+from platform_etl_openfda_faers_spark.sources.readers import load_table  # noqa: E402
+from platform_etl_openfda_faers_spark.session import get_spark  # noqa: E402
+
+
+def _timed(spark, maker, iters: int = 3):
+    runs, rows = [], None
+    for _ in range(iters):
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        res = maker()
+        res.write.format("noop").mode("overwrite").save()
+        runs.append(round(time.time() - t0, 1))
+        if rows is None:
+            rows = res.count()
+        for h in cached_deps(res):
+            h.unpersist()
+    return sorted(runs)[len(runs) // 2], runs, rows
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata/sf10"
+    spark = get_spark(
+        "stored-index-dial",
+        master="local[32]",
+        conf={
+            "spark.sql.shuffle.partitions": "64",
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="stored_index_dial_")
+    out: dict[str, dict] = {"_inputs": {"sf_dir": sf_dir, "mode": "solo"}}
+    try:
+        # --- family 1: SimHash-64 chunk table over documents ---
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        new_docs = docs.where(F.col("doc_id") % 7 == 0)
+        corpus_docs = docs.where(F.col("doc_id") % 7 != 0)
+        sim_path = f"{tmp}/simhash64_index"
+        t0 = time.time()
+        writers.write_partitioned(
+            dedup.simhash64_chunk_table(corpus_docs, "text", "doc_id"),
+            sim_path,
+            ["ci"],
+        )
+        sim_build = round(time.time() - t0, 1)
+        sim_stored = spark.read.parquet(sim_path)
+        rec_m, rec_runs, rec_rows = _timed(
+            spark,
+            lambda: dedup.simhash_near_duplicates_incremental64(
+                new_docs, corpus_docs, "text", "doc_id"
+            ),
+        )
+        sto_m, sto_runs, sto_rows = _timed(
+            spark,
+            lambda: dedup.simhash_near_duplicates_incremental64(
+                new_docs, None, "text", "doc_id", corpus_index=sim_stored
+            ),
+        )
+        assert rec_rows == sto_rows, (rec_rows, sto_rows)
+        out["simhash64"] = {
+            "build_write_s": sim_build,
+            "index_rows": sim_stored.count(),
+            "recompute_s": rec_m,
+            "recompute_runs_s": rec_runs,
+            "stored_s": sto_m,
+            "stored_runs_s": sto_runs,
+            "pair_rows": rec_rows,
+        }
+        print("simhash64", json.dumps(out["simhash64"]))
+
+        # --- family 2: IVF cell-assignment table over embeddings ---
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") % 7 != 0)
+        queries = emb.where(F.col("vec_id") % 7 == 0)
+        cent = similarity.kmeans_centroids(corpus, k=8, iterations=2)
+        # freeze trained centroids so neither timed path re-trains
+        cent = spark.createDataFrame(cent.collect(), schema=cent.schema)
+        ivf_path = f"{tmp}/ivf_index"
+        t0 = time.time()
+        writers.write_partitioned(
+            similarity.ivf_index_table(corpus, cent), ivf_path, ["cell"]
+        )
+        ivf_build = round(time.time() - t0, 1)
+        ivf_stored = spark.read.parquet(ivf_path)
+        rec_m, rec_runs, rec_rows = _timed(
+            spark,
+            lambda: similarity.ivf_topk(
+                corpus, queries, k=5, nprobe=3, centroids=cent
+            ),
+        )
+        sto_m, sto_runs, sto_rows = _timed(
+            spark,
+            lambda: similarity.ivf_topk(
+                None, queries, k=5, nprobe=3, centroids=cent,
+                corpus_cells=ivf_stored,
+            ),
+        )
+        assert rec_rows == sto_rows, (rec_rows, sto_rows)
+        out["ivf"] = {
+            "build_write_s": ivf_build,
+            "index_rows": ivf_stored.count(),
+            "recompute_s": rec_m,
+            "recompute_runs_s": rec_runs,
+            "stored_s": sto_m,
+            "stored_runs_s": sto_runs,
+            "topk_rows": rec_rows,
+        }
+        print("ivf", json.dumps(out["ivf"]))
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

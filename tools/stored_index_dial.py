@@ -38,7 +38,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from platform_etl_openfda_faers_spark.operators import dedup, similarity  # noqa: E402
 from platform_etl_openfda_faers_spark.operators.cache import cached_deps  # noqa: E402
 from platform_etl_openfda_faers_spark.sources import writers  # noqa: E402
-from platform_etl_openfda_faers_spark.sources.readers import load_table  # noqa: E402
+from platform_etl_openfda_faers_spark.sources.readers import (  # noqa: E402
+    load_table,
+    scale_out,
+)
 from platform_etl_openfda_faers_spark.session import get_spark  # noqa: E402
 
 
@@ -74,7 +77,9 @@ def main() -> None:
     out: dict[str, dict] = {"_inputs": {"sf_dir": sf_dir, "mode": "solo"}}
     try:
         # --- family 1: SimHash-64 chunk table over documents ---
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = scale_out(
+            load_table(spark, sf_dir, "documents")
+        ).select("doc_id", "text")
         new_docs = docs.where(F.col("doc_id") % 7 == 0)
         corpus_docs = docs.where(F.col("doc_id") % 7 != 0)
         sim_path = f"{tmp}/simhash64_index"
@@ -111,9 +116,14 @@ def main() -> None:
         print("simhash64", json.dumps(out["simhash64"]))
 
         # --- family 2: IVF cell-assignment table over embeddings ---
-        emb = load_table(spark, sf_dir, "embeddings")
+        # ARITHMETIC PRE-CHECK (the standing rule): candidates are
+        # |queries| x nprobe/k x |corpus|.  A %7 query split at sf10 is
+        # ~1.15e10 pairs — a multi-hour exact-rerank.  The registry's
+        # geometry (20 query vectors, the online-serving shape: small
+        # batch vs big corpus) keeps it ~3e6; use exactly that.
+        emb = scale_out(load_table(spark, sf_dir, "embeddings"))
         corpus = emb.where(F.col("vec_id") % 7 != 0)
-        queries = emb.where(F.col("vec_id") % 7 == 0)
+        queries = emb.where(F.col("vec_id") < 20)
         cent = similarity.kmeans_centroids(corpus, k=8, iterations=2)
         # freeze trained centroids so neither timed path re-trains
         cent = spark.createDataFrame(cent.collect(), schema=cent.schema)
@@ -145,7 +155,7 @@ def main() -> None:
             "recompute_runs_s": rec_runs,
             "stored_s": sto_m,
             "stored_runs_s": sto_runs,
-            "topk_rows": rec_rows,
+            "topk_rows": rec_rows,  # 20-query serving batch
         }
         print("ivf", json.dumps(out["ivf"]))
         print(json.dumps(out))

@@ -1226,6 +1226,222 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
     return attach_cached(out, pruned)
 
 
+_CAPPED_PAIRS_CTES = f"""
+    tok0 AS ({_SHINGLES_SQL}),
+    freq AS (SELECT token, COUNT(*) AS df FROM tok0 GROUP BY token),
+    tok AS (
+      SELECT tok0.doc_id, tok0.token FROM tok0
+      JOIN freq ON freq.token = tok0.token WHERE freq.df <= 20
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b,
+        i.inter::DOUBLE / (sa.s + sb.s - i.inter) AS jaccard
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.id_a
+      JOIN sz sb ON sb.doc_id = i.id_b
+      WHERE i.inter::DOUBLE / (sa.s + sb.s - i.inter) >= 0.3
+    )
+"""
+
+
+def _capped_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The df-capped Jaccard pair list (threshold 0.3, cap 20) with its
+    persisted pruned index attached — the shared edge-generation front end
+    of ``dedup_ngram_jaccard_capped`` / ``dedup_source_leakage`` /
+    ``dedup_keep_list``."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.cache import attach_cached
+
+    docs = load_docs(spark, sf)
+    index = dedup.word_shingles(docs, "text", "doc_id", n=3).withColumnRenamed(
+        "shingle", "token"
+    )
+    pruned = dedup.prune_df_window(index, "token", max_doc_freq=20).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    pairs = dedup.jaccard_pairs(
+        pruned, "doc_id", key="token", threshold=0.3, sizes=sizes, max_doc_freq=None
+    )
+    return attach_cached(pairs, pruned)
+
+
+@query(
+    "dedup_source_leakage",
+    f"""
+    WITH {_CAPPED_PAIRS_CTES}
+    SELECT least(da.source, db.source) AS source_a,
+      greatest(da.source, db.source) AS source_b,
+      COUNT(*) AS n_pairs,
+      MAX(p.jaccard) AS max_jaccard
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+)
+def dedup_source_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-SOURCE duplication matrix: which pairs of ingest sources
+    near-duplicate each other, and how badly — the curation report that
+    tells you one crawl re-scraped another (or an eval set leaked into a
+    training source) BEFORE you mix them.  Near-dup edges come from the
+    df-capped shingle Jaccard join (identical machinery and cap as
+    ``dedup_ngram_jaccard_capped``); each edge is attributed to its
+    unordered (source, source) cell.
+
+    Scale shape: the pair list is already bounded O(cap x index) by the
+    window prune; the two source lookups are equi-joins of that bounded
+    pair list against a two-column (doc_id, source) projection, and the
+    final matrix is at most |sources|² rows.  n_pairs is an exact
+    integer; max_jaccard is a MAX over exact-rational divisions —
+    order-independent, so bit-stable cross-engine (no SUM/AVG of
+    doubles)."""
+    from ..operators.cache import attach_cached, cached_deps
+
+    pairs = _capped_jaccard_pairs(spark, sf)
+    src = load_docs(spark, sf).select("doc_id", "source")
+    a = pairs.join(
+        src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+        "id_a",
+    )
+    b = a.join(
+        src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+        "id_b",
+    )
+    out = (
+        b.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    return attach_cached(out, *cached_deps(pairs))
+
+
+@query(
+    "dedup_keep_list",
+    f"""
+    WITH RECURSIVE {_CAPPED_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS s, id_b AS t FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT w.id, e.t FROM walk w JOIN edges e ON e.s = w.reach
+    ),
+    comp AS (SELECT id, MIN(reach) AS component FROM walk GROUP BY id),
+    m AS (
+      SELECT c.id, c.component, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    )
+    SELECT id AS doc_id, component,
+      first_value(id) OVER (
+        PARTITION BY component ORDER BY n_chars DESC, id ASC
+      ) AS canonical_id,
+      CASE WHEN id = first_value(id) OVER (
+        PARTITION BY component ORDER BY n_chars DESC, id ASC
+      ) THEN 'keep' ELSE 'drop' END AS action
+    FROM m
+    """,
+)
+def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup pipeline's actual DELIVERABLE: a per-document keep/drop
+    decision with the canonical representative named.  Near-dup edges
+    (df-capped shingle Jaccard, same machinery as
+    ``dedup_ngram_jaccard_capped``) are resolved into clusters by the
+    two-phase large-star/small-star connected components, then each
+    cluster keeps its highest-quality member — longest text, ties to the
+    lowest id (the standard "keep the most complete copy" rule).
+    Documents in no cluster are implicitly kept and not listed.
+
+    Scale shape: CC is O(log n) rounds of groupBy-join over the bounded
+    edge list (never the corpus); the canonical choice is one window
+    over the clustered docs only (cluster membership ≪ corpus).  All
+    output columns are exact integers/strings.  The oracle replays the
+    components fixpoint with a recursive CTE and the same
+    first_value window."""
+    from ..operators.cache import attach_cached, cached_deps
+    from ..operators.graph import connected_components_twophase
+
+    pairs = _capped_jaccard_pairs(spark, sf)
+    comp = connected_components_twophase(
+        pairs.select("id_a", "id_b"), "id_a", "id_b"
+    )
+    meta = load_docs(spark, sf).select("doc_id", "n_chars")
+    j = comp.join(meta, comp["id"] == meta["doc_id"]).select(
+        F.col("id"), F.col("comp").alias("component"), F.col("n_chars")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("id")
+    )
+    out = j.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.first("id").over(w).alias("canonical_id"),
+        F.when(F.col("id") == F.first("id").over(w), F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("action"),
+    )
+    return attach_cached(out, *cached_deps(pairs))
+
+
+@query(
+    "corpus_shard_manifest",
+    """
+    SELECT ('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 8))::BIGINT
+        % 64 AS shard,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      COUNT(DISTINCT lang) AS n_langs,
+      COUNT(DISTINCT source) AS n_sources,
+      MIN(doc_id) AS min_doc_id,
+      MAX(doc_id) AS max_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-export shard manifest: every document deterministically
+    assigned to one of 64 shards by the portable md5 bucket (the same
+    engine-independent hash the sampling family uses — stable across
+    partition layout, task retries, and engines), with per-shard balance
+    stats (doc count, byte mass, language/source spread).  This is the
+    pre-flight report for a sharded training-data export: skewed shards
+    surface here before any writer runs, and the same bucket expression
+    then drives ``write_partitioned``/``repartition`` at export time.
+
+    Scale shape: one map-side hash + one groupBy on 64 keys (partial
+    aggregation does nearly all the work map-side); no joins, no
+    windows.  All outputs exact integers."""
+    docs = load_table(spark, sf, "documents")
+    shard = sampling.hash_bucket(F.col("doc_id"), seed=42, buckets=64)
+    return (
+        docs.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
 @query(
     "dedup_containment",
     f"""
@@ -7459,13 +7675,19 @@ _DRIVER_FIRST = [
     # a_sessionize_events / a_event_transitions — batch sessionization
     # (lag + running-sum session ids, one shuffle) and the Markov
     # event-type transition matrix; new driver evidence required.
+    # dedup_source_leakage / dedup_keep_list — the curation deliverables
+    # over the capped-Jaccard edge list (cross-source duplication matrix;
+    # CC + canonical keep/drop list).  corpus_shard_manifest — the
+    # portable-hash training-export shard balance report.
     "sql_ranking_suite", "a_sessionize_events", "a_event_transitions",
-    # --- (d) 33 of the 44 r8-driver-certified (the 11 NOT rotated are
+    "dedup_source_leakage", "dedup_keep_list", "corpus_shard_manifest",
+    # --- (d) 30 of the 44 r8-driver-certified (the 14 NOT rotated are
     # the decode-variant family + exif/frames + multimodal_decode /
-    # multimodal_audio_features — the densest pytest-golden coverage of
-    # the 44, each with javax cross-decoder fixtures behind it; they
-    # stay certified by the committed full-registry CORRECTNESS_LOCAL
-    # runs and rotate first in r12):
+    # multimodal_audio_features, with javax cross-decoder fixtures
+    # behind them, and the three stream_* queries, each backed by
+    # stream==batch pytest equivalences — the densest non-driver
+    # coverage of the 44; they stay certified by the committed
+    # full-registry CORRECTNESS_LOCAL runs and rotate first in r12):
     "corpus_curation_pipeline", "dedup_minhash_lsh",
     "dedup_ngram_jaccard_capped", "emb_lsh_ann", "emb_lsh_ann_sparse",
     "f_array_suite", "f_datetime_suite", "f_from_json_typed",
@@ -7474,8 +7696,7 @@ _DRIVER_FIRST = [
     "j_exists_subquery", "j_merge_upsert", "j_nullsafe", "j_salted_skew",
     "media_curation_pipeline", "q1_pricing_summary", "q3_shipping_priority",
     "scd2_user_history", "sketch_hll_portable", "sketch_kmv_overlap",
-    "stream_dedup_events", "stream_session_windows",
-    "stream_tumbling_counts", "text_bm25_topk", "text_decontaminate",
+    "text_bm25_topk", "text_decontaminate",
     "text_pii_redact", "w_analytic_extras", "w_funnel_conversion",
     "w_resample_ffill",
 ]
@@ -7510,9 +7731,10 @@ _DEFERRED_TO_R12 = [
     "multimodal_video_dedup", "multimodal_video_neardup",
     "multimodal_video_neardup_incremental", "p6_null_guards",
     "sql_q5_local_supplier",
-    # 45 r9-driver-certified + 11 r8-certified hold-backs (decode family
-    # plus multimodal_decode / multimodal_audio_features, displaced by the
-    # two new-in-r11 analytics queries):
+    # 45 r9-driver-certified + 14 r8-certified hold-backs (decode family
+    # plus multimodal_decode / multimodal_audio_features and the three
+    # stream_* queries, displaced by the new-in-r11 analytics and
+    # curation-deliverable queries):
     "a_pivot_counts", "a_rollup_totals", "a_weighted_sample",
     "asof_forward_events", "cdc_apply_roundtrip", "cdc_scd2_history",
     "cdc_snapshot_diff", "dedup_clusters", "dedup_exact_groups",
@@ -7529,7 +7751,8 @@ _DEFERRED_TO_R12 = [
     "multimodal_image_neardup", "multimodal_meta", "o1_global_topk",
     "sketch_count_min_portable", "sql_q6_revenue", "stream_interval_join",
     "stream_interval_join_outer", "stream_sliding_users",
-    "stream_static_enrich", "text_bpe_count", "text_chunking",
+    "stream_static_enrich", "stream_dedup_events", "stream_session_windows",
+    "stream_tumbling_counts", "text_bpe_count", "text_chunking",
     "text_fingerprint", "text_langid", "text_packing", "text_repetition",
     "text_stats", "text_tfidf_topk", "text_vocab_coverage",
     "w_distinct_windows", "w_frames_suite", "w_ranking_suite",

@@ -2993,6 +2993,53 @@ def emb_near_dup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "emb_dim_diagnostics",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    x AS (
+      SELECT i - 1 AS dim, e[i] AS val
+      FROM v, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
+    )
+    SELECT dim, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN val > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      CAST(SUM(CASE WHEN val < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      CAST(SUM(CASE WHEN val = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      MIN(val) AS min_val, MAX(val) AS max_val
+    FROM x GROUP BY 1
+    """,
+)
+def emb_dim_diagnostics(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space health report, per DIMENSION: sign balance and
+    exact value range across the corpus — the check that catches
+    collapsed dimensions (min==max), dead ReLU-style dims (n_pos==0),
+    and sign-skewed axes before an index is trained on them.  Every
+    output is order-independent (counts, MIN/MAX of exact doubles), so
+    the cross-engine comparison is bit-stable with NO float-sum
+    discipline needed — deliberately no mean/std here (those live in
+    engine-side profiling where a reference engine isn't hashing the
+    result).
+
+    Scale shape: posexplode fans each vector into dim rows, but the
+    groupBy key space is exactly the dimensionality (64), so partial
+    aggregation collapses nearly everything map-side — the shuffle is
+    O(dims x partitions) rows regardless of corpus size."""
+    emb = load_emb(spark, sf)
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        )
+    )
+    return x.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("val") > 0).cast("long")).alias("n_pos"),
+        F.sum((F.col("val") < 0).cast("long")).alias("n_neg"),
+        F.sum((F.col("val") == 0).cast("long")).alias("n_zero"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+@query(
     "emb_quantize_int8",
     """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -7681,12 +7728,15 @@ _DRIVER_FIRST = [
     # portable-hash training-export shard balance report.
     "sql_ranking_suite", "a_sessionize_events", "a_event_transitions",
     "dedup_source_leakage", "dedup_keep_list", "corpus_shard_manifest",
-    # --- (d) 30 of the 44 r8-driver-certified (the 14 NOT rotated are
+    # emb_dim_diagnostics — per-dimension embedding health (sign balance,
+    # exact range); order-independent outputs, no float-sum discipline.
+    "emb_dim_diagnostics",
+    # --- (d) 29 of the 44 r8-driver-certified (the 15 NOT rotated are
     # the decode-variant family + exif/frames + multimodal_decode /
     # multimodal_audio_features, with javax cross-decoder fixtures
-    # behind them, and the three stream_* queries, each backed by
-    # stream==batch pytest equivalences — the densest non-driver
-    # coverage of the 44; they stay certified by the committed
+    # behind them, the three stream_* queries (stream==batch pytest
+    # equivalences), and sketch_kmv_overlap (sketch-law pytest) — the
+    # densest non-driver coverage of the 44; they stay certified by the committed
     # full-registry CORRECTNESS_LOCAL runs and rotate first in r12):
     "corpus_curation_pipeline", "dedup_minhash_lsh",
     "dedup_ngram_jaccard_capped", "emb_lsh_ann", "emb_lsh_ann_sparse",
@@ -7695,7 +7745,7 @@ _DRIVER_FIRST = [
     "faers_llr", "faers_significant", "j_bloom_prefilter",
     "j_exists_subquery", "j_merge_upsert", "j_nullsafe", "j_salted_skew",
     "media_curation_pipeline", "q1_pricing_summary", "q3_shipping_priority",
-    "scd2_user_history", "sketch_hll_portable", "sketch_kmv_overlap",
+    "scd2_user_history", "sketch_hll_portable",
     "text_bm25_topk", "text_decontaminate",
     "text_pii_redact", "w_analytic_extras", "w_funnel_conversion",
     "w_resample_ffill",
@@ -7731,7 +7781,7 @@ _DEFERRED_TO_R12 = [
     "multimodal_video_dedup", "multimodal_video_neardup",
     "multimodal_video_neardup_incremental", "p6_null_guards",
     "sql_q5_local_supplier",
-    # 45 r9-driver-certified + 14 r8-certified hold-backs (decode family
+    # 45 r9-driver-certified + 15 r8-certified hold-backs (decode family
     # plus multimodal_decode / multimodal_audio_features and the three
     # stream_* queries, displaced by the new-in-r11 analytics and
     # curation-deliverable queries):
@@ -7751,6 +7801,7 @@ _DEFERRED_TO_R12 = [
     "multimodal_image_neardup", "multimodal_meta", "o1_global_topk",
     "sketch_count_min_portable", "sql_q6_revenue", "stream_interval_join",
     "stream_interval_join_outer", "stream_sliding_users",
+    "sketch_kmv_overlap",
     "stream_static_enrich", "stream_dedup_events", "stream_session_windows",
     "stream_tumbling_counts", "text_bpe_count", "text_chunking",
     "text_fingerprint", "text_langid", "text_packing", "text_repetition",

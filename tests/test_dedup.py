@@ -653,3 +653,32 @@ def test_simhash64_incremental_from_stored_parquet_index(spark, sf_dir, tmp_path
     for df in (recompute, from_store):
         for h in cached_deps(df):
             h.unpersist()
+
+
+def test_keep_list_laws(spark, sf_dir):
+    """The canonical keep/drop deliverable's invariants on real data:
+    exactly ONE keep per component; the canonical is a member of its own
+    component and is every member's canonical_id; the kept doc has the
+    component's max n_chars (ties to lowest id); drops = size - 1."""
+    from platform_etl_openfda_faers_spark.plans import benchmarks
+
+    rows = benchmarks.dedup_keep_list(spark, sf_dir).collect()
+    assert rows, "harness corpus must produce at least one cluster"
+    docs = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        keeps = [r for r in members if r.action == "keep"]
+        assert len(keeps) == 1, (comp, members)
+        canon = keeps[0]
+        assert canon.doc_id == canon.canonical_id
+        assert {r.canonical_id for r in members} == {canon.doc_id}
+        best = min(members, key=lambda r: (-docs[r.doc_id], r.doc_id))
+        assert canon.doc_id == best.doc_id
+        assert sum(r.action == "drop" for r in members) == len(members) - 1

@@ -354,3 +354,16 @@ def test_sql_ranking_suite_plan_matches_dataframe_twin(spark, sf_dir):
     assert skeleton(pa) == skeleton(pb), (pa, pb)
     specs_a, specs_b = window_specs(pa), window_specs(pb)
     assert specs_a == specs_b and len(specs_a) == 5, (specs_a, specs_b)
+
+
+def test_sessionize_is_single_exchange(spark, sf_dir):
+    """Batch sessionization: the lag, the running session-index sum, and
+    the (user_id, session_idx) aggregate must all reuse ONE
+    HashPartitioning(user_id) — grouping on a superset of the window's
+    partition keys plans no second exchange."""
+    import re
+
+    plan = plan_of(benchmarks.a_sessionize_events(spark, sf_dir))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "Join" not in plan

@@ -98,7 +98,10 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_COLD", ""
     ) not in ("", "0")
     box = read_box_state()
-    box["gate"] = "ok"
+    # the load gate only applies to --cold runs; a warm artifact must not
+    # read as gate-approved ("ok" would mean "not checked" there, the one
+    # reading the field must never invite) — label warm runs distinctly
+    box["gate"] = "ok" if cold else "ungated_warm"
     if cold and box["load1"] > LOAD_GATE:
         if os.environ.get("SPARK_GRAFT_BENCH_FORCE", "") in ("", "0"):
             print(
@@ -221,6 +224,11 @@ def main() -> None:
         "box_state": box,
         "queries": timings,
         "queries_iters": all_iters,
+        # per-query EFFECTIVE iteration counts (FLAPPER_MIN_ITERS bumps
+        # some queries above the base "iters" in cold mode) — the
+        # artifact is self-describing instead of recoverable only by
+        # counting queries_iters
+        "queries_effective_iters": {n: len(rs) for n, rs in all_iters.items()},
         "queries_first": firsts,
         "queries_spread": spread,
         "shuffle_bytes": shuffle,
@@ -290,6 +298,9 @@ def main() -> None:
             **out,
             "box_state": box,
             "iters": iters,
+            "queries_effective_iters": {
+                n: len(rs) for n, rs in all_iters.items()
+            },
             "queries_spread": spread,
             "shuffle_bytes": shuffle,
         }

@@ -24,6 +24,7 @@ heavy decode so stragglers don't concentrate.
 from __future__ import annotations
 
 import hashlib
+import numbers
 import struct
 from collections.abc import Iterator
 
@@ -2269,13 +2270,16 @@ def _enforce_frame_contract(frames, every_n: int, codec: str) -> list:
     strictly ascending indices, each divisible by ``every_n``.  Raises
     TypeError/ValueError naming the codec, so a misbehaving wrapper fails
     at the decode step with a diagnosable error instead of corrupting
-    downstream frame stats."""
+    downstream frame stats.  Returns a NORMALIZED copy — numpy integer
+    indices (np.intp/np.int64, accepted per numbers.Integral) are coerced
+    to plain int so downstream Arrow conversion sees one index type."""
     if not isinstance(frames, list):
         raise TypeError(
             f"external {codec!r} decoder must return a list, "
             f"got {type(frames).__name__}"
         )
     prev = -1
+    normalized: list = []
     for item in frames:
         if not (isinstance(item, tuple) and len(item) == 2):
             raise TypeError(
@@ -2283,12 +2287,20 @@ def _enforce_frame_contract(frames, every_n: int, codec: str) -> list:
                 f"(frame_idx, ndarray) tuples, got {item!r}"
             )
         idx, img = item
-        if not isinstance(idx, int) or not isinstance(img, np.ndarray):
+        # numbers.Integral admits np.intp/np.int64 — the natural index
+        # type out of real decoder wrappers — while bool (an int subclass
+        # Python would otherwise wave through) stays a typed reject.
+        if (
+            isinstance(idx, bool)
+            or not isinstance(idx, numbers.Integral)
+            or not isinstance(img, np.ndarray)
+        ):
             raise TypeError(
                 f"external {codec!r} decoder row types must be "
                 f"(int, ndarray), got ({type(idx).__name__}, "
                 f"{type(img).__name__})"
             )
+        idx = int(idx)
         if img.dtype != np.uint8 or img.ndim not in (2, 3):
             raise ValueError(
                 f"external {codec!r} decoder frames must be 2-D/3-D "
@@ -2305,7 +2317,8 @@ def _enforce_frame_contract(frames, every_n: int, codec: str) -> list:
                 f"the every_n={every_n} sampling grid"
             )
         prev = idx
-    return frames
+        normalized.append((idx, img))
+    return normalized
 
 
 def decode_avi_frames(payload: bytes, every_n: int = 1) -> list:

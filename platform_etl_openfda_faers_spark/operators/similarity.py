@@ -544,6 +544,24 @@ def kmeans_centroids(
     return cent
 
 
+def centroid_fingerprint(centroids: DataFrame, score_decimals: int) -> str:
+    """md5 over the sorted (cell, exact-double centroid) rows plus the
+    assignment's ``score_decimals`` — the identity of an IVF index's
+    build parameters.  Collect is bounded by design: centroid tables are
+    the small broadcast side (tens of rows), already materialized on the
+    driver by every trained-centroid caller."""
+    import hashlib
+
+    rows = sorted(
+        (int(r[0]), tuple(float(x) for x in r[1]))
+        for r in centroids.select("cell", "centroid").collect()
+    )
+    text = ";".join(
+        f"{cell}:{','.join(repr(x) for x in vec)}" for cell, vec in rows
+    )
+    return hashlib.md5(f"{text}|sd={score_decimals}".encode()).hexdigest()
+
+
 def ivf_index_table(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -551,21 +569,26 @@ def ivf_index_table(
     vec_col: str = "embedding",
     score_decimals: int = 6,
 ) -> DataFrame:
-    """(neighbor_id, c_vec, cell) — the corpus-side IVF cell-assignment
-    table: exactly what a production vector index computes ONCE at ingest
-    and stores (partitioned on ``cell``) next to its frozen centroids.
-    Feed a stored copy back to :func:`ivf_topk` via ``corpus_cells`` so a
-    query batch pays only its own nprobe assignment; the corpus side is
-    then an embedding-source-free parquet scan of the index, pruned to
-    the probed cell partitions."""
+    """(neighbor_id, c_vec, cell, index_fp) — the corpus-side IVF
+    cell-assignment table: exactly what a production vector index computes
+    ONCE at ingest and stores (partitioned on ``cell``) next to its frozen
+    centroids.  Feed a stored copy back to :func:`ivf_topk` via
+    ``corpus_cells`` so a query batch pays only its own nprobe assignment;
+    the corpus side is then an embedding-source-free parquet scan of the
+    index, pruned to the probed cell partitions.  ``index_fp`` is the
+    :func:`centroid_fingerprint` of (centroids, score_decimals) — the
+    serving path asserts it against the query-side centroids so a stale
+    or differently-parameterized index fails loudly instead of silently
+    changing results."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     )
+    fp = centroid_fingerprint(centroids, score_decimals)
     return ivf_cells(
         c, centroids, "neighbor_id", "c_vec", nprobe=1,
         score_decimals=score_decimals,
-    )
+    ).withColumn("index_fp", F.lit(fp))
 
 
 def ivf_topk(
@@ -612,7 +635,32 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
     if corpus_cells is not None:
-        c_cells = corpus_cells.select("neighbor_id", "c_vec", "cell")
+        # stale-index guard (consistency contract): the stored table must
+        # carry the fingerprint of the centroids + score_decimals it was
+        # built with, and it must match the query-side parameters — a
+        # differently-built index silently changes results otherwise.
+        # The row-level assert_true is lazy (no extra action) and costs
+        # one constant comparison per index row.
+        assert "index_fp" in corpus_cells.columns, (
+            "corpus_cells lacks index_fp — rebuild the stored index with "
+            "ivf_index_table (pre-fingerprint indexes cannot be checked "
+            "against the query-side centroids)"
+        )
+        expected_fp = centroid_fingerprint(cent, score_decimals)
+        # assert_true returns NULL on pass, raises on fail; expressing it
+        # as a filter predicate (always-true when healthy) keeps it alive
+        # through column pruning, unlike an unreferenced projected column.
+        guarded = corpus_cells.where(
+            F.assert_true(
+                F.col("index_fp") == F.lit(expected_fp),
+                F.lit(
+                    "stale IVF index: stored index_fp does not match the "
+                    "fingerprint of the centroids/score_decimals passed "
+                    "to ivf_topk — rebuild with ivf_index_table"
+                ),
+            ).isNull()
+        )
+        c_cells = guarded.select("neighbor_id", "c_vec", "cell")
     else:
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),

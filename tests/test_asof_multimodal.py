@@ -1604,11 +1604,23 @@ def test_external_video_decoder_seam_contract():
             assert img.shape == (8, 8) and img.dtype == np.uint8
             assert int(img[0, 0]) == (7 * i + 3) % 256
 
+        # numpy integer indices (the natural output of real decoder
+        # wrappers) are ACCEPTED and normalized to plain int
+        multimodal.EXTERNAL_VIDEO_DECODERS["XVID"] = lambda p, n: [
+            (np.int64(0), frames[0]), (np.intp(2), frames[1])
+        ]
+        np_got = multimodal.decode_avi_frames(xvid, every_n=2)
+        assert [i for i, _ in np_got] == [0, 2]
+        assert all(type(i) is int for i, _ in np_got)
+
         # contract violations, each a typed loud failure naming the codec
         bad_cases = [
             (lambda p, n: (0, frames[0]), TypeError, "must return a list"),
             (lambda p, n: [frames[0]], TypeError, "tuples"),
             (lambda p, n: [("0", frames[0])], TypeError, "int, ndarray"),
+            # bool is an int subclass Python would wave through — the
+            # contract rejects it as a frame index
+            (lambda p, n: [(False, frames[0])], TypeError, "int, ndarray"),
             (
                 lambda p, n: [(0, frames[0].astype(np.int32))],
                 ValueError, "uint8",

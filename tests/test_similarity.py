@@ -386,3 +386,25 @@ def test_ivf_topk_from_stored_parquet_index(spark, sf_dir, tmp_path):
                             corpus_cells=stored_idx)
     with pytest.raises(AssertionError):
         similarity.ivf_topk(None, queries, centroids=cent)
+
+    # stale-index guard: serving with centroids that differ from the ones
+    # the stored index was built with must fail LOUDLY at execution, not
+    # silently change results (r11 ADVICE)
+    other_cent = spark.createDataFrame(
+        [(int(r.cell), [float(x) + 0.5 for x in r.centroid])
+         for r in cent.collect()],
+        schema=cent.schema,
+    )
+    stale = similarity.ivf_topk(
+        None, queries, k=5, nprobe=3, centroids=other_cent,
+        corpus_cells=stored_idx,
+    )
+    with pytest.raises(Exception, match="stale IVF index"):
+        stale.collect()
+    # and a fingerprint-less table (pre-contract index) is rejected up
+    # front instead of served unchecked
+    with pytest.raises(AssertionError, match="index_fp"):
+        similarity.ivf_topk(
+            None, queries, centroids=cent,
+            corpus_cells=stored_idx.drop("index_fp"),
+        )

@@ -217,6 +217,7 @@ def main() -> None:
             "occ_p50_p90_p99": [int(x) for x in stats["occ_p"]],
             "occ_max": int(stats["occ_max"]),
             "hot_keys_over_cap": int(stats["hot_keys"] or 0),
+            "rows_in_hot_keys": int(stats["rows_in_hot"] or 0),
             "cap_trim_fraction": round(
                 1.0 - capped_rows / total, 6
             ) if total else None,

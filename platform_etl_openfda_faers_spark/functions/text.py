@@ -66,6 +66,84 @@ def quality_features(c: Column) -> dict[str, Column]:
     }
 
 
+# Frozen model-scored quality gate (the standard classifier-filter stage
+# of a training-data pipeline, in oracle-able form): a published-style
+# logistic regression over the quality_features signals, with every
+# feature and the dot product held in EXACT INTEGER micro-units so the
+# gate itself (logit >= threshold) is hash-exact across engines; the
+# only float op is the final display sigmoid (one division + one exp,
+# round-6).  Weights are micro-units per integer feature unit:
+#   tok_cap       — tokens, capped at 256 (length reward saturates)
+#   len_dev_centi — |mean token length - 4.50| in 0.01-char units
+#                   (deviation from prose-typical word length; both very
+#                   short and very long mean tokens signal boilerplate /
+#                   code / garbage)
+#   punct_permille — punctuation chars per 1000 chars
+#   stop_permille  — English stopword hits per 1000 tokens (prose signal)
+FROZEN_QUALITY_WEIGHTS: dict[str, int] = {
+    "bias": -300_000,
+    "tok_cap": 6_000,
+    "len_dev_centi": -3_000,
+    "punct_permille": -9_000,
+    "stop_permille": 2_500,
+}
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division on longs: ``(a - a % b) / b`` — every step
+    is an exact integer op, so the quotient is bit-identical to DuckDB's
+    ``//`` (a plain double ``floor(a/b)`` is exact too at these
+    magnitudes, but the modulo form needs no magnitude argument)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def quality_feature_ints(c: Column) -> dict[str, Column]:
+    """The quality_features signals recast as EXACT-INTEGER columns (the
+    form the frozen-weight gate consumes): same tokenization, same punct
+    class, same stopword list — ratios become permille / centi units via
+    integer division, so both engines agree bit-for-bit."""
+    toks = tokens(c)
+    n_tok = F.size(toks).cast("long")  # >= 1: split('') is ['']
+    n_char = F.length(c).cast("long")
+    char_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return {
+        "n_tokens": n_tok,
+        "tok_cap": F.least(n_tok, F.lit(256).cast("long")),
+        "len_dev_centi": F.abs(_idiv(char_sum * 100, n_tok) - 450),
+        "punct_permille": F.when(n_char == 0, F.lit(0).cast("long")).otherwise(
+            _idiv(punct_count(c).cast("long") * 1000, n_char)
+        ),
+        "stop_permille": _idiv(
+            stopword_hits(toks, "en").cast("long") * 1000, n_tok
+        ),
+    }
+
+
+def quality_logit_micro(c: Column) -> Column:
+    """The frozen-weight quality logit in EXACT integer micro-units —
+    the thresholdable form (``logit >= gate`` is integer-exact, so a
+    curation pipeline built on it stays hash-exact end to end)."""
+    f = quality_feature_ints(c)
+    w = FROZEN_QUALITY_WEIGHTS
+    return (
+        F.lit(w["bias"]).cast("long")
+        + F.lit(w["tok_cap"]) * f["tok_cap"]
+        + F.lit(w["len_dev_centi"]) * f["len_dev_centi"]
+        + F.lit(w["punct_permille"]) * f["punct_permille"]
+        + F.lit(w["stop_permille"]) * f["stop_permille"]
+    )
+
+
+def quality_score(c: Column, decimals: int = 6) -> Column:
+    """Display probability for the frozen-weight gate: sigmoid of the
+    integer logit — the ONE float chain (exact int -> one division, one
+    exp, one rounded division), rounded to ``decimals``."""
+    z = quality_logit_micro(c).cast("double") / F.lit(1_000_000.0)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), decimals)
+
+
 def fingerprint(c: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-collapsed,
     lowercased, trimmed text.  SQL twin: ``md5(...)`` with the same regex.

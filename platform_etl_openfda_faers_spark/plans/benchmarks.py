@@ -1934,6 +1934,109 @@ def text_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_QUALITY_STOPS_SQL = ", ".join(
+    f"'{w}'" for w in (
+        "the", "a", "of", "and", "to", "in", "is", "that", "it", "for"
+    )
+)
+
+_QUALITY_INTS_SQL = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
+    raw AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+          AS char_sum,
+        CAST(length(text)
+             - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
+          AS n_punct,
+        CAST(len(list_filter(toks, tk -> tk IN ({_QUALITY_STOPS_SQL})))
+             AS BIGINT) AS n_stop
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+      LEAST(n_tokens, 256) AS tok_cap,
+      ABS((char_sum * 100) // n_tokens - 450) AS len_dev_centi,
+      CASE WHEN n_chars = 0 THEN 0
+           ELSE (n_punct * 1000) // n_chars END AS punct_permille,
+      (n_stop * 1000) // n_tokens AS stop_permille
+    FROM raw
+"""
+
+
+def _quality_logit_sql(text: str = "text", toks: str = "toks") -> str:
+    """The frozen-weight integer quality logit as a DuckDB expression over
+    a text column and its pre-split token array — shared by the
+    ``text_quality_score`` oracle shape and the curation pipeline's
+    stage-1b gate so both replay the identical arithmetic."""
+    return f"""CAST(-300000
+      + 6000 * LEAST(len({toks}), 256)
+      - 3000 * ABS((CAST(list_sum(list_transform({toks}, x -> length(x)))
+                    AS BIGINT) * 100) // len({toks}) - 450)
+      - 9000 * (CASE WHEN length({text}) = 0 THEN 0
+                ELSE (CAST(length({text}) - length(regexp_replace({text},
+                      '[.,;:!?]', '', 'g')) AS BIGINT) * 1000)
+                     // CAST(length({text}) AS BIGINT) END)
+      + 2500 * ((CAST(len(list_filter({toks},
+                    tk -> tk IN ({_QUALITY_STOPS_SQL}))) AS BIGINT) * 1000)
+                // len({toks}))
+     AS BIGINT)"""
+
+
+@query(
+    "text_quality_score",
+    f"""
+    WITH f AS ({_QUALITY_INTS_SQL}),
+    scored AS (
+      SELECT doc_id, n_tokens, tok_cap, len_dev_centi, punct_permille,
+        stop_permille,
+        CAST(-300000 + 6000 * tok_cap - 3000 * len_dev_centi
+             - 9000 * punct_permille + 2500 * stop_permille AS BIGINT)
+          AS logit_micro
+      FROM f
+    )
+    SELECT doc_id, n_tokens,
+      CAST(tok_cap AS BIGINT) AS tok_cap,
+      CAST(len_dev_centi AS BIGINT) AS len_dev_centi,
+      CAST(punct_permille AS BIGINT) AS punct_permille,
+      CAST(stop_permille AS BIGINT) AS stop_permille,
+      logit_micro,
+      round(1.0 / (1.0 + exp(-(logit_micro / 1000000.0))), 6)
+        AS quality_score,
+      CAST(logit_micro >= 0 AS INT) AS keep
+    FROM scored
+    """,
+)
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-scored quality gate (VERDICT r11 #7): a FROZEN logistic
+    regression over the quality_features signals — the standard
+    classifier-filter stage of a training-data pipeline, in oracle-able
+    form.  Every feature and the weight dot product live in EXACT integer
+    micro-units (``functions.text.FROZEN_QUALITY_WEIGHTS``; ratios become
+    permille/centi units via exact integer division), so the decision
+    column ``keep = logit_micro >= 0`` is hash-exact across engines; the
+    probability column is the module's one-float-chain discipline (one
+    division, one exp, round-6).  Map-only — no shuffle at any corpus
+    size; `corpus_curation_pipeline` consumes the same integer logit as
+    its stage-1b threshold."""
+    from ..functions.text import quality_feature_ints, quality_logit_micro, quality_score
+
+    docs = load_docs(spark, sf)
+    f = quality_feature_ints(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        f["tok_cap"].alias("tok_cap"),
+        f["len_dev_centi"].alias("len_dev_centi"),
+        f["punct_permille"].alias("punct_permille"),
+        f["stop_permille"].alias("stop_permille"),
+        quality_logit_micro(F.col("text")).alias("logit_micro"),
+        quality_score(F.col("text")).alias("quality_score"),
+        (quality_logit_micro(F.col("text")) >= 0).cast("int").alias("keep"),
+    )
+
+
 def _langid_sql() -> str:
     hit_exprs = []
     for lang in sorted(STOPWORDS):
@@ -2774,13 +2877,15 @@ def sketch_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, text, len(toks) AS n_tokens,
         list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-          AS grams
+          AS grams,
+        {_quality_logit_sql('text', 'toks')} AS qlogit
       FROM t
     ),
     filtered AS (
       SELECT doc_id, text, n_tokens FROM q
       WHERE n_tokens >= 20 AND len(grams) > 0
         AND 1.0 - len(list_distinct(grams))::DOUBLE / len(grams) < 0.6
+        AND qlogit >= 0
     ),
     exact AS (
       SELECT f.doc_id, f.n_tokens FROM filtered f
@@ -2833,7 +2938,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     composed from this engine's operators, each stage dropping real rows:
 
     1. quality gate: token count >= 20, repeated-3-gram ratio < 0.6
-       (row-local exprs, map-only);
+       (row-local exprs, map-only); 1b (r12): the FROZEN model-scored
+       quality classifier — integer logit >= 0 (`text_quality_score`
+       weights; hash-exact threshold, no float in the decision);
     2. exact dedup keep-first: min doc_id per normalized-text fingerprint
        (one hash aggregate + semi join);
     3. near-dup removal: df-capped (df<=20) inverted-index Jaccard pairs
@@ -2860,17 +2967,23 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # (text + _grams): same wall time at sf0.1 with ~50x the cached bytes).
     from ..functions.text import fingerprint
 
+    from ..functions.text import quality_logit_micro
+
     feats = docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         F.size(word_ngrams(F.col("text"), 3)).alias("n_grams"),
         F.size(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("n_uniq"),
         fingerprint(F.col("text")).alias("_fp"),
+        quality_logit_micro(F.col("text")).alias("_qlogit"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     filtered = feats.where(
         (F.col("n_tokens") >= 20)
         & (F.col("n_grams") > 0)
         & (F.lit(1.0) - F.col("n_uniq") / F.col("n_grams").cast("double") < 0.6)
+        # stage 1b (r12): the frozen model-scored quality gate — the
+        # integer logit keeps the gate hash-exact (see text_quality_score)
+        & (F.col("_qlogit") >= 0)
     ).select("doc_id", "n_tokens", "_fp")
     # exact dedup keep-first off the persisted fingerprints — no text
     # needed.  The survivor set feeds four consumers (both index sides,
@@ -7761,6 +7874,9 @@ _DRIVER_FIRST = [
 # Rotation priority for r12: the 11 r8 hold-backs first (their driver
 # evidence will be four rounds old), then the r9 block.
 _DEFERRED_TO_R12 = [
+    # staging slots for new-in-r12 queries (moved into the r12 window by
+    # the rotation commit at the end of the round):
+    "text_quality_score",
     # 48 r10-driver-certified:
     "a4_collect_list", "a5_stratified_sample", "a_cube_grouping",
     "a_dataset_split", "a_grouping_sets", "a_outlier_zscore", "a_percentiles",

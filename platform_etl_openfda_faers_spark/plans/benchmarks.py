@@ -6298,6 +6298,184 @@ def corpus_mix_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Target language mix for corpus_mix_allocation — frozen integer weights
+# (parts per wsum; renormalized over the langs PRESENT at a given scale
+# factor, so the apportionment is well-defined even if a language is
+# absent from a small sample).
+_MIX_WEIGHTS: list[tuple[str, int]] = [
+    ("en", 40), ("de", 15), ("es", 15), ("fr", 15), ("zh", 15),
+]
+_MIX_SEED = "#mix42"
+
+
+@query(
+    "corpus_mix_allocation",
+    f"""
+    WITH perdoc AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter({_TOKENS_SQL}, t -> t <> '')) AS BIGINT)
+          AS n_tok,
+        ('0x' || substr(md5(doc_id::VARCHAR || '{_MIX_SEED}'), 1, 15))::BIGINT
+          AS h
+      FROM documents
+    ),
+    mix AS (
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+      FROM perdoc GROUP BY 1
+    ),
+    wt(lang, weight) AS (
+      VALUES {", ".join(f"('{l}', {w})" for l, w in _MIX_WEIGHTS)}
+    ),
+    m AS (
+      SELECT mix.lang, mix.n_docs, mix.total_tokens,
+        CAST(wt.weight AS BIGINT) AS weight,
+        CAST(SUM(mix.total_tokens) OVER () AS BIGINT) AS grand,
+        CAST(SUM(wt.weight) OVER () AS BIGINT) AS wsum
+      FROM mix JOIN wt USING (lang)
+    ),
+    alloc AS (
+      SELECT *, (2 * grand) // 5 AS k_budget,
+        (((2 * grand) // 5) * weight) // wsum AS base,
+        (((2 * grand) // 5) * weight) % wsum AS rem
+      FROM m
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        CAST(SUM(base) OVER () AS BIGINT) AS base_sum
+      FROM alloc
+    ),
+    quota AS (
+      SELECT lang, weight, n_docs, total_tokens,
+        CAST(base + CASE WHEN rk <= k_budget - base_sum THEN 1 ELSE 0 END
+             AS BIGINT) AS token_quota
+      FROM ranked
+    ),
+    ordered AS (
+      SELECT lang, doc_id, n_tok, h,
+        SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+      FROM perdoc
+    ),
+    kept AS (
+      SELECT o.lang, COUNT(*) AS kept_docs,
+        CAST(SUM(o.n_tok) AS BIGINT) AS kept_tokens,
+        MAX(o.h) AS hash_threshold
+      FROM ordered o JOIN quota q USING (lang)
+      WHERE o.cum <= q.token_quota
+      GROUP BY 1
+    )
+    SELECT q.lang, q.weight, q.n_docs, q.total_tokens, q.token_quota,
+      COALESCE(k.kept_docs, 0) AS kept_docs,
+      COALESCE(k.kept_tokens, 0) AS kept_tokens,
+      k.hash_threshold
+    FROM quota q LEFT JOIN kept k USING (lang)
+    """,
+)
+def corpus_mix_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture allocation (VERDICT r11 #9) — completes the curation chain
+    mix report -> ALLOCATION -> hash sample -> shard manifest: given the
+    per-language token masses and the frozen target mixture weights,
+    compute the EXACT integer per-language token quotas by
+    largest-remainder apportionment of a 40% token budget, then the
+    portable-hash thresholds that implement them — each language keeps
+    its docs in portable-md5 order while the cumulative token sum stays
+    within quota, so ``h <= hash_threshold`` reproduces the selection on
+    any engine with nothing but the report row.
+
+    All-integer, oracle-exact: quotas are integer floor-division + the
+    largest fractional remainders (rank over ``(rem DESC, lang)``), the
+    selection is an integer cumulative sum over a per-language window —
+    no float anywhere.  Scale shape: one groupBy on the tiny lang key,
+    window arithmetic over <= |langs| rows, one per-doc window partitioned
+    by lang (the same shuffle a sessionization pays), one broadcast join
+    of the 5-row quota table."""
+    from ..functions.text import _idiv, token_hash64, tokens as tok_fn
+
+    docs = load_docs(spark, sf)
+    perdoc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(tok_fn(F.col("text")), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tok"),
+        token_hash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SEED))
+        ).alias("h"),
+    )
+    mix = perdoc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens")
+    )
+    wt = spark.createDataFrame(_MIX_WEIGHTS, ["lang", "weight"])
+    wall = Window.partitionBy()  # <= |langs| rows: a 5-row frame, not a scan
+    m = mix.join(F.broadcast(wt), ["lang"]).select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.col("weight").cast("long").alias("weight"),
+        F.sum("total_tokens").over(wall).alias("grand"),
+        F.sum(F.col("weight").cast("long")).over(wall).alias("wsum"),
+    )
+    k_budget = _idiv(F.lit(2).cast("long") * F.col("grand"), F.lit(5).cast("long"))
+    alloc = m.select(
+        "*",
+        k_budget.alias("k_budget"),
+        _idiv(k_budget * F.col("weight"), F.col("wsum")).alias("base"),
+        ((k_budget * F.col("weight")) % F.col("wsum")).alias("rem"),
+    )
+    ranked = alloc.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("lang")))
+        .alias("rk"),
+        F.sum("base").over(wall).alias("base_sum"),
+    )
+    quota = ranked.select(
+        "lang",
+        "weight",
+        "n_docs",
+        "total_tokens",
+        (
+            F.col("base")
+            + F.when(
+                F.col("rk") <= F.col("k_budget") - F.col("base_sum"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("token_quota"),
+    )
+    wlang = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = perdoc.select(
+        "lang", "doc_id", "n_tok", "h", F.sum("n_tok").over(wlang).alias("cum")
+    )
+    kept = (
+        ordered.join(F.broadcast(quota.select("lang", "token_quota")), ["lang"])
+        .where(F.col("cum") <= F.col("token_quota"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_tok").alias("kept_tokens"),
+            F.max("h").alias("hash_threshold"),
+        )
+    )
+    return quota.join(kept, ["lang"], "left").select(
+        "lang",
+        "weight",
+        "n_docs",
+        "total_tokens",
+        "token_quota",
+        F.coalesce(F.col("kept_docs"), F.lit(0).cast("long")).alias("kept_docs"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0).cast("long")).alias(
+            "kept_tokens"
+        ),
+        "hash_threshold",
+    )
+
+
 @query(
     "scd2_user_history",
     """
@@ -7876,7 +8054,7 @@ _DRIVER_FIRST = [
 _DEFERRED_TO_R12 = [
     # staging slots for new-in-r12 queries (moved into the r12 window by
     # the rotation commit at the end of the round):
-    "text_quality_score",
+    "text_quality_score", "corpus_mix_allocation",
     # 48 r10-driver-certified:
     "a4_collect_list", "a5_stratified_sample", "a_cube_grouping",
     "a_dataset_split", "a_grouping_sets", "a_outlier_zscore", "a_percentiles",

@@ -1813,9 +1813,7 @@ def dedup_incremental_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_incremental_simhash64",
-    f"""
+_SIMHASH64_INC_SQL = f"""
     WITH tok AS (
       SELECT DISTINCT doc_id, t AS token
       FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents)
@@ -1868,8 +1866,10 @@ def dedup_incremental_simhash(spark: SparkSession, sf: str) -> DataFrame:
       WHERE (a.doc_id % 7 = 0) OR (b.doc_id % 7 = 0)
     )
     SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
-    """,
-)
+"""
+
+
+@query("dedup_incremental_simhash64", _SIMHASH64_INC_SQL)
 def dedup_incremental_simhash64(spark: SparkSession, sf: str) -> DataFrame:
     """INCREMENTAL SimHash near-dup at the PRODUCTION geometry (VERDICT
     r9 #3): 64-bit signatures as split hi/lo 32-bit halves (the dHash
@@ -1890,6 +1890,54 @@ def dedup_incremental_simhash64(spark: SparkSession, sf: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 7 != 0)
     return dedup.simhash_near_duplicates_incremental64(
         new, corpus, "text", "doc_id", max_hamming=3, max_bucket_size=64
+    )
+
+
+@query("dedup_stored_index_serve", _SIMHASH64_INC_SQL)
+def dedup_stored_index_serve(spark: SparkSession, sf: str) -> DataFrame:
+    """The stored-signature-index SERVING path, driver-visible (VERDICT
+    r11 #2a): build the corpus's uncapped 64-bit SimHash chunk table with
+    ``dedup.simhash64_chunk_table``, WRITE it to real ci-partitioned
+    parquet (the table a production deployment computes once at ingest —
+    a deterministic scratch location keyed by the scale factor, because
+    the registry convention keeps ``/root/testdata`` read-only), then
+    serve the batch (doc_id % 7 == 0) from the STORED index via
+    ``corpus_index=`` — the corpus text is never re-read and the
+    signature fold runs only over the batch.
+
+    The oracle is the SAME analytic replay as
+    ``dedup_incremental_simhash64`` (stored == recompute is the family's
+    law, pytest-pinned in ``tests/test_dedup.py``), so the driver's
+    value-hash certifies the stored path's RESULTS at the hash level —
+    the dial (`tools/stored_index_dial.py`, −79% at sf10) already proved
+    the runtime win.  The index build is an eager write inside the query
+    (both build and serve are part of the measured work)."""
+    import hashlib as _hl
+    import os as _os
+
+    from ..sources.writers import write_partitioned
+
+    docs = load_docs(spark, sf)
+    new = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    idx_path = _os.path.join(
+        "/tmp/spark_graft_serving_index",
+        f"simhash64_{_hl.md5(sf.encode()).hexdigest()[:12]}",
+    )
+    write_partitioned(
+        dedup.simhash64_chunk_table(corpus, "text", "doc_id"),
+        idx_path,
+        ["ci"],
+    )
+    stored = spark.read.parquet(idx_path)
+    return dedup.simhash_near_duplicates_incremental64(
+        new,
+        None,
+        "text",
+        "doc_id",
+        max_hamming=3,
+        max_bucket_size=64,
+        corpus_index=stored,
     )
 
 
@@ -8055,6 +8103,7 @@ _DEFERRED_TO_R12 = [
     # staging slots for new-in-r12 queries (moved into the r12 window by
     # the rotation commit at the end of the round):
     "text_quality_score", "corpus_mix_allocation",
+    "dedup_stored_index_serve",
     # 48 r10-driver-certified:
     "a4_collect_list", "a5_stratified_sample", "a_cube_grouping",
     "a_dataset_split", "a_grouping_sets", "a_outlier_zscore", "a_percentiles",

@@ -1,0 +1,160 @@
+"""Dedup-at-ingest: the production loop that composes the STORED
+signature index with Structured Streaming micro-batches (VERDICT r11 #3).
+
+Shape: ``foreachBatch`` ingest -> near-dup check against the stored
+simhash64 chunk index (``corpus_index=`` serving path — the corpus text
+is NEVER re-read; each batch pays the signature fold only for its own
+docs) -> append the ACCEPTED docs and their chunk rows back to the
+index.  The index is the loop's only cross-batch state, so a duplicate
+arriving in a later batch is caught by the index UPDATE, not by a
+rescan of previously ingested documents.
+
+Acceptance rule (declarative keep-lowest, the same canonicalization the
+batch curation pipeline uses — "drop the higher id of each pair"):
+a batch doc is REJECTED iff it near-dups an INDEXED doc (one accepted by
+an earlier batch), or a lower-id doc in the SAME batch.  Greedy
+consequence, by design: a doc whose only near-dup partner was itself
+rejected (and thus never indexed) is ACCEPTED — the index holds the
+canonical survivors, exactly like a batch keep-list.
+
+Idempotency: each batch's appends land under ``ingest_batch=<id>``
+partition directories with per-directory overwrite — an at-least-once
+replay of a batch after checkpoint loss rewrites the same directories
+instead of duplicating rows (the ``write_stream_idempotent_parquet``
+discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
+
+from ..operators import dedup
+
+
+def dedup_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    accepted_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> None:
+    """Process ONE ingest micro-batch against the stored signature index.
+
+    Steps: (1) serve the near-dup check from the stored index
+    (``corpus_index=`` — decode-free corpus side; first batch ever uses
+    an empty corpus), (2) apply the keep-lowest acceptance rule,
+    (3) append accepted docs to ``accepted_path`` and their
+    ``simhash64_chunk_table`` rows to ``index_path``, both under an
+    ``ingest_batch=<id>`` partition directory (idempotent replay).
+    """
+    spark = batch.sparkSession
+    try:
+        stored = spark.read.parquet(index_path)
+        pairs = dedup.simhash_near_duplicates_incremental64(
+            batch,
+            None,
+            text_col,
+            id_col,
+            max_hamming=max_hamming,
+            max_bucket_size=max_bucket_size,
+            corpus_index=stored,
+        )
+    except AnalysisException:
+        # no index yet (first batch): an empty corpus, recompute path
+        empty = spark.createDataFrame(
+            [], batch.select(id_col, text_col).schema
+        )
+        pairs = dedup.simhash_near_duplicates_incremental64(
+            batch,
+            empty,
+            text_col,
+            id_col,
+            max_hamming=max_hamming,
+            max_bucket_size=max_bucket_size,
+        )
+    # classify each pair side as batch or indexed-corpus, then apply the
+    # keep-lowest rule: within-batch pairs drop the higher id; a pair
+    # with an indexed doc drops the batch side unconditionally (the
+    # indexed doc was accepted first).  Pure joins — no driver loop.
+    bids = batch.select(F.col(id_col).alias("_bid")).distinct()
+    fl = pairs.join(
+        bids.select(
+            F.col("_bid").alias("id_a"), F.lit(True).alias("_a_batch")
+        ),
+        ["id_a"],
+        "left",
+    ).join(
+        bids.select(
+            F.col("_bid").alias("id_b"), F.lit(True).alias("_b_batch")
+        ),
+        ["id_b"],
+        "left",
+    )
+    rejected = (
+        fl.select(
+            F.when(
+                F.col("_a_batch").isNotNull() & F.col("_b_batch").isNotNull(),
+                F.greatest("id_a", "id_b"),
+            )
+            .when(F.col("_a_batch").isNotNull(), F.col("id_a"))
+            .when(F.col("_b_batch").isNotNull(), F.col("id_b"))
+            .alias(id_col)
+        )
+        .where(F.col(id_col).isNotNull())
+        .distinct()
+    )
+    accepted = batch.join(rejected, [id_col], "left_anti")
+    # materialize ONCE: the two writes below would otherwise re-run the
+    # batch-side signature fold + index join per sink
+    accepted = accepted.persist()
+    try:
+        accepted.write.mode("overwrite").parquet(
+            f"{accepted_path}/ingest_batch={batch_id}"
+        )
+        dedup.simhash64_chunk_table(accepted, text_col, id_col).write.mode(
+            "overwrite"
+        ).partitionBy("ci").parquet(f"{index_path}/ingest_batch={batch_id}")
+    finally:
+        accepted.unpersist()
+
+
+def start_dedup_ingest(
+    docs_stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> StreamingQuery:
+    """Wire :func:`dedup_ingest_batch` into a ``foreachBatch`` sink with
+    an ``availableNow`` trigger: each run drains the currently-available
+    files as micro-batches, deduping every batch against the index built
+    by all earlier batches (across runs too — the checkpoint carries the
+    source offsets, the index parquet carries the dedup state)."""
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(
+            batch,
+            batch_id,
+            index_path,
+            accepted_path,
+            text_col=text_col,
+            id_col=id_col,
+            max_hamming=max_hamming,
+            max_bucket_size=max_bucket_size,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -435,3 +435,126 @@ def test_foreach_batch_idempotent_sink_survives_replay(spark, tmp_path):
     spark.catalog.refreshByPath(out)  # drop the stale file-listing cache
     again = spark.read.parquet(out)
     assert again.count() == 20  # no duplicates after replay
+
+
+def test_dedup_ingest_loop_multi_batch_equals_batch_twin(spark, tmp_path):
+    """The production dedup-at-ingest loop (streaming/ingest.py): three
+    micro-batches flow through foreachBatch -> near-dup serve from the
+    STORED simhash64 chunk index -> accepted docs + their chunk rows
+    appended back to the index.  Laws asserted:
+
+    1. multi-batch accepted set == the batch twin run on the concatenated
+       corpus (one micro-batch over all files, same loop), and == a
+       Python greedy replay of the acceptance rule over the operator's
+       own uncapped pair list;
+    2. the cross-batch duplicates are caught by the INDEX update — their
+       canonical partners were accepted in an EARLIER batch and the
+       handler never receives any corpus document source (the corpus
+       side is corpus_index= by construction);
+    3. the index holds exactly the accepted docs' chunk rows (4 per doc).
+    """
+    import json
+
+    from platform_etl_openfda_faers_spark.operators import dedup
+    from platform_etl_openfda_faers_spark.streaming.ingest import (
+        start_dedup_ingest,
+    )
+
+    def text_for(i):
+        return " ".join(f"tok{i}w{j}" for j in range(20))
+
+    batches = [
+        # (doc_id, text): 3 is a WITHIN-batch dup of 0 (higher id loses)
+        [(0, text_for(0)), (1, text_for(1)), (2, text_for(2)),
+         (3, text_for(0))],
+        # 11 is a CROSS-batch dup of accepted 1 -> index catches it
+        [(10, text_for(3)), (11, text_for(1)), (12, text_for(4))],
+        # 20 dups accepted 0; 22 dups accepted 12; 21/23 unique
+        [(20, text_for(0)), (21, text_for(5)), (22, text_for(4)),
+         (23, text_for(99))],
+    ]
+    schema = "doc_id LONG, text STRING"
+    src = tmp_path / "src"
+    src.mkdir()
+    idx, acc, ckpt = (
+        str(tmp_path / "index"), str(tmp_path / "accepted"),
+        str(tmp_path / "ckpt"),
+    )
+    # one availableNow run per arriving file: each run dedupes its batch
+    # against the index built by ALL earlier batches (across runs — the
+    # checkpoint carries offsets, the index parquet carries dedup state)
+    for i, rows in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in rows)
+        )
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = start_dedup_ingest(stream, idx, acc, ckpt)
+        q.awaitTermination(120)
+
+    accepted = {r.doc_id for r in spark.read.parquet(acc).collect()}
+
+    # --- law 1a: Python greedy replay over the operator's own pair list
+    all_rows = [r for b in batches for r in b]
+    all_df = spark.createDataFrame(all_rows, schema)
+    empty = spark.createDataFrame([], schema)
+    edges = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_duplicates_incremental64(
+            all_df, empty, "text", "doc_id", max_hamming=3,
+            max_bucket_size=None,
+        ).collect()
+    }
+
+    def replay():
+        kept = set()
+        for rows in batches:
+            ids = sorted(d for d, _ in rows)
+            batch_kept = set()
+            for d in ids:
+                dup_of_indexed = any(
+                    (min(d, e), max(d, e)) in edges for e in kept
+                )
+                dup_of_lower = any(
+                    (e, d) in edges for e in ids if e < d
+                )
+                if not dup_of_indexed and not dup_of_lower:
+                    batch_kept.add(d)
+            kept |= batch_kept
+        return kept
+
+    assert accepted == replay()
+    assert accepted == {0, 1, 2, 10, 12, 21, 23}
+
+    # --- law 1b: batch twin — same loop, all files in ONE micro-batch
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    (src2 / "all.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": d, "text": t}) for d, t in all_rows
+        )
+    )
+    stream2 = spark.readStream.schema(schema).json(str(src2))
+    q2 = start_dedup_ingest(
+        stream2, str(tmp_path / "index2"), str(tmp_path / "acc2"),
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    twin = {r.doc_id for r in spark.read.parquet(str(tmp_path / "acc2")).collect()}
+    assert twin == accepted
+
+    # --- law 2: the cross-batch duplicates were rejected via the index —
+    # each has an edge to a doc accepted in an EARLIER batch
+    for dup, canon in ((11, 1), (20, 0), (22, 12)):
+        assert dup not in accepted and canon in accepted
+        assert (min(dup, canon), max(dup, canon)) in edges
+
+    # --- law 3: index content == accepted docs' chunk rows, 4 per doc
+    idx_df = spark.read.parquet(idx)
+    assert {r.doc_id for r in idx_df.select("doc_id").distinct().collect()} \
+        == accepted
+    per_doc = {
+        r.doc_id: r.n
+        for r in idx_df.groupBy("doc_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert all(n == 4 for n in per_doc.values())

@@ -160,7 +160,11 @@ def main() -> None:
     # legacy-20 + the v2 extras (r10): the summary keeps "value"/"queries"
     # as the FROZEN legacy set (cross-round comparable back to r5) and
     # adds a "headline_v2" block with the extended total + extra timings
-    names = [*benchmarks.HEADLINE, *benchmarks.HEADLINE_V2_EXTRA]
+    names = [
+        *benchmarks.HEADLINE,
+        *benchmarks.HEADLINE_V2_EXTRA,
+        *benchmarks.HEADLINE_V3_EXTRA,
+    ]
     if subset:
         wanted = [q.strip() for q in subset.split(",") if q.strip()]
         unknown = [q for q in wanted if q not in benchmarks.SPARK_QUERIES]
@@ -258,6 +262,15 @@ def main() -> None:
             if n in benchmarks.HEADLINE_V2_EXTRA
         }
     )
+    extra3 = (
+        {}
+        if subset
+        else {
+            n: t
+            for n, t in timings.items()
+            if n in benchmarks.HEADLINE_V3_EXTRA
+        }
+    )
     out = {
         "metric": "headline-queries wall time",
         "value": round(sum(legacy.values()), 3),
@@ -285,6 +298,17 @@ def main() -> None:
         out["headline_v2"] = {
             "value": round(sum(legacy.values()) + sum(extra.values()), 3),
             "extra_queries": extra,
+        }
+    if extra3:
+        # v3 (r12): v2 plus the r11/r12 family representatives — a frozen
+        # cross-round series from r12 on, never compared to pre-r12 totals
+        out["headline_v3"] = {
+            "value": round(
+                sum(legacy.values()) + sum(extra.values())
+                + sum(extra3.values()),
+                3,
+            ),
+            "extra_queries": extra3,
         }
     # committed-artifact form (SPARK_GRAFT_BENCH_SUMMARY=path): the
     # summary ENRICHED with full box state, per-query iteration spreads,

@@ -12,6 +12,30 @@
 Ranking determinism: scores are rounded before ranking and ties break on
 neighbor id, so results are stable across partitionings and replicable by
 the DuckDB oracle.
+
+GRAPH-ANN BOUNDARY (decision note, r12 — the IVF/PQ analogue of the
+arithmetic-JPEG r9 and H.264 r10 codec decisions): HNSW / DiskANN-style
+graph indexes are NOT built here, deliberately.  (a) Their construction
+is a sequential, insert-order-dependent process — each inserted vector's
+neighbor links depend on the graph state left by every earlier insert —
+with no Spark-shaped declarative form: a DataFrame plan cannot express
+"the graph after inserting vector i depends on the graph after i-1"
+without serializing the cluster behind a driver loop, which is exactly
+the anti-pattern this repo exists to avoid.  (b) Search is a sequential
+beam walk over that adjacency state, again unshardable row-parallel.
+(c) What the graph buys — high recall at low probe cost on a SINGLE
+node — this engine already covers with the distributed-native
+composition measured in QUALITY.md: IVF (trained coarse cells, nprobe
+probing) + PQ/ADC compression + exact re-rank, each stage a shuffle-
+bounded DataFrame op with recall floors CI-pinned, plus the stored
+cell-assignment index (``ivf_index_table``/``corpus_cells=``) as the
+frozen serving shape.  (d) The revisit seam mirrors
+``EXTERNAL_VIDEO_DECODERS``: a deployment that needs graph-ANN serves it
+from an EXTERNAL index process (FAISS/HNSW service) fed by this engine's
+embedding pipeline, behind the same kind of validated serving contract —
+the engine's job is the distributed side (embedding extraction, cell
+assignment, candidate generation, exact re-rank), not a sequential
+in-memory data structure.
 """
 
 from __future__ import annotations

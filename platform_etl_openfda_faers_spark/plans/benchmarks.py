@@ -103,6 +103,20 @@ HEADLINE_V2_EXTRA = [
     "cdc_apply_roundtrip",
 ]
 
+# headline v3 (r12, VERDICT r11 #4): one representative per family the
+# engine grew in r11/r12 — batch sessionization, the curation keep-list
+# (capped-Jaccard edges -> CC -> canonical), and the stored-signature-
+# index SERVING path (build + serve through real parquet).  Same rules
+# as v2: the legacy 20 stay "value"/"queries"; bench.py adds a
+# "headline_v3" block whose total = legacy + v2 extras + these three —
+# NEVER compared against pre-r12 totals (BASELINE.md documents the
+# block).
+HEADLINE_V3_EXTRA = [
+    "a_sessionize_events",
+    "dedup_keep_list",
+    "dedup_stored_index_serve",
+]
+
 
 def query(name: str, sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:

@@ -8039,91 +8039,76 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
 # full-registry result is committed as CORRECTNESS_LOCAL_r{N}.json).
 
 _DRIVER_FIRST = [
-    # ROUND-11 ROTATION (VERDICT r10 next-steps #1, executed as promised
-    # by the r10 _DEFERRED_TO_R11 header): lead with (a) the 9
-    # r7-driver-certified hold-backs — the OLDEST driver evidence in the
-    # registry, every one judge-re-verified on the r10 closing tree —
-    # then (b) the 5 queries whose code changed in r11, then (c) the one
-    # new-in-r11 query, then (d) 35 of the 44 r8-driver-certified
-    # (flagships faers_llr / faers_significant / q1_pricing_summary /
-    # q3_shipping_priority included, exactly as directed).
+    # ROUND-12 ROTATION (VERDICT r11 next-steps #1, executed as promised
+    # by the r11 _DEFERRED_TO_R13 header): lead with (a) the 16
+    # r8-driver-certified hold-backs — the OLDEST driver evidence in the
+    # registry (four rounds stale), every one judge-re-verified on the
+    # r11 closing tree — then (b) the 3 new-in-r12 queries plus the one
+    # changed-in-r12 (corpus_curation_pipeline gained the stage-1b
+    # quality gate, so its r11 row no longer certifies this code), then
+    # (c) 30 of the 44 r9-driver-certified (three rounds stale).
     # Counts and disjointness are ASSERTED in _apply_driver_order
-    # against _DEFERRED_TO_R12 below.
-    # --- (a) the 9 r7-certified hold-backs:
-    "a1_distinct_count", "a2_distinct_rows", "a3_dedup_subset",
-    "a5_hash_sample", "f_map_suite", "f_zorder_key", "p5_filter_inlist",
-    "set_ops_suite", "w_approx_distinct",
-    # --- (b) code changed in r11:
-    # dedup_simhash16 / dedup_simhash_pairs / dedup_incremental_simhash —
-    # simhash_local now EXCLUDES token-less documents (r10 ADVICE #1:
-    # the degenerate all-zero signature paired empty docs at Hamming 0
-    # on the Spark side only; the oracle unnest already dropped them).
-    # dedup_incremental_simhash64 — same exclusion in simhash_local64,
-    # plus the operator gained the corpus_index= stored-signature-table
-    # path (VERDICT #4; recompute path emits the same plan shape).
-    # multimodal_video_frames — decode_avi_frames gained the
-    # EXTERNAL_VIDEO_DECODERS seam (VERDICT #8); the MJPG path is
-    # code-identical (the seam lives in the reject branch), this is the
-    # representative re-window for the closure change, like r10's
-    # ivf_cells precedent.
-    "dedup_simhash16", "dedup_simhash_pairs", "dedup_incremental_simhash",
-    "dedup_incremental_simhash64", "multimodal_video_frames",
-    # --- (c) new in r11:
-    # sql_ranking_suite — the w_ranking_suite window-function text run
-    # through the SQL front end (VERDICT #7); plan equality with the
-    # DataFrame twin is pytest-asserted.
-    # a_sessionize_events / a_event_transitions — batch sessionization
-    # (lag + running-sum session ids, one shuffle) and the Markov
-    # event-type transition matrix; new driver evidence required.
-    # dedup_source_leakage / dedup_keep_list — the curation deliverables
-    # over the capped-Jaccard edge list (cross-source duplication matrix;
-    # CC + canonical keep/drop list).  corpus_shard_manifest — the
-    # portable-hash training-export shard balance report.
-    "sql_ranking_suite", "a_sessionize_events", "a_event_transitions",
-    "dedup_source_leakage", "dedup_keep_list", "corpus_shard_manifest",
-    # emb_dim_diagnostics — per-dimension embedding health (sign balance,
-    # exact range); order-independent outputs, no float-sum discipline.
-    "emb_dim_diagnostics",
-    # --- (d) 29 of the 44 r8-driver-certified (the 15 NOT rotated are
-    # the decode-variant family + exif/frames + multimodal_decode /
-    # multimodal_audio_features, with javax cross-decoder fixtures
-    # behind them, the three stream_* queries (stream==batch pytest
-    # equivalences), and sketch_kmv_overlap (sketch-law pytest) — the
-    # densest non-driver coverage of the 44; they stay certified by the committed
-    # full-registry CORRECTNESS_LOCAL runs and rotate first in r12):
-    "corpus_curation_pipeline", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_capped", "emb_lsh_ann", "emb_lsh_ann_sparse",
-    "f_array_suite", "f_datetime_suite", "f_from_json_typed",
-    "f_inline_structs", "f_posexplode_tokens", "f_string_suite",
-    "faers_llr", "faers_significant", "j_bloom_prefilter",
-    "j_exists_subquery", "j_merge_upsert", "j_nullsafe", "j_salted_skew",
-    "media_curation_pipeline", "q1_pricing_summary", "q3_shipping_priority",
-    "scd2_user_history", "sketch_hll_portable",
-    "text_bm25_topk", "text_decontaminate",
-    "text_pii_redact", "w_analytic_extras", "w_funnel_conversion",
-    "w_resample_ffill",
+    # against _DEFERRED_TO_R13 below.
+    # --- (a) the 16 r8-certified hold-backs (decode family + exif/frames
+    # + multimodal_decode/audio_features + the three stream_* queries +
+    # sketch_kmv_overlap):
+    "multimodal_decode_bmp", "multimodal_decode_jpeg",
+    "multimodal_decode_jpeg12", "multimodal_decode_jpeg_420",
+    "multimodal_decode_jpeg_prog", "multimodal_decode_oriented",
+    "multimodal_decode_png", "multimodal_decode_wav", "multimodal_exif_meta",
+    "multimodal_frames", "multimodal_decode", "multimodal_audio_features",
+    "stream_tumbling_counts", "stream_session_windows",
+    "stream_interval_join", "sketch_kmv_overlap",
+    # --- (b) new in r12:
+    # text_quality_score — the frozen model-scored quality gate (integer
+    # logit, hash-exact threshold; VERDICT #7).
+    # corpus_mix_allocation — largest-remainder token apportionment +
+    # portable-hash thresholds (VERDICT #9).
+    # dedup_stored_index_serve — the stored-signature-index SERVING path
+    # through real parquet, driver-visible (VERDICT #2a).
+    # corpus_curation_pipeline — re-windowed: gained stage 1b (the
+    # quality-gate threshold on the integer logit).
+    "text_quality_score", "corpus_mix_allocation",
+    "dedup_stored_index_serve", "corpus_curation_pipeline",
+    # --- (c) 30 of the 44 r9-driver-certified (the 14 NOT rotated have
+    # the densest non-driver coverage — stream==batch pytest equivalences,
+    # image-decode golden fixtures with family cousins in window slot (a),
+    # ANN recall floors, SemDeDup dial, PageRank reference pytest — and
+    # rotate first in r13; they stay certified by the committed
+    # full-registry CORRECTNESS_LOCAL runs):
+    "a_pivot_counts", "a_rollup_totals", "a_weighted_sample",
+    "asof_forward_events", "cdc_apply_roundtrip", "cdc_scd2_history",
+    "cdc_snapshot_diff", "dedup_exact_groups", "dedup_incremental_minhash",
+    "dedup_jaccard_prefix", "f_meddra_parse", "f_scalar_suite",
+    "j1_blacklist_anti", "j_range_join", "l1_explode_structs",
+    "o1_global_topk", "sketch_count_min_portable", "sql_q6_revenue",
+    "text_bpe_count", "text_chunking", "text_fingerprint", "text_langid",
+    "text_packing", "text_repetition", "text_stats", "text_tfidf_topk",
+    "text_vocab_coverage", "w_distinct_windows", "w_frames_suite",
+    "w_ranking_suite",
 ]
 
-# Deferred to r12, MAINTAINED AS DATA so _apply_driver_order can assert
-# the bookkeeping.  Provenance: 48 r10-driver-certified (CORRECTNESS_r10
-# rows — the r10 window minus the 2 simhash queries re-windowed for the
-# r11 token-less-doc change), 45 r9-driver-certified (CORRECTNESS_r09
-# rows minus the re-windowed dedup_simhash16 / dedup_incremental_simhash
-# / multimodal_video_frames), and 11 r8-driver-certified decode-family
-# hold-backs (see the _DRIVER_FIRST (d) note).
-# Rotation priority for r12: the 11 r8 hold-backs first (their driver
-# evidence will be four rounds old), then the r9 block.
-_DEFERRED_TO_R12 = [
-    # staging slots for new-in-r12 queries (moved into the r12 window by
-    # the rotation commit at the end of the round):
-    "text_quality_score", "corpus_mix_allocation",
-    "dedup_stored_index_serve",
+# Deferred to r13, MAINTAINED AS DATA so _apply_driver_order can assert
+# the bookkeeping.  Provenance: 49 r11-driver-certified (the r11 window
+# minus re-windowed corpus_curation_pipeline), 48 r10-driver-certified,
+# and 14 r9-driver-certified (the densest-covered queries named in the
+# _DRIVER_FIRST (c) note).  Rotation priority for r13: the 14
+# r9-certified first (their driver evidence will be four rounds old),
+# then the r10 block.
+_DEFERRED_TO_R13 = [
+    # 14 r9-driver-certified (rotate FIRST in r13):
+    "dedup_clusters", "dedup_semantic", "emb_ivf_kmeans_topk",
+    "emb_lsh_multiprobe_topk", "emb_quantize_int8", "graph_pagerank",
+    "multimodal_image_dedup", "multimodal_image_dedup_resized",
+    "multimodal_image_neardup", "multimodal_meta", "stream_dedup_events",
+    "stream_interval_join_outer", "stream_sliding_users",
+    "stream_static_enrich",
     # 48 r10-driver-certified:
     "a4_collect_list", "a5_stratified_sample", "a_cube_grouping",
-    "a_dataset_split", "a_grouping_sets", "a_outlier_zscore", "a_percentiles",
-    "a_profile_orders", "a_retention_cohorts", "a_salted_distinct",
-    "a_unpivot_measures", "asof_join_events", "corpus_mix_report",
-    "corpus_temperature_sample", "dedup_containment",
+    "a_dataset_split", "a_grouping_sets", "a_outlier_zscore",
+    "a_percentiles", "a_profile_orders", "a_retention_cohorts",
+    "a_salted_distinct", "a_unpivot_measures", "asof_join_events",
+    "corpus_mix_report", "corpus_temperature_sample", "dedup_containment",
     "dedup_exact_substrings", "dedup_incremental_containment",
     "dedup_incremental_jaccard", "dedup_minhash_lsh_uncapped",
     "dedup_ngram_jaccard", "dedup_semantic_incremental", "emb_cosine_topk",
@@ -8138,32 +8123,24 @@ _DEFERRED_TO_R12 = [
     "multimodal_video_dedup", "multimodal_video_neardup",
     "multimodal_video_neardup_incremental", "p6_null_guards",
     "sql_q5_local_supplier",
-    # 45 r9-driver-certified + 15 r8-certified hold-backs (decode family
-    # plus multimodal_decode / multimodal_audio_features and the three
-    # stream_* queries, displaced by the new-in-r11 analytics and
-    # curation-deliverable queries):
-    "a_pivot_counts", "a_rollup_totals", "a_weighted_sample",
-    "asof_forward_events", "cdc_apply_roundtrip", "cdc_scd2_history",
-    "cdc_snapshot_diff", "dedup_clusters", "dedup_exact_groups",
-    "dedup_incremental_minhash", "dedup_jaccard_prefix", "dedup_semantic",
-    "emb_ivf_kmeans_topk", "emb_lsh_multiprobe_topk", "emb_quantize_int8",
-    "f_meddra_parse", "f_scalar_suite", "multimodal_audio_features",
-    "multimodal_decode", "graph_pagerank", "j1_blacklist_anti",
-    "j_range_join", "l1_explode_structs", "multimodal_decode_bmp",
-    "multimodal_decode_jpeg", "multimodal_decode_jpeg12",
-    "multimodal_decode_jpeg_420", "multimodal_decode_jpeg_prog",
-    "multimodal_decode_oriented", "multimodal_decode_png",
-    "multimodal_decode_wav", "multimodal_exif_meta", "multimodal_frames",
-    "multimodal_image_dedup", "multimodal_image_dedup_resized",
-    "multimodal_image_neardup", "multimodal_meta", "o1_global_topk",
-    "sketch_count_min_portable", "sql_q6_revenue", "stream_interval_join",
-    "stream_interval_join_outer", "stream_sliding_users",
-    "sketch_kmv_overlap",
-    "stream_static_enrich", "stream_dedup_events", "stream_session_windows",
-    "stream_tumbling_counts", "text_bpe_count", "text_chunking",
-    "text_fingerprint", "text_langid", "text_packing", "text_repetition",
-    "text_stats", "text_tfidf_topk", "text_vocab_coverage",
-    "w_distinct_windows", "w_frames_suite", "w_ranking_suite",
+    # 49 r11-driver-certified:
+    "a1_distinct_count", "a2_distinct_rows", "a3_dedup_subset",
+    "a5_hash_sample", "a_event_transitions", "a_sessionize_events",
+    "corpus_shard_manifest", "dedup_incremental_simhash",
+    "dedup_incremental_simhash64", "dedup_keep_list", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_capped", "dedup_simhash16", "dedup_simhash_pairs",
+    "dedup_source_leakage", "emb_dim_diagnostics", "emb_lsh_ann",
+    "emb_lsh_ann_sparse", "f_array_suite", "f_datetime_suite",
+    "f_from_json_typed", "f_inline_structs", "f_map_suite",
+    "f_posexplode_tokens", "f_string_suite", "f_zorder_key", "faers_llr",
+    "faers_significant", "j_bloom_prefilter", "j_exists_subquery",
+    "j_merge_upsert", "j_nullsafe", "j_salted_skew",
+    "media_curation_pipeline", "multimodal_video_frames", "p5_filter_inlist",
+    "q1_pricing_summary", "q3_shipping_priority", "scd2_user_history",
+    "set_ops_suite", "sketch_hll_portable", "sql_ranking_suite",
+    "text_bm25_topk", "text_decontaminate", "text_pii_redact",
+    "w_analytic_extras", "w_approx_distinct", "w_funnel_conversion",
+    "w_resample_ffill",
 ]
 
 def _apply_driver_order() -> None:
@@ -8174,11 +8151,11 @@ def _apply_driver_order() -> None:
     # the deferred list is bookkeeping the judge audits — keep it honest
     # mechanically (r7/r8 both shipped miscounted comment blocks):
     # disjoint from the window, and window + deferred == whole registry
-    overlap = set(_DRIVER_FIRST) & set(_DEFERRED_TO_R12)
+    overlap = set(_DRIVER_FIRST) & set(_DEFERRED_TO_R13)
     assert not overlap, f"deferred names inside the driver window: {overlap}"
-    assert len(_DEFERRED_TO_R12) == len(set(_DEFERRED_TO_R12))
-    uncovered = set(SPARK_QUERIES) - set(_DRIVER_FIRST) - set(_DEFERRED_TO_R12)
-    phantom = set(_DEFERRED_TO_R12) - set(SPARK_QUERIES)
+    assert len(_DEFERRED_TO_R13) == len(set(_DEFERRED_TO_R13))
+    uncovered = set(SPARK_QUERIES) - set(_DRIVER_FIRST) - set(_DEFERRED_TO_R13)
+    phantom = set(_DEFERRED_TO_R13) - set(SPARK_QUERIES)
     assert not uncovered and not phantom, (uncovered, phantom)
     rest = [n for n in SPARK_QUERIES if n not in set(_DRIVER_FIRST)]
     ordered = {n: SPARK_QUERIES[n] for n in [*_DRIVER_FIRST, *rest]}

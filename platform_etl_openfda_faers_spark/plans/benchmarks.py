@@ -6453,8 +6453,14 @@ def corpus_mix_allocation(spark: SparkSession, sf: str) -> DataFrame:
     by lang (the same shuffle a sessionization pays), one broadcast join
     of the 5-row quota table."""
     from ..functions.text import _idiv, token_hash64, tokens as tok_fn
+    from ..operators.cache import attach_cached
+    from pyspark.storagelevel import StorageLevel
 
     docs = load_docs(spark, sf)
+    # persist the per-doc scalars: BOTH consumers below (the mass
+    # aggregate feeding the quota arithmetic, and the per-language
+    # cumulative-sum window) otherwise re-scan the corpus AND re-run the
+    # tokenize+hash fold — O(docs) cached longs, the feats discipline
     perdoc = docs.select(
         "doc_id",
         "lang",
@@ -6464,7 +6470,7 @@ def corpus_mix_allocation(spark: SparkSession, sf: str) -> DataFrame:
         token_hash64(
             F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SEED))
         ).alias("h"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     mix = perdoc.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens")
     )
@@ -6505,7 +6511,7 @@ def corpus_mix_allocation(spark: SparkSession, sf: str) -> DataFrame:
         )
         .cast("long")
         .alias("token_quota"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # <= |langs| rows, 2 consumers
     wlang = (
         Window.partitionBy("lang")
         .orderBy("h", "doc_id")
@@ -6524,7 +6530,7 @@ def corpus_mix_allocation(spark: SparkSession, sf: str) -> DataFrame:
             F.max("h").alias("hash_threshold"),
         )
     )
-    return quota.join(kept, ["lang"], "left").select(
+    out = quota.join(kept, ["lang"], "left").select(
         "lang",
         "weight",
         "n_docs",
@@ -6536,6 +6542,7 @@ def corpus_mix_allocation(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "hash_threshold",
     )
+    return attach_cached(out, perdoc, quota)
 
 
 @query(

@@ -53,7 +53,17 @@ from pathlib import Path
 # adjudication.  Five iterations tighten the median enough that two
 # consecutive cold runs agree within ~15% (measured r11).  Cold mode
 # bumps ONLY these to max(iters, 5); warm mode (min-of-N) is unaffected.
-FLAPPER_MIN_ITERS = {"faers_llr": 5, "faers_significant": 5}
+FLAPPER_MIN_ITERS = {
+    "faers_llr": 5,
+    "faers_significant": 5,
+    # r12 (VERDICT #5): solo-controlled at sf10 — spread 3.49 across 3
+    # cold iterations (3.11/1.34/0.89: first-iteration warm-up on a
+    # 2.3 MB-shuffle query whose absolute wall is ~1s, so fixed JVM
+    # first-touch costs dominate the ratio); 5 iterations stabilize the
+    # median.  j1_blacklist_anti's solo spread was 1.31 (<= 1.5) — noise
+    # confirmed, not pinned.
+    "w_distinct_windows": 5,
+}
 
 # Cold-run box-state gate: a timed cold bench started while the box is
 # still busy (sibling Spark JVM, pytest teardown, another bench) measures

@@ -3205,6 +3205,52 @@ def image_dhash(
     )
 
 
+def _dhash_chunks(
+    hashes: DataFrame, id_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Explode an ``image_dhash`` table into its 4 x 16-bit pigeonhole
+    chunk rows: (id, *keep, dhash_hi, dhash_lo, ci, cv) — the ONE chunk
+    map shared by the full, incremental, and stored-index dHash paths
+    (the image analogue of ``dedup._simhash64_chunks``)."""
+    lo, hi = F.col("dhash_lo"), F.col("dhash_hi")
+    mask = F.lit((1 << 16) - 1)
+    chunks = F.array(
+        F.struct(F.lit(0).alias("ci"), lo.bitwiseAND(mask).alias("cv")),
+        F.struct(
+            F.lit(1).alias("ci"),
+            F.shiftrightunsigned(lo, 16).bitwiseAND(mask).alias("cv"),
+        ),
+        F.struct(F.lit(2).alias("ci"), hi.bitwiseAND(mask).alias("cv")),
+        F.struct(
+            F.lit(3).alias("ci"),
+            F.shiftrightunsigned(hi, 16).bitwiseAND(mask).alias("cv"),
+        ),
+    )
+    return hashes.select(
+        F.col(id_col), *[F.col(c) for c in keep],
+        "dhash_hi", "dhash_lo", F.explode(chunks).alias("c"),
+    ).select(
+        id_col, *keep, "dhash_hi", "dhash_lo",
+        F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"),
+    )
+
+
+def dhash_chunk_table(
+    hashes: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """(id, dhash_hi, dhash_lo, ci, cv) — the UNCAPPED dHash chunk table
+    for an image set: what a production deployment computes ONCE at
+    ingest (decode + hash + chunk) and stores partitioned on ``ci`` as
+    the corpus image-signature index.  Feed a stored copy back to
+    :func:`dhash_near_duplicates_incremental` via ``corpus_index`` so an
+    incremental batch pays decode+hash only for its own images; the
+    corpus side is then a DECODE-FREE parquet scan — the third stored-
+    index family, and the one where the amortized cost is largest
+    (the corpus side skips the Python/Arrow image decode entirely, not
+    just a signature fold)."""
+    return _dhash_chunks(hashes, id_col)
+
+
 def dhash_near_duplicates(
     hashes: DataFrame,
     max_hamming: int = 3,
@@ -3236,29 +3282,7 @@ def dhash_near_duplicates(
     Spark and the SQL oracle).  Output: (id_a, id_b, hamming).
     """
     assert max_hamming <= 3, "4-chunk bucketing is lossy beyond Hamming 3"
-    lo, hi = F.col("dhash_lo"), F.col("dhash_hi")
-    mask = F.lit((1 << 16) - 1)
-    chunks = F.array(
-        F.struct(F.lit(0).alias("ci"), lo.bitwiseAND(mask).alias("cv")),
-        F.struct(
-            F.lit(1).alias("ci"),
-            F.shiftrightunsigned(lo, 16).bitwiseAND(mask).alias("cv"),
-        ),
-        F.struct(F.lit(2).alias("ci"), hi.bitwiseAND(mask).alias("cv")),
-        F.struct(
-            F.lit(3).alias("ci"),
-            F.shiftrightunsigned(hi, 16).bitwiseAND(mask).alias("cv"),
-        ),
-    )
-    keyed = hashes.select(
-        F.col(id_col), "dhash_hi", "dhash_lo", F.explode(chunks).alias("c")
-    ).select(
-        id_col,
-        "dhash_hi",
-        "dhash_lo",
-        F.col("c.ci").alias("ci"),
-        F.col("c.cv").alias("cv"),
-    )
+    keyed = _dhash_chunks(hashes, id_col)
     if max_bucket_size is not None:
         from .dedup import prune_df_window
 
@@ -3285,10 +3309,11 @@ def dhash_near_duplicates(
 
 def dhash_near_duplicates_incremental(
     new_hashes: DataFrame,
-    corpus_hashes: DataFrame,
+    corpus_hashes: DataFrame | None,
     max_hamming: int = 3,
     id_col: str = "media_id",
     max_bucket_size: int | None = 64,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL Hamming-near image retrieval — an incoming batch of
     ``image_dhash`` rows paired against itself and the existing corpus,
@@ -3308,40 +3333,46 @@ def dhash_near_duplicates_incremental(
     the exact per-half ``bit_count(xor)`` verify keeps the result
     lossless for Hamming <= ``max_hamming``.  Ids must be unique across
     the two inputs.  Output: (id_a, id_b, hamming), id_a < id_b.
+
+    ``corpus_index`` — a STORED corpus chunk table (the
+    :func:`dhash_chunk_table` shape, typically parquet partitioned on
+    ``ci``, written at ingest).  When given, ``corpus_hashes`` must be
+    None: the corpus side becomes a DECODE-FREE scan of the stored index
+    (no corpus image bytes read, no dHash recomputed — the biggest
+    stored-index win of the three families, because the amortized cost
+    is the Python/Arrow image decode itself), the batch side hashes only
+    ``new_hashes``'s images, and the combined-occupancy cap applies
+    across stored + batch rows exactly as in the recompute path.
     """
     assert max_hamming <= 3, "4-chunk bucketing is lossy beyond Hamming 3"
-    combined = corpus_hashes.select(
-        F.col(id_col), "dhash_hi", "dhash_lo", F.lit(False).alias("_new")
-    ).unionByName(
-        new_hashes.select(
-            F.col(id_col), "dhash_hi", "dhash_lo", F.lit(True).alias("_new")
+    assert (corpus_hashes is None) != (corpus_index is None), (
+        "pass exactly one of corpus_hashes (recompute) or corpus_index "
+        "(stored chunk index)"
+    )
+    if corpus_index is None:
+        combined = corpus_hashes.select(
+            F.col(id_col), "dhash_hi", "dhash_lo", F.lit(False).alias("_new")
+        ).unionByName(
+            new_hashes.select(
+                F.col(id_col), "dhash_hi", "dhash_lo",
+                F.lit(True).alias("_new"),
+            )
         )
-    )
-    lo, hi = F.col("dhash_lo"), F.col("dhash_hi")
-    mask = F.lit((1 << 16) - 1)
-    chunks = F.array(
-        F.struct(F.lit(0).alias("ci"), lo.bitwiseAND(mask).alias("cv")),
-        F.struct(
-            F.lit(1).alias("ci"),
-            F.shiftrightunsigned(lo, 16).bitwiseAND(mask).alias("cv"),
-        ),
-        F.struct(F.lit(2).alias("ci"), hi.bitwiseAND(mask).alias("cv")),
-        F.struct(
-            F.lit(3).alias("ci"),
-            F.shiftrightunsigned(hi, 16).bitwiseAND(mask).alias("cv"),
-        ),
-    )
-    keyed = combined.select(
-        F.col(id_col), "dhash_hi", "dhash_lo", "_new",
-        F.explode(chunks).alias("c"),
-    ).select(
-        id_col,
-        "dhash_hi",
-        "dhash_lo",
-        "_new",
-        F.col("c.ci").alias("ci"),
-        F.col("c.cv").alias("cv"),
-    )
+        keyed = _dhash_chunks(combined, id_col, keep=("_new",))
+    else:
+        batch = _dhash_chunks(
+            new_hashes.select(
+                F.col(id_col), "dhash_hi", "dhash_lo",
+                F.lit(True).alias("_new"),
+            ),
+            id_col, keep=("_new",),
+        )
+        keyed = corpus_index.select(
+            F.col(id_col), F.lit(False).alias("_new"),
+            F.col("dhash_hi"), F.col("dhash_lo"), F.col("ci"), F.col("cv"),
+        ).unionByName(
+            batch.select(id_col, "_new", "dhash_hi", "dhash_lo", "ci", "cv")
+        )
     if max_bucket_size is not None:
         from .dedup import prune_df_window
 

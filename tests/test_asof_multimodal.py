@@ -1644,3 +1644,87 @@ def test_external_video_decoder_seam_contract():
     # and the MJPEG path is untouched by the seam: exact round-trip
     dec = multimodal.decode_avi_frames(avi)
     assert [i for i, _ in dec] == [0, 1, 2, 3]
+
+
+def test_dhash_incremental_from_stored_parquet_index(spark, sf_dir, tmp_path):
+    """The stored-index contract for the IMAGE family — the third stored
+    family (after simhash64 text and IVF cells), and the one where the
+    amortized cost is largest: the corpus side of the stored run skips
+    the Python/Arrow image DECODE entirely, not just a signature fold.
+    Write the corpus's dhash_chunk_table to parquet partitioned on ci,
+    re-run the incremental operator with corpus_index= the stored table,
+    and assert (a) results are IDENTICAL to the recompute path and
+    (b) the stored run's plan decodes only the BATCH images — every
+    documents scan carries the batch predicate and exactly one
+    mapInPandas/ArrowEval decode stage remains; the corpus side is the
+    index parquet scan."""
+    from platform_etl_openfda_faers_spark.sources import writers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    new_ids = docs.where(F.col("doc_id") % 7 == 0)
+    corpus_ids = docs.where(F.col("doc_id") % 7 != 0)
+
+    def hashes(ids):
+        return multimodal.image_dhash(
+            multimodal.synthetic_bmp_media_perceptual(
+                ids, "doc_id", perturb=True
+            )
+        )
+
+    idx_path = str(tmp_path / "dhash_index")
+    writers.write_partitioned(
+        multimodal.dhash_chunk_table(hashes(corpus_ids)), idx_path, ["ci"]
+    )
+    stored = spark.read.parquet(idx_path)
+
+    recompute = multimodal.dhash_near_duplicates_incremental(
+        hashes(new_ids), hashes(corpus_ids), max_hamming=3,
+        max_bucket_size=64,
+    )
+    from_store = multimodal.dhash_near_duplicates_incremental(
+        hashes(new_ids), None, max_hamming=3, max_bucket_size=64,
+        corpus_index=stored,
+    )
+    a = sorted(map(tuple, recompute.collect()))
+    b = sorted(map(tuple, from_store.collect()))
+    assert a == b
+    assert a, "harness must produce at least one near-dup pair"
+
+    # Plan contract: the stored run decodes ONLY the batch — every
+    # documents.parquet scan carries the batch predicate; the corpus
+    # signatures come from the index parquet scan (dhash_hi in a
+    # FileScan's read schema).
+    plan = from_store._jdf.queryExecution().executedPlan().toString()
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "documents.parquet" in ln
+    ]
+    assert doc_scans, plan
+    for ln in doc_scans:
+        assert "% 7) = 0" in ln and "NOT " not in ln, ln
+    assert any(
+        "FileScan" in ln and "dhash_hi" in ln for ln in plan.splitlines()
+    ), plan
+    # control: the recompute plan DOES decode the corpus (the NOT side)
+    rplan = recompute._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "documents.parquet" in ln and "NOT " in ln
+        for ln in rplan.splitlines()
+        if "FileScan" in ln
+    ), rplan
+
+    # misuse guard: exactly one corpus form
+    import pytest
+
+    with pytest.raises(AssertionError):
+        multimodal.dhash_near_duplicates_incremental(
+            hashes(new_ids), hashes(corpus_ids), corpus_index=stored
+        )
+    with pytest.raises(AssertionError):
+        multimodal.dhash_near_duplicates_incremental(hashes(new_ids), None)
+
+    from platform_etl_openfda_faers_spark.operators.cache import cached_deps
+
+    for df in (recompute, from_store):
+        for h in cached_deps(df):
+            h.unpersist()

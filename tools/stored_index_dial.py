@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Measure the STORED-INDEX contract's scale win (the r11 follow-through
-on VERDICT r10 #4): for the two stored-index families — the SimHash-64
-chunk table and the IVF cell-assignment table — A/B the incremental
-operator consuming a REAL parquet index vs recomputing the corpus side,
-on the same box, mode=solo.
+on VERDICT r10 #4, extended to the third family per VERDICT r11 #2b):
+for the stored-index families — the SimHash-64 chunk table, the IVF
+cell-assignment table, and (r12) the dHash image chunk table — A/B the
+incremental operator consuming a REAL parquet index vs recomputing the
+corpus side, on the same box, mode=solo.
 
 Reported per family:
   build_write_s  — the ONE-TIME ingest cost a deployment pays to compute
@@ -19,7 +20,8 @@ Timed runs are medians of 3 with cache cleared between runs; the stored
 path's persisted capped tables are unpersisted after every run so no
 iteration inherits another's cache.
 
-Usage: python tools/stored_index_dial.py [sf_dir]
+Usage: python tools/stored_index_dial.py [sf_dir] [out.json] [families]
+  families — comma list of simhash64,ivf,dhash (default: all three)
 """
 
 from __future__ import annotations
@@ -35,7 +37,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from platform_etl_openfda_faers_spark.operators import dedup, similarity  # noqa: E402
+from platform_etl_openfda_faers_spark.operators import (  # noqa: E402
+    dedup,
+    multimodal,
+    similarity,
+)
 from platform_etl_openfda_faers_spark.operators.cache import cached_deps  # noqa: E402
 from platform_etl_openfda_faers_spark.sources import writers  # noqa: E402
 from platform_etl_openfda_faers_spark.sources.readers import (  # noqa: E402
@@ -63,6 +69,10 @@ def _timed(spark, maker, iters: int = 3):
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata/sf10"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else ""
+    families = set(
+        (sys.argv[3] if len(sys.argv) > 3 else "simhash64,ivf,dhash").split(",")
+    )
     spark = get_spark(
         "stored-index-dial",
         master="local[32]",
@@ -76,6 +86,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="stored_index_dial_")
     out: dict[str, dict] = {"_inputs": {"sf_dir": sf_dir, "mode": "solo"}}
     try:
+      if "simhash64" in families:
         # --- family 1: SimHash-64 chunk table over documents ---
         docs = scale_out(
             load_table(spark, sf_dir, "documents")
@@ -115,6 +126,7 @@ def main() -> None:
         }
         print("simhash64", json.dumps(out["simhash64"]))
 
+      if "ivf" in families:
         # --- family 2: IVF cell-assignment table over embeddings ---
         # ARITHMETIC PRE-CHECK (the standing rule): candidates are
         # |queries| x nprobe/k x |corpus|.  A %7 query split at sf10 is
@@ -158,7 +170,71 @@ def main() -> None:
             "topk_rows": rec_rows,  # 20-query serving batch
         }
         print("ivf", json.dumps(out["ivf"]))
-        print(json.dumps(out))
+
+      if "dhash" in families:
+        # --- family 3 (r12, VERDICT r11 #2b): dHash image chunk table ---
+        # The family where the stored index amortizes the MOST: the
+        # corpus side of the stored run skips the Python/Arrow image
+        # DECODE entirely (mapInPandas over image bytes), not just a
+        # JVM signature fold.  Same geometry as the registry query:
+        # perceptual BMP harness, batch = doc_id % 7 == 0.
+        ids = scale_out(load_table(spark, sf_dir, "documents")).select(
+            "doc_id"
+        )
+
+        def _hashes(pred):
+            return multimodal.image_dhash(
+                multimodal.synthetic_bmp_media_perceptual(
+                    ids.where(pred), "doc_id", perturb=True
+                )
+            )
+
+        dh_path = f"{tmp}/dhash_index"
+        t0 = time.time()
+        writers.write_partitioned(
+            multimodal.dhash_chunk_table(
+                _hashes(F.col("doc_id") % 7 != 0)
+            ),
+            dh_path,
+            ["ci"],
+        )
+        dh_build = round(time.time() - t0, 1)
+        dh_stored = spark.read.parquet(dh_path)
+        rec_m, rec_runs, rec_rows = _timed(
+            spark,
+            lambda: multimodal.dhash_near_duplicates_incremental(
+                _hashes(F.col("doc_id") % 7 == 0),
+                _hashes(F.col("doc_id") % 7 != 0),
+                max_hamming=3,
+                max_bucket_size=64,
+            ),
+        )
+        sto_m, sto_runs, sto_rows = _timed(
+            spark,
+            lambda: multimodal.dhash_near_duplicates_incremental(
+                _hashes(F.col("doc_id") % 7 == 0),
+                None,
+                max_hamming=3,
+                max_bucket_size=64,
+                corpus_index=dh_stored,
+            ),
+        )
+        assert rec_rows == sto_rows, (rec_rows, sto_rows)
+        out["dhash"] = {
+            "build_write_s": dh_build,
+            "index_rows": dh_stored.count(),
+            "recompute_s": rec_m,
+            "recompute_runs_s": rec_runs,
+            "stored_s": sto_m,
+            "stored_runs_s": sto_runs,
+            "pair_rows": rec_rows,
+        }
+        print("dhash", json.dumps(out["dhash"]))
+
+      print(json.dumps(out))
+      if out_path:
+          Path(out_path).write_text(json.dumps(out, indent=1))
+          print(f"-> {out_path}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

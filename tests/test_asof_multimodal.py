@@ -1728,3 +1728,86 @@ def test_dhash_incremental_from_stored_parquet_index(spark, sf_dir, tmp_path):
     for df in (recompute, from_store):
         for h in cached_deps(df):
             h.unpersist()
+
+
+def test_audio_landmarks_incremental_from_stored_parquet_index(
+    spark, sf_dir, tmp_path
+):
+    """The stored-index contract for the AUDIO family — the FOURTH and
+    last heavy-fold incremental (after simhash64 text, IVF cells, dHash
+    images): write the catalog's audio_landmark_table to parquet
+    partitioned on dt, re-run the incremental matcher with corpus_index=
+    the stored table, and assert (a) results are IDENTICAL to the
+    recompute path and (b) the stored run's plan synthesizes/decodes
+    only the BATCH tracks — every documents scan carries the batch
+    predicate; the catalog side is the index parquet scan."""
+    from platform_etl_openfda_faers_spark.sources import writers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % 10).alias("gid"),
+        ((F.col("doc_id") / 10).cast("long") % 2).alias("off"),
+    )
+    is_new = F.col("doc_id") % 7 == 0
+
+    def peaks(pred):
+        return multimodal.audio_spectral_peaks(
+            multimodal.synthetic_wav_media_tonal(
+                docs.where(pred), "doc_id", seed_col="gid", offset_col="off"
+            ),
+            window=64,
+        )
+
+    idx_path = str(tmp_path / "landmark_index")
+    writers.write_partitioned(
+        multimodal.audio_landmark_table(peaks(~is_new), max_dt=3),
+        idx_path,
+        ["dt"],
+    )
+    stored = spark.read.parquet(idx_path)
+
+    recompute = multimodal.audio_landmark_matches_incremental(
+        peaks(is_new), peaks(~is_new), max_dt=3, min_matches=10,
+        max_bucket_size=64,
+    )
+    from_store = multimodal.audio_landmark_matches_incremental(
+        peaks(is_new), None, max_dt=3, min_matches=10, max_bucket_size=64,
+        corpus_index=stored,
+    )
+    a = sorted(map(tuple, recompute.collect()))
+    b = sorted(map(tuple, from_store.collect()))
+    assert a == b
+    assert a, "harness must produce at least one landmark match"
+
+    plan = from_store._jdf.queryExecution().executedPlan().toString()
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "documents.parquet" in ln
+    ]
+    assert doc_scans, plan
+    for ln in doc_scans:
+        assert "% 7) = 0" in ln and "NOT " not in ln, ln
+    assert any(
+        "FileScan" in ln and "a_bin" in ln for ln in plan.splitlines()
+    ), plan
+    rplan = recompute._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "documents.parquet" in ln and "NOT " in ln
+        for ln in rplan.splitlines()
+        if "FileScan" in ln
+    ), rplan
+
+    import pytest
+
+    with pytest.raises(AssertionError):
+        multimodal.audio_landmark_matches_incremental(
+            peaks(is_new), peaks(~is_new), corpus_index=stored
+        )
+    with pytest.raises(AssertionError):
+        multimodal.audio_landmark_matches_incremental(peaks(is_new), None)
+
+    from platform_etl_openfda_faers_spark.operators.cache import cached_deps
+
+    for df in (recompute, from_store):
+        for h in cached_deps(df):
+            h.unpersist()

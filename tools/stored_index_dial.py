@@ -21,7 +21,7 @@ path's persisted capped tables are unpersisted after every run so no
 iteration inherits another's cache.
 
 Usage: python tools/stored_index_dial.py [sf_dir] [out.json] [families]
-  families — comma list of simhash64,ivf,dhash (default: all three)
+  families — comma list of simhash64,ivf,dhash,audio (default: all)
 """
 
 from __future__ import annotations
@@ -71,7 +71,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata/sf10"
     out_path = sys.argv[2] if len(sys.argv) > 2 else ""
     families = set(
-        (sys.argv[3] if len(sys.argv) > 3 else "simhash64,ivf,dhash").split(",")
+        (sys.argv[3] if len(sys.argv) > 3 else "simhash64,ivf,dhash,audio").split(",")
     )
     spark = get_spark(
         "stored-index-dial",
@@ -230,6 +230,72 @@ def main() -> None:
             "pair_rows": rec_rows,
         }
         print("dhash", json.dumps(out["dhash"]))
+
+      if "audio" in families:
+        # --- family 4 (r12): audio landmark-key table ---
+        # The last heavy-fold incremental: the catalog side of the
+        # stored run skips WAV synthesis/decode + FFT + the landmark
+        # triangle (the 118-executor-second sf1 stage the operator's
+        # cache note identifies).  Same geometry as the registry query:
+        # tonal shifted-rendition harness, batch = doc_id % 7 == 0.
+        adocs = scale_out(load_table(spark, sf_dir, "documents")).select(
+            "doc_id",
+            (F.col("doc_id") % 10).alias("gid"),
+            ((F.col("doc_id") / 10).cast("long") % 2).alias("off"),
+        )
+
+        def _peaks(pred):
+            return multimodal.audio_spectral_peaks(
+                multimodal.synthetic_wav_media_tonal(
+                    adocs.where(pred), "doc_id", seed_col="gid",
+                    offset_col="off",
+                ),
+                window=64,
+            )
+
+        au_path = f"{tmp}/landmark_index"
+        t0 = time.time()
+        writers.write_partitioned(
+            multimodal.audio_landmark_table(
+                _peaks(F.col("doc_id") % 7 != 0), max_dt=3
+            ),
+            au_path,
+            ["dt"],
+        )
+        au_build = round(time.time() - t0, 1)
+        au_stored = spark.read.parquet(au_path)
+        rec_m, rec_runs, rec_rows = _timed(
+            spark,
+            lambda: multimodal.audio_landmark_matches_incremental(
+                _peaks(F.col("doc_id") % 7 == 0),
+                _peaks(F.col("doc_id") % 7 != 0),
+                max_dt=3,
+                min_matches=10,
+                max_bucket_size=64,
+            ),
+        )
+        sto_m, sto_runs, sto_rows = _timed(
+            spark,
+            lambda: multimodal.audio_landmark_matches_incremental(
+                _peaks(F.col("doc_id") % 7 == 0),
+                None,
+                max_dt=3,
+                min_matches=10,
+                max_bucket_size=64,
+                corpus_index=au_stored,
+            ),
+        )
+        assert rec_rows == sto_rows, (rec_rows, sto_rows)
+        out["audio"] = {
+            "build_write_s": au_build,
+            "index_rows": au_stored.count(),
+            "recompute_s": rec_m,
+            "recompute_runs_s": rec_runs,
+            "stored_s": sto_m,
+            "stored_runs_s": sto_runs,
+            "pair_rows": rec_rows,
+        }
+        print("audio", json.dumps(out["audio"]))
 
       print(json.dumps(out))
       if out_path:

@@ -3585,12 +3585,27 @@ def video_near_duplicates(
     )
 
 
+def video_frame_chunk_table(frame_hashes: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, dhash_hi, dhash_lo, ci, cv) — the UNCAPPED
+    frame-hash chunk table for a video catalog: what a production
+    deployment computes ONCE at ingest (container walk + per-frame JPEG
+    decode + frame dHash + chunk) and stores partitioned on ``ci`` as
+    the catalog frame index.  Feed a stored copy back to
+    :func:`video_near_duplicates_incremental` via ``corpus_index`` so an
+    incremental batch pays the video decode only for its own clips; the
+    catalog side is then a decode-free parquet scan — the FIFTH stored
+    family, amortizing the single heaviest fold in the repo (the AVI +
+    per-frame JPEG decode behind `multimodal_video_dedup`'s sf10 wall)."""
+    return _dhash_chunks(frame_hashes, "media_id", keep=("frame_idx",))
+
+
 def video_near_duplicates_incremental(
     new_frame_hashes: DataFrame,
-    corpus_frame_hashes: DataFrame,
+    corpus_frame_hashes: DataFrame | None,
     max_hamming: int = 3,
     min_frames: int = 2,
     max_bucket_size: int | None = 64,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL video near-dup retrieval — an incoming batch of
     :func:`video_frame_dhash` rows frame-voted against itself and the
@@ -3610,43 +3625,53 @@ def video_near_duplicates_incremental(
     (id, frame) before the ``distinct`` dedupes the second sighting
     exactly.  Video ids must be unique across the two inputs.
     Output: (id_a, id_b, n_frame_matches), id_a < id_b.
+
+    ``corpus_index`` — a STORED catalog frame-chunk table (the
+    :func:`video_frame_chunk_table` shape, typically parquet partitioned
+    on ``ci``, written at ingest).  When given, ``corpus_frame_hashes``
+    must be None: the catalog side becomes a DECODE-FREE scan of the
+    stored index — no catalog video bytes read, no container walk, no
+    per-frame JPEG decode, no frame dHash (the heaviest fold in the
+    repo) — the batch side decodes only its own clips, and the
+    combined-occupancy cap applies across stored + batch rows exactly
+    as in the recompute path.
     """
     assert max_hamming <= 3, "4-chunk bucketing is lossy beyond Hamming 3"
-    combined = corpus_frame_hashes.select(
-        "media_id", "frame_idx", "dhash_hi", "dhash_lo",
-        F.lit(False).alias("_new"),
-    ).unionByName(
-        new_frame_hashes.select(
+    assert (corpus_frame_hashes is None) != (corpus_index is None), (
+        "pass exactly one of corpus_frame_hashes (recompute) or "
+        "corpus_index (stored frame-chunk index)"
+    )
+    if corpus_index is None:
+        combined = corpus_frame_hashes.select(
             "media_id", "frame_idx", "dhash_hi", "dhash_lo",
-            F.lit(True).alias("_new"),
+            F.lit(False).alias("_new"),
+        ).unionByName(
+            new_frame_hashes.select(
+                "media_id", "frame_idx", "dhash_hi", "dhash_lo",
+                F.lit(True).alias("_new"),
+            )
         )
-    )
-    lo, hi = F.col("dhash_lo"), F.col("dhash_hi")
-    mask = F.lit((1 << 16) - 1)
-    chunks = F.array(
-        F.struct(F.lit(0).alias("ci"), lo.bitwiseAND(mask).alias("cv")),
-        F.struct(
-            F.lit(1).alias("ci"),
-            F.shiftrightunsigned(lo, 16).bitwiseAND(mask).alias("cv"),
-        ),
-        F.struct(F.lit(2).alias("ci"), hi.bitwiseAND(mask).alias("cv")),
-        F.struct(
-            F.lit(3).alias("ci"),
-            F.shiftrightunsigned(hi, 16).bitwiseAND(mask).alias("cv"),
-        ),
-    )
-    keyed = combined.select(
-        "media_id", "frame_idx", "dhash_hi", "dhash_lo", "_new",
-        F.explode(chunks).alias("c"),
-    ).select(
-        "media_id",
-        "frame_idx",
-        "dhash_hi",
-        "dhash_lo",
-        "_new",
-        F.col("c.ci").alias("ci"),
-        F.col("c.cv").alias("cv"),
-    )
+        keyed = _dhash_chunks(
+            combined, "media_id", keep=("frame_idx", "_new")
+        )
+    else:
+        batch = _dhash_chunks(
+            new_frame_hashes.select(
+                "media_id", "frame_idx", "dhash_hi", "dhash_lo",
+                F.lit(True).alias("_new"),
+            ),
+            "media_id", keep=("frame_idx", "_new"),
+        )
+        keyed = corpus_index.select(
+            F.col("media_id"), F.col("frame_idx"),
+            F.lit(False).alias("_new"),
+            F.col("dhash_hi"), F.col("dhash_lo"), F.col("ci"), F.col("cv"),
+        ).unionByName(
+            batch.select(
+                "media_id", "frame_idx", "_new",
+                "dhash_hi", "dhash_lo", "ci", "cv",
+            )
+        )
     if max_bucket_size is not None:
         from .dedup import prune_df_window
 

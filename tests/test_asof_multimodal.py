@@ -1811,3 +1811,80 @@ def test_audio_landmarks_incremental_from_stored_parquet_index(
     for df in (recompute, from_store):
         for h in cached_deps(df):
             h.unpersist()
+
+
+def test_video_incremental_from_stored_parquet_index(spark, sf_dir, tmp_path):
+    """The stored-index contract for the VIDEO family — the FIFTH stored
+    family, amortizing the single heaviest fold in the repo (container
+    walk + per-frame JPEG decode + frame dHash): write the catalog's
+    video_frame_chunk_table to parquet partitioned on ci, re-run the
+    incremental frame-vote matcher with corpus_index= the stored table,
+    and assert (a) results are IDENTICAL to the recompute path and
+    (b) the stored run's plan decodes only the BATCH clips — every
+    documents scan carries the batch predicate; the catalog side is the
+    index parquet scan.  This converts the registry query's own
+    docstring claim ('in production the catalog side is a STORED hash
+    table') into a tested real-storage path, the same move r11 made for
+    simhash64."""
+    from platform_etl_openfda_faers_spark.sources import writers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % 10).alias("gid"),
+        ((F.col("doc_id") / 10).cast("long") % 2).alias("off"),
+    )
+    is_new = F.col("doc_id") % 7 == 0
+
+    def hashes(pred):
+        return multimodal.video_frame_dhash(
+            multimodal.synthetic_avi_media_grid(
+                docs.where(pred), "doc_id", seed_col="gid", offset_col="off"
+            )
+        )
+
+    idx_path = str(tmp_path / "video_frame_index")
+    writers.write_partitioned(
+        multimodal.video_frame_chunk_table(hashes(~is_new)), idx_path, ["ci"]
+    )
+    stored = spark.read.parquet(idx_path)
+
+    recompute = multimodal.video_near_duplicates_incremental(
+        hashes(is_new), hashes(~is_new), max_hamming=3, min_frames=2,
+        max_bucket_size=64,
+    )
+    from_store = multimodal.video_near_duplicates_incremental(
+        hashes(is_new), None, max_hamming=3, min_frames=2,
+        max_bucket_size=64, corpus_index=stored,
+    )
+    a = sorted(map(tuple, recompute.collect()))
+    b = sorted(map(tuple, from_store.collect()))
+    assert a == b
+    assert a, "harness must produce at least one frame-voted pair"
+
+    plan = from_store._jdf.queryExecution().executedPlan().toString()
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "documents.parquet" in ln
+    ]
+    assert doc_scans, plan
+    for ln in doc_scans:
+        assert "% 7) = 0" in ln and "NOT " not in ln, ln
+    assert any(
+        "FileScan" in ln and "dhash_hi" in ln and "frame_idx" in ln
+        for ln in plan.splitlines()
+    ), plan
+    rplan = recompute._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "documents.parquet" in ln and "NOT " in ln
+        for ln in rplan.splitlines()
+        if "FileScan" in ln
+    ), rplan
+
+    import pytest
+
+    with pytest.raises(AssertionError):
+        multimodal.video_near_duplicates_incremental(
+            hashes(is_new), hashes(~is_new), corpus_index=stored
+        )
+    with pytest.raises(AssertionError):
+        multimodal.video_near_duplicates_incremental(hashes(is_new), None)

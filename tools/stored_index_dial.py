@@ -21,7 +21,7 @@ path's persisted capped tables are unpersisted after every run so no
 iteration inherits another's cache.
 
 Usage: python tools/stored_index_dial.py [sf_dir] [out.json] [families]
-  families — comma list of simhash64,ivf,dhash,audio (default: all)
+  families — comma list of simhash64,ivf,dhash,audio,video (default: all)
 """
 
 from __future__ import annotations
@@ -71,7 +71,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata/sf10"
     out_path = sys.argv[2] if len(sys.argv) > 2 else ""
     families = set(
-        (sys.argv[3] if len(sys.argv) > 3 else "simhash64,ivf,dhash,audio").split(",")
+        (sys.argv[3] if len(sys.argv) > 3 else "simhash64,ivf,dhash,audio,video").split(",")
     )
     spark = get_spark(
         "stored-index-dial",
@@ -296,6 +296,73 @@ def main() -> None:
             "pair_rows": rec_rows,
         }
         print("audio", json.dumps(out["audio"]))
+
+      if "video" in families:
+        # --- family 5 (r12): video frame-chunk table ---
+        # Amortizes the single heaviest fold in the repo: the container
+        # walk + per-frame JPEG decode + frame dHash behind the video
+        # near-dup family.  Same geometry as the registry query: grid
+        # AVI harness, batch = media_id % 7 == 0; hash each side from
+        # its OWN pre-split docs so the recompute path is the honest
+        # production recompute (decode both sides), not the registry's
+        # persisted-once harness shortcut.
+        vdocs = scale_out(load_table(spark, sf_dir, "documents")).select(
+            "doc_id",
+            (F.col("doc_id") % 10).alias("gid"),
+            ((F.col("doc_id") / 10).cast("long") % 2).alias("off"),
+        )
+
+        def _vhashes(pred):
+            return multimodal.video_frame_dhash(
+                multimodal.synthetic_avi_media_grid(
+                    vdocs.where(pred), "doc_id", seed_col="gid",
+                    offset_col="off",
+                )
+            )
+
+        vi_path = f"{tmp}/video_frame_index"
+        t0 = time.time()
+        writers.write_partitioned(
+            multimodal.video_frame_chunk_table(
+                _vhashes(F.col("doc_id") % 7 != 0)
+            ),
+            vi_path,
+            ["ci"],
+        )
+        vi_build = round(time.time() - t0, 1)
+        vi_stored = spark.read.parquet(vi_path)
+        rec_m, rec_runs, rec_rows = _timed(
+            spark,
+            lambda: multimodal.video_near_duplicates_incremental(
+                _vhashes(F.col("doc_id") % 7 == 0),
+                _vhashes(F.col("doc_id") % 7 != 0),
+                max_hamming=3,
+                min_frames=2,
+                max_bucket_size=64,
+            ),
+        )
+        sto_m, sto_runs, sto_rows = _timed(
+            spark,
+            lambda: multimodal.video_near_duplicates_incremental(
+                _vhashes(F.col("doc_id") % 7 == 0),
+                None,
+                max_hamming=3,
+                min_frames=2,
+                max_bucket_size=64,
+                corpus_index=vi_stored,
+            ),
+        )
+        assert rec_rows == sto_rows, (rec_rows, sto_rows)
+        out["video"] = {
+            "build_write_s": vi_build,
+            "index_rows": vi_stored.count(),
+            "recompute_s": rec_m,
+            "recompute_runs_s": rec_runs,
+            "stored_s": sto_m,
+            "stored_runs_s": sto_runs,
+            "pair_rows": rec_rows,
+        }
+        print("video", json.dumps(out["video"]))
 
       print(json.dumps(out))
       if out_path:

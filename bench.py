@@ -180,6 +180,14 @@ def main() -> None:
         unknown = [q for q in wanted if q not in benchmarks.SPARK_QUERIES]
         assert not unknown, f"unknown bench queries: {unknown}"
         names = wanted
+    else:
+        # CPU-storm queries run LAST in the full suite (r12 measured the
+        # v3 extras at 1.4-1.9x solo cost from running behind
+        # multimodal_video_dedup's decode storm — totals are
+        # order-independent, per-query numbers are not).  Explicit
+        # subsets keep the caller's order.
+        storm = [n for n in benchmarks.RUN_LAST if n in names]
+        names = [n for n in names if n not in storm] + storm
     for name in names:
         fn = benchmarks.SPARK_QUERIES[name]
         runs: list[float] = []
@@ -218,11 +226,67 @@ def main() -> None:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
 
+    # build-vs-serve split (VERDICT r12 #4): for registry queries that
+    # deliberately time a one-time index BUILD plus the per-batch SERVE
+    # (self-contained determinism), also measure each leg alone so the
+    # committed artifact self-describes the split — the build-dominated
+    # total otherwise reads as a superlinear serving path.  Build runs
+    # once (timed); serve reuses that index across its iterations with
+    # the same cold-cache discipline as the main loop.
+    build_serve: dict[str, dict] = {}
+    for name, (build_fn, serve_fn) in benchmarks.BUILD_SERVE.items():
+        if name not in timings:
+            continue
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.time()
+            idx = build_fn(spark, sf_dir)
+            build_s = round(time.time() - t0, 3)
+            serve_runs: list[float] = []
+            for _ in range(iters):
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                serve_fn(spark, sf_dir, idx).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                serve_runs.append(time.time() - t0)
+            rep = statistics.median(serve_runs) if cold else min(serve_runs)
+            build_serve[name] = {
+                "build_s": build_s,
+                "serve_only_s": round(rep, 3),
+                "serve_iters_s": [round(r, 3) for r in serve_runs],
+            }
+        except Exception as exc:  # noqa: BLE001 — the split is auxiliary
+            errors[f"{name}__build_serve"] = (
+                f"{type(exc).__name__}: "
+                f"{(str(exc).splitlines() or [''])[0][:200]}"
+            )
+        finally:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # iteration spread (max/min) per query — the uniform-inflation /
-    # flapper adjudication, readable from the artifact instead of prose
+    # flapper adjudication, readable from the artifact instead of prose.
+    # FLAPPER_MIN_ITERS queries exclude iteration 1 in cold mode (their
+    # extra iterations exist precisely because iteration 1 is JVM
+    # first-touch warm-up on a ~1s query — r12 committed a 3.08 "spread"
+    # that was 100% warm-up; the raw all-iterations ratio stays in the
+    # detail file as queries_spread_all for adjudication).
+    def _spread_core(n: str, rs: list[float]) -> list[float]:
+        if cold and n in FLAPPER_MIN_ITERS and len(rs) >= 3:
+            return rs[1:]
+        return rs
+
     spread = {
+        n: round(max(core) / min(core), 3)
+        for n, rs in all_iters.items()
+        if rs and min(core := _spread_core(n, rs)) > 0
+    }
+    spread_all = {
         n: round(max(rs) / min(rs), 3)
         for n, rs in all_iters.items()
         if rs and min(rs) > 0
@@ -245,9 +309,20 @@ def main() -> None:
         "queries_effective_iters": {n: len(rs) for n, rs in all_iters.items()},
         "queries_first": firsts,
         "queries_spread": spread,
+        "queries_spread_all": spread_all,
+        "spread_policy": (
+            "flapper queries (FLAPPER_MIN_ITERS) exclude iteration 1 from "
+            "queries_spread in cold mode; queries_spread_all is the raw "
+            "all-iterations ratio"
+        ),
+        # actual run order — per-query numbers are position-aware
+        # (CPU-storm queries are scheduled last in full-suite runs)
+        "run_order": names,
         "shuffle_bytes": shuffle,
         "complete": not errors,
     }
+    if build_serve:
+        detail["queries_build_serve"] = build_serve
     if errors:
         detail["errors"] = errors
     detail_path = os.environ.get(
@@ -336,8 +411,11 @@ def main() -> None:
                 n: len(rs) for n, rs in all_iters.items()
             },
             "queries_spread": spread,
+            "run_order": names,
             "shuffle_bytes": shuffle,
         }
+        if build_serve:
+            enriched["queries_build_serve"] = build_serve
         Path(summary_path).write_text(json.dumps(enriched, indent=1))
         print(f"summary -> {summary_path}", file=sys.stderr)
     print(json.dumps(out))

@@ -117,6 +117,16 @@ HEADLINE_V3_EXTRA = [
     "dedup_stored_index_serve",
 ]
 
+# Suite-scheduling hint (VERDICT r12 #2): queries whose iteration leaves
+# the box CPU-hot for tens of seconds (the 500k-AVI decode storm behind
+# multimodal_video_dedup) contaminate whatever runs next in-suite — r12
+# measured the v3 extras at 1.4-1.9x their solo medians purely from
+# running behind it.  bench.py moves these to the END of the full-suite
+# run order (totals are order-independent; per-query numbers stop
+# inheriting the storm's tail) and records the actual run order in the
+# artifact so cross-round per-query comparison is position-aware.
+RUN_LAST = ["multimodal_video_dedup"]
+
 
 def query(name: str, sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -1907,35 +1917,28 @@ def dedup_incremental_simhash64(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_stored_index_serve", _SIMHASH64_INC_SQL)
-def dedup_stored_index_serve(spark: SparkSession, sf: str) -> DataFrame:
-    """The stored-signature-index SERVING path, driver-visible (VERDICT
-    r11 #2a): build the corpus's uncapped 64-bit SimHash chunk table with
-    ``dedup.simhash64_chunk_table``, WRITE it to real ci-partitioned
-    parquet (the table a production deployment computes once at ingest —
-    a deterministic scratch location keyed by the scale factor, because
-    the registry convention keeps ``/root/testdata`` read-only), then
-    serve the batch (doc_id % 7 == 0) from the STORED index via
-    ``corpus_index=`` — the corpus text is never re-read and the
-    signature fold runs only over the batch.
+def serving_index_build(spark: SparkSession, sf: str) -> str:
+    """BUILD leg of the stored-index serving query: compute the corpus's
+    uncapped 64-bit SimHash chunk table and WRITE it to real
+    ci-partitioned parquet.  Returns the index path.
 
-    The oracle is the SAME analytic replay as
-    ``dedup_incremental_simhash64`` (stored == recompute is the family's
-    law, pytest-pinned in ``tests/test_dedup.py``), so the driver's
-    value-hash certifies the stored path's RESULTS at the hash level —
-    the dial (`tools/stored_index_dial.py`, −79% at sf10) already proved
-    the runtime win.  The index build is an eager write inside the query
-    (both build and serve are part of the measured work)."""
+    Scratch location (ADVICE r12): keyed by the Spark applicationId AND
+    the scale factor — two concurrent runs at the same SF get disjoint
+    directories (no overwrite-vs-read race), and the per-application
+    prefix under the system temp dir isn't a fixed squat-prone path.
+    Repeated calls within one session overwrite the same directory, so a
+    session's scratch footprint is bounded at one index per SF."""
     import hashlib as _hl
     import os as _os
+    import tempfile as _tf
 
     from ..sources.writers import write_partitioned
 
     docs = load_docs(spark, sf)
-    new = docs.where(F.col("doc_id") % 7 == 0)
     corpus = docs.where(F.col("doc_id") % 7 != 0)
     idx_path = _os.path.join(
-        "/tmp/spark_graft_serving_index",
+        _tf.gettempdir(),
+        f"spark_graft_serving_index_{spark.sparkContext.applicationId}",
         f"simhash64_{_hl.md5(sf.encode()).hexdigest()[:12]}",
     )
     write_partitioned(
@@ -1943,6 +1946,18 @@ def dedup_stored_index_serve(spark: SparkSession, sf: str) -> DataFrame:
         idx_path,
         ["ci"],
     )
+    return idx_path
+
+
+def serving_index_serve(
+    spark: SparkSession, sf: str, idx_path: str
+) -> DataFrame:
+    """SERVE leg: near-dup check the batch (doc_id % 7 == 0) against the
+    STORED chunk index at ``idx_path`` via ``corpus_index=`` — the corpus
+    text is never re-read and the signature fold runs only over the
+    batch."""
+    docs = load_docs(spark, sf)
+    new = docs.where(F.col("doc_id") % 7 == 0)
     stored = spark.read.parquet(idx_path)
     return dedup.simhash_near_duplicates_incremental64(
         new,
@@ -1953,6 +1968,41 @@ def dedup_stored_index_serve(spark: SparkSession, sf: str) -> DataFrame:
         max_bucket_size=64,
         corpus_index=stored,
     )
+
+
+@query("dedup_stored_index_serve", _SIMHASH64_INC_SQL)
+def dedup_stored_index_serve(spark: SparkSession, sf: str) -> DataFrame:
+    """The stored-signature-index SERVING path, driver-visible (VERDICT
+    r11 #2a): build the corpus's uncapped 64-bit SimHash chunk table with
+    ``dedup.simhash64_chunk_table``, WRITE it to real ci-partitioned
+    parquet (the table a production deployment computes once at ingest),
+    then serve the batch (doc_id % 7 == 0) from the STORED index via
+    ``corpus_index=``.
+
+    The oracle is the SAME analytic replay as
+    ``dedup_incremental_simhash64`` (stored == recompute is the family's
+    law, pytest-pinned in ``tests/test_dedup.py``), so the driver's
+    value-hash certifies the stored path's RESULTS at the hash level —
+    the dial (`tools/stored_index_dial.py`, −79% at sf10) already proved
+    the runtime win.  The index build is an eager write inside the query
+    — the registry callable stays self-contained — so its wall time is
+    BUILD-DOMINATED (measured 6.5x per 10x data at r12, vs the serve
+    leg's 3.1x).  ``BUILD_SERVE`` exposes the two legs separately so
+    bench.py can carry build vs serve-only timings in the committed
+    artifact (VERDICT r12 #4) and the build-dominated total can't be
+    misread as the serving path's scaling."""
+    return serving_index_serve(spark, sf, serving_index_build(spark, sf))
+
+
+# Queries whose registry form deliberately times a one-time BUILD plus
+# the per-batch SERVE (self-contained determinism for the driver's
+# correctness gate).  bench.py uses these legs to also measure and emit
+# the serve-only cost, so the committed artifact self-describes the
+# build-vs-serve split instead of carrying one superlinear-looking
+# total (VERDICT r12 #4).
+BUILD_SERVE: dict[str, tuple] = {
+    "dedup_stored_index_serve": (serving_index_build, serving_index_serve),
+}
 
 
 # ---------------------------------------------------------------------------

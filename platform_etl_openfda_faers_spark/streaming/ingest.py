@@ -19,9 +19,21 @@ canonical survivors, exactly like a batch keep-list.
 
 Idempotency: each batch's appends land under ``ingest_batch=<id>``
 partition directories with per-directory overwrite — an at-least-once
-replay of a batch after checkpoint loss rewrites the same directories
-instead of duplicating rows (the ``write_stream_idempotent_parquet``
-discipline).
+replay of a batch WITHIN the same checkpoint lineage rewrites the same
+directories instead of duplicating rows (the
+``write_stream_idempotent_parquet`` discipline).
+
+THE CHECKPOINT IS LOAD-BEARING DEDUP STATE (ADVICE r12): batch ids are
+monotonic only within one checkpoint lineage.  After checkpoint LOSS,
+``availableNow`` re-groups all source files into fresh batch ids
+(typically one big batch 0), which would rewrite ``ingest_batch=0`` but
+leave the stale ``ingest_batch=1..N`` partitions from the lost lineage
+in both the index and accepted paths — duplicate doc ids.  Losing the
+checkpoint therefore requires clearing ``index_path`` and
+``accepted_path`` too; :func:`dedup_ingest_batch` detects the telltale
+regression (batch id 0 arriving while the index already holds higher
+``ingest_batch=`` partitions) and fails loudly instead of corrupting
+the corpus.
 """
 
 from __future__ import annotations
@@ -54,8 +66,28 @@ def dedup_ingest_batch(
     ``ingest_batch=<id>`` partition directory (idempotent replay).
     """
     spark = batch.sparkSession
+    # the try guards ONLY the index read (ADVICE r12: a broader scope
+    # silently swallowed AnalysisExceptions raised by the dedup operator
+    # itself — a renamed index column or bad text_col/id_col would have
+    # been treated as "first batch, empty corpus" and duplicates
+    # accepted); operator errors must propagate loudly.
     try:
         stored = spark.read.parquet(index_path)
+    except AnalysisException:
+        stored = None  # no index yet: first batch ever
+    if stored is not None and batch_id == 0:
+        # batch id 0 with a non-empty index = checkpoint-loss replay (or
+        # a reused index path): the lost lineage's ingest_batch=1..N
+        # partitions would survive alongside a rewritten batch 0 and
+        # duplicate doc ids — refuse instead of corrupting the corpus.
+        raise ValueError(
+            f"dedup ingest: batch id 0 arrived but {index_path} already "
+            "holds an index — the checkpoint was lost or the index path "
+            "is being reused.  The checkpoint is load-bearing dedup "
+            "state: clear index_path and accepted_path before replaying "
+            "from scratch."
+        )
+    if stored is not None:
         pairs = dedup.simhash_near_duplicates_incremental64(
             batch,
             None,
@@ -65,8 +97,7 @@ def dedup_ingest_batch(
             max_bucket_size=max_bucket_size,
             corpus_index=stored,
         )
-    except AnalysisException:
-        # no index yet (first batch): an empty corpus, recompute path
+    else:
         empty = spark.createDataFrame(
             [], batch.select(id_col, text_col).schema
         )

@@ -558,3 +558,47 @@ def test_dedup_ingest_loop_multi_batch_equals_batch_twin(spark, tmp_path):
         .withColumnRenamed("count", "n").collect()
     }
     assert all(n == 4 for n in per_doc.values())
+
+
+def test_dedup_ingest_checkpoint_loss_fails_loudly(spark, tmp_path):
+    """The checkpoint is load-bearing dedup state (ADVICE r12): after
+    checkpoint loss, availableNow re-groups everything into a fresh
+    batch 0 while the index still holds the lost lineage's higher
+    ingest_batch= partitions — replaying would leave stale partitions
+    alongside the rewritten batch 0 and duplicate doc ids.  The handler
+    detects the regression (batch 0 + non-empty index) and refuses."""
+    import json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from platform_etl_openfda_faers_spark.streaming.ingest import (
+        start_dedup_ingest,
+    )
+
+    schema = "doc_id LONG, text STRING"
+    src = tmp_path / "src"
+    src.mkdir()
+    idx, acc = str(tmp_path / "index"), str(tmp_path / "accepted")
+    (src / "b0.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": f"tok{i}a tok{i}b tok{i}c"})
+            for i in range(3)
+        )
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = start_dedup_ingest(stream, idx, acc, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert spark.read.parquet(acc).count() == 3
+
+    # checkpoint lost: a fresh lineage re-reads the same files as batch 0
+    (src / "b1.json").write_text(
+        json.dumps({"doc_id": 10, "text": "tok10a tok10b tok10c"})
+    )
+    stream2 = spark.readStream.schema(schema).json(str(src))
+    q2 = start_dedup_ingest(stream2, idx, acc, str(tmp_path / "ckpt_new"))
+    try:
+        q2.awaitTermination(120)
+        raised = None
+    except StreamingQueryException as exc:
+        raised = str(exc)
+    assert raised is not None and "load-bearing" in raised

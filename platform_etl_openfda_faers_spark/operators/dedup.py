@@ -1380,9 +1380,13 @@ def simhash64_chunk_table(
     corpus signature index.  Feed a stored copy back to
     :func:`simhash_near_duplicates_incremental64` via ``corpus_index`` so
     each incremental batch pays the signature fold only for its own docs;
-    the corpus side is then a decode-free parquet scan."""
-    return _simhash64_chunks(
-        simhash_local64(docs, text_col, id_col), id_col
+    the corpus side is then a decode-free parquet scan.  Rows carry the
+    ``index_fp`` build stamp (``indexstamp``) asserted at serve time."""
+    from .indexstamp import stamp_index
+
+    return stamp_index(
+        _simhash64_chunks(simhash_local64(docs, text_col, id_col), id_col),
+        "simhash64_chunk_table",
     )
 
 
@@ -1452,7 +1456,11 @@ def simhash_near_duplicates_incremental64(
             ),
             id_col, keep=("_new",),
         )
-        keyed = corpus_index.select(
+        from .indexstamp import guard_index
+
+        keyed = guard_index(
+            corpus_index, "simhash64_chunk_table"
+        ).select(
             F.col(id_col), F.lit(False).alias("_new"),
             F.col("sim_hi"), F.col("sim_lo"), F.col("ci"), F.col("cv"),
         ).unionByName(

@@ -3247,8 +3247,11 @@ def dhash_chunk_table(
     corpus side is then a DECODE-FREE parquet scan — the third stored-
     index family, and the one where the amortized cost is largest
     (the corpus side skips the Python/Arrow image decode entirely, not
-    just a signature fold)."""
-    return _dhash_chunks(hashes, id_col)
+    just a signature fold).  Rows carry the ``index_fp`` build stamp
+    (``indexstamp``) asserted at serve time."""
+    from .indexstamp import stamp_index
+
+    return stamp_index(_dhash_chunks(hashes, id_col), "dhash_chunk_table")
 
 
 def dhash_near_duplicates(
@@ -3367,7 +3370,9 @@ def dhash_near_duplicates_incremental(
             ),
             id_col, keep=("_new",),
         )
-        keyed = corpus_index.select(
+        from .indexstamp import guard_index
+
+        keyed = guard_index(corpus_index, "dhash_chunk_table").select(
             F.col(id_col), F.lit(False).alias("_new"),
             F.col("dhash_hi"), F.col("dhash_lo"), F.col("ci"), F.col("cv"),
         ).unionByName(
@@ -3595,8 +3600,15 @@ def video_frame_chunk_table(frame_hashes: DataFrame) -> DataFrame:
     incremental batch pays the video decode only for its own clips; the
     catalog side is then a decode-free parquet scan — the FIFTH stored
     family, amortizing the single heaviest fold in the repo (the AVI +
-    per-frame JPEG decode behind `multimodal_video_dedup`'s sf10 wall)."""
-    return _dhash_chunks(frame_hashes, "media_id", keep=("frame_idx",))
+    per-frame JPEG decode behind `multimodal_video_dedup`'s sf10 wall).
+    Rows carry the ``index_fp`` build stamp (``indexstamp``) asserted at
+    serve time."""
+    from .indexstamp import stamp_index
+
+    return stamp_index(
+        _dhash_chunks(frame_hashes, "media_id", keep=("frame_idx",)),
+        "video_frame_chunk_table",
+    )
 
 
 def video_near_duplicates_incremental(
@@ -3662,7 +3674,9 @@ def video_near_duplicates_incremental(
             ),
             "media_id", keep=("frame_idx", "_new"),
         )
-        keyed = corpus_index.select(
+        from .indexstamp import guard_index
+
+        keyed = guard_index(corpus_index, "video_frame_chunk_table").select(
             F.col("media_id"), F.col("frame_idx"),
             F.lit(False).alias("_new"),
             F.col("dhash_hi"), F.col("dhash_lo"), F.col("ci"), F.col("cv"),
@@ -4326,8 +4340,18 @@ def audio_landmark_table(peaks: DataFrame, max_dt: int = 3) -> DataFrame:
     + landmark build only for its own tracks; the catalog side is then a
     decode-free parquet scan — the FOURTH stored-index family, closing
     the contract across every heavy-fold incremental (SimHash-64 text,
-    IVF cells, dHash images, audio landmarks)."""
-    return audio_landmarks(peaks, max_dt=max_dt)
+    IVF cells, dHash images, audio landmarks).  Rows carry the
+    ``index_fp`` build stamp including ``max_dt`` (the one build
+    parameter that changes the stored landmark set), asserted at serve
+    time — an index built with a smaller ``max_dt`` than the serve-time
+    value would otherwise silently drop matches."""
+    from .indexstamp import stamp_index
+
+    return stamp_index(
+        audio_landmarks(peaks, max_dt=max_dt),
+        "audio_landmark_table",
+        max_dt=max_dt,
+    )
 
 
 def audio_landmark_matches_incremental(
@@ -4372,7 +4396,8 @@ def audio_landmark_matches_incremental(
     side builds landmarks only from ``peaks_batch``, and the combined-
     occupancy cap applies across stored + batch rows exactly as in the
     recompute path.  The stored table must have been built with the
-    SAME ``max_dt``.
+    SAME ``max_dt`` — ENFORCED via the ``index_fp`` build stamp
+    (``indexstamp.guard_index``), not just documented.
     """
     assert (peaks_corpus is None) != (corpus_index is None), (
         "pass exactly one of peaks_corpus (recompute) or corpus_index "
@@ -4381,7 +4406,11 @@ def audio_landmark_matches_incremental(
     if corpus_index is None:
         corpus_lm = audio_landmarks(peaks_corpus, max_dt=max_dt)
     else:
-        corpus_lm = corpus_index.select("media_id", "a_bin", "b_bin", "dt")
+        from .indexstamp import guard_index
+
+        corpus_lm = guard_index(
+            corpus_index, "audio_landmark_table", max_dt=max_dt
+        ).select("media_id", "a_bin", "b_bin", "dt")
     lm = corpus_lm.withColumn("_new", F.lit(False)).unionByName(
         audio_landmarks(peaks_batch, max_dt=max_dt).withColumn(
             "_new", F.lit(True)

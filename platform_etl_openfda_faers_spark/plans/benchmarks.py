@@ -2737,6 +2737,96 @@ def text_packing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "text_packing_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 16 AS shard, len({_TOKENS_SQL}) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, shard, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+             AS BIGINT) AS tok_start
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, shard, n_tokens, tok_start,
+        CAST(tok_start + n_tokens - 1 AS BIGINT) AS tok_end
+      FROM r WHERE n_tokens > 0
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+      CAST(b.bin_id AS INT) AS bin_id,
+      CAST(GREATEST(tok_start, b.bin_id * 2048) - b.bin_id * 2048 AS INT)
+        AS bin_offset,
+      CAST(GREATEST(tok_start, b.bin_id * 2048) - tok_start AS INT)
+        AS doc_tok_start,
+      CAST(LEAST(tok_end, b.bin_id * 2048 + 2047)
+           - GREATEST(tok_start, b.bin_id * 2048) + 1 AS INT)
+        AS n_span_tokens
+    FROM s, LATERAL (
+      SELECT unnest(generate_series(tok_start // 2048, tok_end // 2048))
+        AS bin_id
+    ) b
+    """,
+)
+def text_packing_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-aware packing v2 (VERDICT r12 #9): the (bin, offset,
+    doc span) triples a training loader actually consumes.  Documents
+    are laid end-to-end per shard exactly as in ``text_packing``; a doc
+    spanning a bin boundary emits ONE ROW PER BIN it occupies —
+    (bin_id, bin_offset, doc_tok_start, n_span_tokens) — which is both
+    the copy plan (take ``n_span_tokens`` tokens of the doc starting at
+    ``doc_tok_start``, place them at ``bin_offset``) and the
+    loss-masking span list (attention/loss masks reset at each span
+    edge, so cross-document attention never leaks).
+
+    Scale shape: map-only arithmetic over the SAME per-shard running-sum
+    window as ``text_packing`` (one exchange per shard key), plus a
+    row-local ``sequence``+``explode`` over the bins each doc touches —
+    fan-out is (n_tokens / capacity) + 1 ≈ 1 row per doc, so the output
+    stays linear in the corpus.  All-integer, hash-exact across
+    engines."""
+    from ..functions.text import token_count
+
+    cap, shards = 2048, 16
+    t = load_docs(spark, sf).select(
+        "doc_id",
+        (F.col("doc_id") % shards).cast("int").alias("shard"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_start"),
+    ).where(F.col("n_tokens") > 0)
+    s = s.withColumn("tok_end", F.col("tok_start") + F.col("n_tokens") - 1)
+    bin_id = F.explode(
+        F.sequence(
+            (F.col("tok_start") / cap).cast("long"),
+            (F.col("tok_end") / cap).cast("long"),
+        )
+    )
+    s = s.select("doc_id", "shard", "tok_start", "tok_end", bin_id.alias("bin_id"))
+    span_lo = F.greatest(F.col("tok_start"), F.col("bin_id") * cap)
+    span_hi = F.least(F.col("tok_end"), F.col("bin_id") * cap + (cap - 1))
+    return s.select(
+        "doc_id",
+        "shard",
+        F.col("bin_id").cast("int").alias("bin_id"),
+        (span_lo - F.col("bin_id") * cap).cast("int").alias("bin_offset"),
+        (span_lo - F.col("tok_start")).cast("int").alias("doc_tok_start"),
+        (span_hi - span_lo + 1).cast("int").alias("n_span_tokens"),
+    )
+
+
 def _cm_hash_sql(var: str, seed: int, buckets: int) -> str:
     """DuckDB twin of ``sampling.hash_bucket`` (md5 first-8-hex mod w)."""
     return (
@@ -8198,6 +8288,8 @@ _DEFERRED_TO_R13 = [
     "text_bm25_topk", "text_decontaminate", "text_pii_redact",
     "w_analytic_extras", "w_approx_distinct", "w_funnel_conversion",
     "w_resample_ffill",
+    # new in r13 (moves into the r13 driver window at rotation time):
+    "text_packing_spans",
 ]
 
 def _apply_driver_order() -> None:

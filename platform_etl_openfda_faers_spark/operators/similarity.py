@@ -615,6 +615,39 @@ def ivf_index_table(
     ).withColumn("index_fp", F.lit(fp))
 
 
+def _guard_stored_cells(
+    corpus_cells: DataFrame, cent: DataFrame, score_decimals: int
+) -> DataFrame:
+    """Stale-index guard (consistency contract): the stored table must
+    carry the fingerprint of the centroids + score_decimals it was
+    built with, and it must match the query-side parameters — a
+    differently-built index silently changes results otherwise.  The
+    row-level assert_true is lazy (no extra action) and costs one
+    constant comparison per index row; expressing it as a filter
+    predicate (always-true when healthy) keeps it alive through column
+    pruning, unlike an unreferenced projected column.  Shared by
+    :func:`ivf_topk` and :func:`semantic_near_duplicates_incremental`
+    (the two ``corpus_cells=`` / ``corpus_index=`` serving paths over
+    the :func:`ivf_index_table` shape)."""
+    assert "index_fp" in corpus_cells.columns, (
+        "corpus_cells lacks index_fp — rebuild the stored index with "
+        "ivf_index_table (pre-fingerprint indexes cannot be checked "
+        "against the query-side centroids)"
+    )
+    expected_fp = centroid_fingerprint(cent, score_decimals)
+    guarded = corpus_cells.where(
+        F.assert_true(
+            F.col("index_fp") == F.lit(expected_fp),
+            F.lit(
+                "stale IVF index: stored index_fp does not match the "
+                "fingerprint of the centroids/score_decimals passed by "
+                "the serving call — rebuild with ivf_index_table"
+            ),
+        ).isNull()
+    )
+    return guarded.select("neighbor_id", "c_vec", "cell")
+
+
 def ivf_topk(
     corpus: DataFrame | None,
     queries: DataFrame,
@@ -659,32 +692,7 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
     if corpus_cells is not None:
-        # stale-index guard (consistency contract): the stored table must
-        # carry the fingerprint of the centroids + score_decimals it was
-        # built with, and it must match the query-side parameters — a
-        # differently-built index silently changes results otherwise.
-        # The row-level assert_true is lazy (no extra action) and costs
-        # one constant comparison per index row.
-        assert "index_fp" in corpus_cells.columns, (
-            "corpus_cells lacks index_fp — rebuild the stored index with "
-            "ivf_index_table (pre-fingerprint indexes cannot be checked "
-            "against the query-side centroids)"
-        )
-        expected_fp = centroid_fingerprint(cent, score_decimals)
-        # assert_true returns NULL on pass, raises on fail; expressing it
-        # as a filter predicate (always-true when healthy) keeps it alive
-        # through column pruning, unlike an unreferenced projected column.
-        guarded = corpus_cells.where(
-            F.assert_true(
-                F.col("index_fp") == F.lit(expected_fp),
-                F.lit(
-                    "stale IVF index: stored index_fp does not match the "
-                    "fingerprint of the centroids/score_decimals passed "
-                    "to ivf_topk — rebuild with ivf_index_table"
-                ),
-            ).isNull()
-        )
-        c_cells = guarded.select("neighbor_id", "c_vec", "cell")
+        c_cells = _guard_stored_cells(corpus_cells, cent, score_decimals)
     else:
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -751,7 +759,7 @@ def cosine_near_duplicates(
 
 def semantic_near_duplicates_incremental(
     new_vectors: DataFrame,
-    corpus_vectors: DataFrame,
+    corpus_vectors: DataFrame | None,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -759,6 +767,7 @@ def semantic_near_duplicates_incremental(
     iterations: int = 2,
     score_decimals: int = 6,
     centroids: DataFrame | None = None,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL SemDeDup: an incoming embedding batch is compared
     against itself and the existing corpus WITHIN FROZEN k-means cells —
@@ -778,28 +787,61 @@ def semantic_near_duplicates_incremental(
     dedupes them without weighting.  Ids must be unique across the two
     inputs.  Output: (id_a, id_b, cell, score), id_a < id_b, score >=
     ``threshold``.
+
+    ``corpus_index`` — a STORED corpus cell-assignment table (the
+    :func:`ivf_index_table` shape: (neighbor_id, c_vec, cell,
+    index_fp), typically parquet partitioned on ``cell``, written at
+    ingest).  When given, ``corpus_vectors`` must be None and
+    ``centroids`` must be the FROZEN centroids the index was built with
+    (asserted via the centroid fingerprint — same guard as
+    ``ivf_topk``): the corpus side becomes a scan of the stored index —
+    no corpus embedding source read, no corpus-side assignment
+    recomputed — and the batch pays only its own map-only assignment.
+    This is the embedding-family serving path the dedup-at-ingest loop
+    composes (``streaming.ingest.start_emb_ingest``).
     """
+    assert (corpus_vectors is None) != (corpus_index is None), (
+        "pass exactly one of corpus_vectors (recompute) or corpus_index "
+        "(stored cell-assignment index)"
+    )
     cent = centroids
     if cent is None:
+        assert corpus_vectors is not None, (
+            "corpus_index= requires frozen centroids= (the index was "
+            "built with them; retraining here would desync the cells)"
+        )
         cent = kmeans_centroids(
             corpus_vectors, k=k, iterations=iterations,
             id_col=id_col, vec_col=vec_col,
         )
-    combined = corpus_vectors.select(
+    batch = new_vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("e"),
-        F.lit(False).alias("_new"),
-    ).unionByName(
-        new_vectors.select(
+        F.lit(True).alias("_new"),
+    )
+    if corpus_index is not None:
+        bcells = ivf_cells(
+            batch, cent, "vid", "e", nprobe=1,
+            score_decimals=score_decimals, keep=("_new",),
+        )
+        cells = _guard_stored_cells(
+            corpus_index, cent, score_decimals
+        ).select(
+            F.col("neighbor_id").alias("vid"),
+            F.col("c_vec").alias("e"),
+            F.lit(False).alias("_new"),
+            "cell",
+        ).unionByName(bcells.select("vid", "e", "_new", "cell"))
+    else:
+        combined = corpus_vectors.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).cast("array<double>").alias("e"),
-            F.lit(True).alias("_new"),
+            F.lit(False).alias("_new"),
+        ).unionByName(batch)
+        cells = ivf_cells(
+            combined, cent, "vid", "e", nprobe=1,
+            score_decimals=score_decimals, keep=("_new",),
         )
-    )
-    cells = ivf_cells(
-        combined, cent, "vid", "e", nprobe=1,
-        score_decimals=score_decimals, keep=("_new",),
-    )
     a = cells.where(F.col("_new")).select(
         F.col("vid").alias("id_a"), F.col("e").alias("e_a"), "cell"
     )

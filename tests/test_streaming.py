@@ -602,3 +602,135 @@ def test_dedup_ingest_checkpoint_loss_fails_loudly(spark, tmp_path):
     except StreamingQueryException as exc:
         raised = str(exc)
     assert raised is not None and "load-bearing" in raised
+
+
+def test_emb_ingest_loop_multi_batch_equals_batch_twin(spark, tmp_path):
+    """The embedding-index maintenance loop (streaming/ingest.py,
+    VERDICT r12 #5): three micro-batches flow through foreachBatch ->
+    semantic near-dup serve from the STORED IVF cell table under FROZEN
+    centroids -> accepted vectors + their cell rows appended back.
+    Laws asserted (the test_dedup_ingest_loop shape):
+
+    1. multi-batch accepted set == the batch twin (one micro-batch over
+       all files, same loop) == a Python greedy replay of keep-lowest
+       over the operator's own pair list;
+    2. cross-batch duplicates are caught by the INDEX update;
+    3. the cells table holds exactly the accepted vectors' rows, one
+       per vector, each carrying the centroid fingerprint stamp.
+    """
+    import json
+
+    from platform_etl_openfda_faers_spark.operators import similarity
+    from platform_etl_openfda_faers_spark.streaming.ingest import (
+        start_emb_ingest,
+    )
+
+    # six distinct contents, three per cell, pairwise cosine < 0.85
+    # within a cell; near-dups perturb the main axis (cosine ~0.999)
+    contents = {
+        0: [1.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0, 0.0, 0.0],
+        2: [0.6, 0.0, 1.0, 0.0, 0.0, 0.0],
+        3: [0.0, 0.6, 0.0, 0.0, 1.0, 0.0],
+        4: [0.6, 0.0, 0.0, 1.0, 0.0, 0.0],
+        5: [0.0, 0.6, 0.0, 0.0, 0.0, 1.0],
+    }
+
+    def vec(content, jitter=0.0):
+        v = list(contents[content])
+        v[content % 2] += jitter  # main-ish axis: keeps cell + cosine
+        return v
+
+    batches = [
+        # 3 is a WITHIN-batch near-dup of 0 (higher id loses)
+        [(0, vec(0)), (1, vec(1)), (2, vec(2)), (3, vec(0, 0.05))],
+        # 11 is a CROSS-batch near-dup of accepted 1 -> index catches it
+        [(10, vec(3)), (11, vec(1, 0.04)), (12, vec(4))],
+        # 20 dups accepted 0; 22 dups accepted 12; 21/23 unique (23 is
+        # a mixed direction far from every content in either cell)
+        [(20, vec(0, 0.03)), (21, vec(5)), (22, vec(4, 0.05)),
+         (23, [0.3, 0.3, 0.2, 0.2, 0.2, 0.2])],
+    ]
+
+    cent = spark.createDataFrame(
+        [(0, contents[0]), (1, contents[1])],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    src = tmp_path / "src"
+    src.mkdir()
+    cells, acc, ckpt = (
+        str(tmp_path / "cells"), str(tmp_path / "accepted"),
+        str(tmp_path / "ckpt"),
+    )
+    for i, rows in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"vec_id": v, "embedding": e}) for v, e in rows
+            )
+        )
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = start_emb_ingest(stream, cells, acc, ckpt, cent)
+        q.awaitTermination(120)
+
+    accepted = {r.vec_id for r in spark.read.parquet(acc).collect()}
+
+    # --- law 1a: Python greedy replay over the operator's own pair list
+    all_rows = [r for b in batches for r in b]
+    all_df = spark.createDataFrame(all_rows, schema)
+    empty = spark.createDataFrame([], schema)
+    edges = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_near_duplicates_incremental(
+            all_df, empty, threshold=0.85, centroids=cent
+        ).collect()
+    }
+
+    kept = set()
+    for rows in batches:
+        ids = sorted(v for v, _ in rows)
+        batch_kept = set()
+        for d in ids:
+            dup_of_indexed = any(
+                (min(d, e), max(d, e)) in edges for e in kept
+            )
+            dup_of_lower = any((e, d) in edges for e in ids if e < d)
+            if not dup_of_indexed and not dup_of_lower:
+                batch_kept.add(d)
+        kept |= batch_kept
+    assert accepted == kept
+    assert accepted == {0, 1, 2, 10, 12, 21, 23}
+
+    # --- law 1b: batch twin — same loop, all rows in ONE micro-batch
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    (src2 / "all.json").write_text(
+        "\n".join(
+            json.dumps({"vec_id": v, "embedding": e}) for v, e in all_rows
+        )
+    )
+    stream2 = spark.readStream.schema(schema).json(str(src2))
+    q2 = start_emb_ingest(
+        stream2, str(tmp_path / "cells2"), str(tmp_path / "acc2"),
+        str(tmp_path / "ckpt2"), cent,
+    )
+    q2.awaitTermination(120)
+    twin = {
+        r.vec_id
+        for r in spark.read.parquet(str(tmp_path / "acc2")).collect()
+    }
+    assert twin == accepted
+
+    # --- law 2: cross-batch duplicates rejected via the index
+    for dup, canon in ((11, 1), (20, 0), (22, 12)):
+        assert dup not in accepted and canon in accepted
+        assert (min(dup, canon), max(dup, canon)) in edges
+
+    # --- law 3: cells table == accepted vectors' rows, stamped
+    cells_df = spark.read.parquet(cells)
+    assert "index_fp" in cells_df.columns
+    got = {
+        r.neighbor_id for r in cells_df.select("neighbor_id").collect()
+    }
+    assert got == accepted
+    assert cells_df.count() == len(accepted)  # one cell row per vector

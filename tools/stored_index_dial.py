@@ -21,7 +21,7 @@ path's persisted capped tables are unpersisted after every run so no
 iteration inherits another's cache.
 
 Usage: python tools/stored_index_dial.py [sf_dir] [out.json] [families]
-  families — comma list of simhash64,ivf,dhash,audio,video (default: all)
+  families — comma list of simhash64,ivf,semantic,dhash,audio,video (default: all)
 """
 
 from __future__ import annotations
@@ -71,7 +71,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata/sf10"
     out_path = sys.argv[2] if len(sys.argv) > 2 else ""
     families = set(
-        (sys.argv[3] if len(sys.argv) > 3 else "simhash64,ivf,dhash,audio,video").split(",")
+        (sys.argv[3] if len(sys.argv) > 3 else "simhash64,ivf,semantic,dhash,audio,video").split(",")
     )
     spark = get_spark(
         "stored-index-dial",
@@ -170,6 +170,56 @@ def main() -> None:
             "topk_rows": rec_rows,  # 20-query serving batch
         }
         print("ivf", json.dumps(out["ivf"]))
+
+      if "semantic" in families:
+        # --- family 6 (r13, VERDICT r12 #5): semantic cells — the
+        # embedding-ingest serving leg.  A/B semantic_near_duplicates_
+        # incremental recomputing the corpus-side cell assignment vs
+        # serving it from the STORED ivf_index_table (what the
+        # emb_ingest loop maintains).  ARITHMETIC PRE-CHECK: candidates
+        # are sum over cells of |batch ∩ cell| x |cell| — a %7 batch at
+        # sf10 is ~4.5e9 cosines; the 200-vector ingest-batch shape
+        # keeps it ~1.6e7.  Use exactly that (a micro-batch vs the big
+        # corpus IS the ingest geometry).  Modulus split, not an id-range
+        # one: kmeans seeds from the k LOWEST ids, so the corpus must
+        # keep them.
+        emb2 = scale_out(load_table(spark, sf_dir, "embeddings"))
+        s_mod = max(2, emb2.count() // 200)
+        s_corpus = emb2.where(F.col("vec_id") % s_mod != 1)
+        s_batch = emb2.where(F.col("vec_id") % s_mod == 1)
+        s_cent = similarity.kmeans_centroids(s_corpus, k=8, iterations=2)
+        s_cent = spark.createDataFrame(s_cent.collect(), schema=s_cent.schema)
+        sem_path = f"{tmp}/semantic_cells"
+        t0 = time.time()
+        writers.write_partitioned(
+            similarity.ivf_index_table(s_corpus, s_cent), sem_path, ["cell"]
+        )
+        sem_build = round(time.time() - t0, 1)
+        sem_stored = spark.read.parquet(sem_path)
+        rec_m, rec_runs, rec_rows = _timed(
+            spark,
+            lambda: similarity.semantic_near_duplicates_incremental(
+                s_batch, s_corpus, threshold=0.4, centroids=s_cent
+            ),
+        )
+        sto_m, sto_runs, sto_rows = _timed(
+            spark,
+            lambda: similarity.semantic_near_duplicates_incremental(
+                s_batch, None, threshold=0.4, centroids=s_cent,
+                corpus_index=sem_stored,
+            ),
+        )
+        assert rec_rows == sto_rows, (rec_rows, sto_rows)
+        out["semantic"] = {
+            "build_write_s": sem_build,
+            "index_rows": sem_stored.count(),
+            "recompute_s": rec_m,
+            "recompute_runs_s": rec_runs,
+            "stored_s": sto_m,
+            "stored_runs_s": sto_runs,
+            "pair_rows": rec_rows,
+        }
+        print("semantic", json.dumps(out["semantic"]))
 
       if "dhash" in families:
         # --- family 3 (r12, VERDICT r11 #2b): dHash image chunk table ---

@@ -1,0 +1,80 @@
+"""Separation evidence for the frozen quality gate (VERDICT r12 #6).
+
+The oracle hash proves ``text_quality_score`` computes exactly what its
+frozen weights declare; these tests pin the OTHER correctness axis —
+that the gate separates content classes — the same discipline as the
+ANN recall floors (tests/test_ann_recall.py).  The full measurement is
+``tools/quality_gate_study.py`` (QUALITY.md carries the study); floors
+and ceilings here sit below/above the measured sf0.1 rates (long
+0.9995 / mid 0.7709 / short 0.2614) by a margin that absorbs corpus
+redraws, and would still catch a broken weight or feature (which
+collapses every class to the same side of the threshold).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_openfda_faers_spark.functions.text import (
+    quality_logit_micro,
+    token_count,
+)
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def test_keep_rate_separates_length_classes_sf01(spark):
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").select("text")
+    cls = (
+        F.when(token_count(F.col("text")) < 30, "short")
+        .when(token_count(F.col("text")) >= 60, "long")
+        .otherwise("mid")
+    )
+    rates = {
+        r["cls"]: r["rate"]
+        for r in docs.groupBy(cls.alias("cls"))
+        .agg(
+            F.avg(
+                (quality_logit_micro(F.col("text")) >= 0).cast("int")
+            ).alias("rate")
+        )
+        .collect()
+    }
+    # floors/ceilings (measured 0.9995 / 0.7709 / 0.2614 at sf0.1)
+    assert rates["long"] >= 0.90, rates
+    assert rates["short"] <= 0.45, rates
+    # strict ordering with real gaps — the gate separates, not just leans
+    assert rates["long"] >= rates["mid"] + 0.10, rates
+    assert rates["mid"] >= rates["short"] + 0.25, rates
+
+
+@pytest.mark.parametrize(
+    "text,keep",
+    [
+        # nav-bar boilerplate: punct-dense, stopword-poor
+        (
+            "Home | About | Contact | Privacy | Terms | Sitemap | "
+            "Login; Register; Help; FAQ.",
+            False,
+        ),
+        # cookie-banner boilerplate
+        ("Accept cookies? Yes, no; settings: privacy, terms, legal. OK!",
+         False),
+        # link-text fragment: far under the token credit needed
+        ("click here", False),
+        # clean running prose: long, stopword-rich, punctuation-light
+        (
+            "the quick brown fox jumps over a lazy dog and it runs to "
+            "the river in the morning for a drink of water that is cold "
+            "and clear " * 4,
+            True,
+        ),
+    ],
+)
+def test_constructed_boilerplate_vs_body(spark, text, keep):
+    df = spark.createDataFrame([(text,)], "text STRING")
+    got = df.select(
+        (quality_logit_micro(F.col("text")) >= 0).alias("keep")
+    ).collect()[0]["keep"]
+    assert got is keep

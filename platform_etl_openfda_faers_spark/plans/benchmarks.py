@@ -8186,71 +8186,36 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
 # full-registry result is committed as CORRECTNESS_LOCAL_r{N}.json).
 
 _DRIVER_FIRST = [
-    # ROUND-12 ROTATION (VERDICT r11 next-steps #1, executed as promised
-    # by the r11 _DEFERRED_TO_R13 header): lead with (a) the 16
-    # r8-driver-certified hold-backs — the OLDEST driver evidence in the
+    # ROUND-13 ROTATION (VERDICT r12 next-steps #1, executed as promised
+    # by the r12 _DEFERRED_TO_R14 header): lead with (a) the 14
+    # r9-driver-certified hold-backs — the OLDEST driver evidence in the
     # registry (four rounds stale), every one judge-re-verified on the
-    # r11 closing tree — then (b) the 3 new-in-r12 queries plus the one
-    # changed-in-r12 (corpus_curation_pipeline gained the stage-1b
-    # quality gate, so its r11 row no longer certifies this code), then
-    # (c) 30 of the 44 r9-driver-certified (three rounds stale).
-    # Counts and disjointness are ASSERTED in _apply_driver_order
-    # against _DEFERRED_TO_R13 below.
-    # --- (a) the 16 r8-certified hold-backs (decode family + exif/frames
-    # + multimodal_decode/audio_features + the three stream_* queries +
-    # sketch_kmv_overlap):
-    "multimodal_decode_bmp", "multimodal_decode_jpeg",
-    "multimodal_decode_jpeg12", "multimodal_decode_jpeg_420",
-    "multimodal_decode_jpeg_prog", "multimodal_decode_oriented",
-    "multimodal_decode_png", "multimodal_decode_wav", "multimodal_exif_meta",
-    "multimodal_frames", "multimodal_decode", "multimodal_audio_features",
-    "stream_tumbling_counts", "stream_session_windows",
-    "stream_interval_join", "sketch_kmv_overlap",
-    # --- (b) new in r12:
-    # text_quality_score — the frozen model-scored quality gate (integer
-    # logit, hash-exact threshold; VERDICT #7).
-    # corpus_mix_allocation — largest-remainder token apportionment +
-    # portable-hash thresholds (VERDICT #9).
-    # dedup_stored_index_serve — the stored-signature-index SERVING path
-    # through real parquet, driver-visible (VERDICT #2a).
-    # corpus_curation_pipeline — re-windowed: gained stage 1b (the
-    # quality-gate threshold on the integer logit).
-    "text_quality_score", "corpus_mix_allocation",
-    "dedup_stored_index_serve", "corpus_curation_pipeline",
-    # --- (c) 30 of the 44 r9-driver-certified (the 14 NOT rotated have
-    # the densest non-driver coverage — stream==batch pytest equivalences,
-    # image-decode golden fixtures with family cousins in window slot (a),
-    # ANN recall floors, SemDeDup dial, PageRank reference pytest — and
-    # rotate first in r13; they stay certified by the committed
-    # full-registry CORRECTNESS_LOCAL runs):
-    "a_pivot_counts", "a_rollup_totals", "a_weighted_sample",
-    "asof_forward_events", "cdc_apply_roundtrip", "cdc_scd2_history",
-    "cdc_snapshot_diff", "dedup_exact_groups", "dedup_incremental_minhash",
-    "dedup_jaccard_prefix", "f_meddra_parse", "f_scalar_suite",
-    "j1_blacklist_anti", "j_range_join", "l1_explode_structs",
-    "o1_global_topk", "sketch_count_min_portable", "sql_q6_revenue",
-    "text_bpe_count", "text_chunking", "text_fingerprint", "text_langid",
-    "text_packing", "text_repetition", "text_stats", "text_tfidf_topk",
-    "text_vocab_coverage", "w_distinct_windows", "w_frames_suite",
-    "w_ranking_suite",
-]
-
-# Deferred to r13, MAINTAINED AS DATA so _apply_driver_order can assert
-# the bookkeeping.  Provenance: 49 r11-driver-certified (the r11 window
-# minus re-windowed corpus_curation_pipeline), 48 r10-driver-certified,
-# and 14 r9-driver-certified (the densest-covered queries named in the
-# _DRIVER_FIRST (c) note).  Rotation priority for r13: the 14
-# r9-certified first (their driver evidence will be four rounds old),
-# then the r10 block.
-_DEFERRED_TO_R13 = [
-    # 14 r9-driver-certified (rotate FIRST in r13):
+    # r12 closing tree — then (b) the query NEW in r13 plus the one
+    # CHANGED in r13 (dedup_stored_index_serve was refactored into
+    # build/serve legs, its scratch path re-keyed, and its stored index
+    # now carries the index_fp stamp — its r12 row no longer certifies
+    # this code), then (c) 34 of the 48 r10-driver-certified (three
+    # rounds stale).  Counts and disjointness are ASSERTED in
+    # _apply_driver_order against _DEFERRED_TO_R14 below.
+    # --- (a) the 14 r9-certified hold-backs:
     "dedup_clusters", "dedup_semantic", "emb_ivf_kmeans_topk",
     "emb_lsh_multiprobe_topk", "emb_quantize_int8", "graph_pagerank",
     "multimodal_image_dedup", "multimodal_image_dedup_resized",
     "multimodal_image_neardup", "multimodal_meta", "stream_dedup_events",
     "stream_interval_join_outer", "stream_sliding_users",
     "stream_static_enrich",
-    # 48 r10-driver-certified:
+    # --- (b) new/changed in r13:
+    # text_packing_spans — per-bin document span triples (loss-masking
+    # copy plan) over the text_packing running-sum window (VERDICT #9).
+    # dedup_stored_index_serve — re-windowed (see above; VERDICT #4's
+    # build/serve split + ADVICE path keying + index_fp stamp).
+    "text_packing_spans", "dedup_stored_index_serve",
+    # --- (c) 34 of the 48 r10-driver-certified (the 14 NOT rotated are
+    # the media decode/near-dup block whose driver evidence is fresher
+    # via family cousins certified in r12's window slot (a) plus dense
+    # golden-fixture pytest coverage, and p6/sql_q5; they rotate first
+    # in r14 and stay certified by the committed full-registry
+    # CORRECTNESS_LOCAL runs):
     "a4_collect_list", "a5_stratified_sample", "a_cube_grouping",
     "a_dataset_split", "a_grouping_sets", "a_outlier_zscore",
     "a_percentiles", "a_profile_orders", "a_retention_cohorts",
@@ -8262,8 +8227,19 @@ _DEFERRED_TO_R13 = [
     "emb_ivf_incremental_topk", "emb_ivf_pq_rerank_topk", "emb_ivf_pq_topk",
     "emb_ivf_topk", "emb_near_dup_exact", "emb_pq_adc_hi_topk",
     "emb_pq_adc_rerank_topk", "emb_pq_adc_topk", "events_json_props",
-    "j2_dimension_join", "j3_left_outer", "j6_full_outer", "j7_semi_join",
-    "multimodal_audio_dedup", "multimodal_audio_neardup",
+    "j2_dimension_join", "j3_left_outer", "j6_full_outer",
+]
+
+# Deferred to r14, MAINTAINED AS DATA so _apply_driver_order can assert
+# the bookkeeping.  Provenance: 14 r10-driver-certified (the media
+# decode/near-dup block + p6_null_guards + sql_q5_local_supplier —
+# four rounds stale by r14, rotate FIRST), 49 r11-driver-certified,
+# and 49 r12-driver-certified (the r12 window minus re-windowed
+# dedup_stored_index_serve).  Rotation priority for r14: the 14
+# r10-certified, then the r11 block.
+_DEFERRED_TO_R14 = [
+    # 14 r10-driver-certified (rotate FIRST in r14):
+    "j7_semi_join", "multimodal_audio_dedup", "multimodal_audio_neardup",
     "multimodal_audio_neardup_incremental", "multimodal_audio_peaks",
     "multimodal_decode_gif", "multimodal_gif_frames",
     "multimodal_image_neardup_incremental", "multimodal_mp4_meta",
@@ -8288,8 +8264,25 @@ _DEFERRED_TO_R13 = [
     "text_bm25_topk", "text_decontaminate", "text_pii_redact",
     "w_analytic_extras", "w_approx_distinct", "w_funnel_conversion",
     "w_resample_ffill",
-    # new in r13 (moves into the r13 driver window at rotation time):
-    "text_packing_spans",
+    # 49 r12-driver-certified:
+    "a_pivot_counts", "a_rollup_totals", "a_weighted_sample",
+    "asof_forward_events", "cdc_apply_roundtrip", "cdc_scd2_history",
+    "cdc_snapshot_diff", "corpus_curation_pipeline", "corpus_mix_allocation",
+    "dedup_exact_groups", "dedup_incremental_minhash",
+    "dedup_jaccard_prefix", "f_meddra_parse", "f_scalar_suite",
+    "j1_blacklist_anti", "j_range_join", "l1_explode_structs",
+    "multimodal_audio_features", "multimodal_decode",
+    "multimodal_decode_bmp", "multimodal_decode_jpeg",
+    "multimodal_decode_jpeg12", "multimodal_decode_jpeg_420",
+    "multimodal_decode_jpeg_prog", "multimodal_decode_oriented",
+    "multimodal_decode_png", "multimodal_decode_wav", "multimodal_exif_meta",
+    "multimodal_frames", "o1_global_topk", "sketch_count_min_portable",
+    "sketch_kmv_overlap", "sql_q6_revenue", "stream_interval_join",
+    "stream_session_windows", "stream_tumbling_counts", "text_bpe_count",
+    "text_chunking", "text_fingerprint", "text_langid", "text_packing",
+    "text_quality_score", "text_repetition", "text_stats", "text_tfidf_topk",
+    "text_vocab_coverage", "w_distinct_windows", "w_frames_suite",
+    "w_ranking_suite",
 ]
 
 def _apply_driver_order() -> None:
@@ -8300,11 +8293,11 @@ def _apply_driver_order() -> None:
     # the deferred list is bookkeeping the judge audits — keep it honest
     # mechanically (r7/r8 both shipped miscounted comment blocks):
     # disjoint from the window, and window + deferred == whole registry
-    overlap = set(_DRIVER_FIRST) & set(_DEFERRED_TO_R13)
+    overlap = set(_DRIVER_FIRST) & set(_DEFERRED_TO_R14)
     assert not overlap, f"deferred names inside the driver window: {overlap}"
-    assert len(_DEFERRED_TO_R13) == len(set(_DEFERRED_TO_R13))
-    uncovered = set(SPARK_QUERIES) - set(_DRIVER_FIRST) - set(_DEFERRED_TO_R13)
-    phantom = set(_DEFERRED_TO_R13) - set(SPARK_QUERIES)
+    assert len(_DEFERRED_TO_R14) == len(set(_DEFERRED_TO_R14))
+    uncovered = set(SPARK_QUERIES) - set(_DRIVER_FIRST) - set(_DEFERRED_TO_R14)
+    phantom = set(_DEFERRED_TO_R14) - set(SPARK_QUERIES)
     assert not uncovered and not phantom, (uncovered, phantom)
     rest = [n for n in SPARK_QUERIES if n not in set(_DRIVER_FIRST)]
     ordered = {n: SPARK_QUERIES[n] for n in [*_DRIVER_FIRST, *rest]}

@@ -408,3 +408,30 @@ def test_ivf_topk_from_stored_parquet_index(spark, sf_dir, tmp_path):
             None, queries, centroids=cent,
             corpus_cells=stored_idx.drop("index_fp"),
         )
+
+
+def test_cell_occupancy_invariants(spark, sf_dir):
+    """emb_cell_occupancy: occupancy accounts for EVERY corpus vector
+    exactly once, the integer permille columns replay from the counts,
+    the rank is count-descending with cell tie-break, and every reported
+    cell is a real trained centroid."""
+    from platform_etl_openfda_faers_spark.operators import similarity
+    from platform_etl_openfda_faers_spark.plans.benchmarks import (
+        emb_cell_occupancy,
+    )
+
+    rows = emb_cell_occupancy(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    total = emb.count()
+    assert sum(r.n_vectors for r in rows) == total
+    assert len(rows) <= 8
+    for r in rows:
+        assert r.share_permille == (r.n_vectors * 1000) // total
+        assert r.load_permille == (r.n_vectors * 8 * 1000) // total
+    ranked = sorted(rows, key=lambda r: (-r.n_vectors, r.cell))
+    assert [r.occ_rank for r in ranked] == list(range(1, len(rows) + 1))
+    cent_cells = {
+        c.cell
+        for c in similarity.kmeans_centroids(emb, k=8, iterations=2).collect()
+    }
+    assert {r.cell for r in rows} <= cent_cells

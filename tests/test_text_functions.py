@@ -92,3 +92,57 @@ def test_mix_allocation_threshold_portability(spark, sf_dir):
     assert kept <= (2 * total) // 5
     for h in cached_deps(report):
         h.unpersist()
+
+
+def test_curriculum_order_laws(spark, sf_dir):
+    """corpus_curriculum_order's arithmetic global position must equal
+    the sort-order position (the oracle states the semantics as ONE
+    global row_number; the Spark plan never runs a global window), and
+    the kept set must be exactly the quality gate's keep set."""
+    from platform_etl_openfda_faers_spark.functions.text import (
+        quality_logit_micro,
+    )
+    from platform_etl_openfda_faers_spark.operators.cache import cached_deps
+    from platform_etl_openfda_faers_spark.plans.benchmarks import (
+        corpus_curriculum_order,
+    )
+
+    out = corpus_curriculum_order(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "sf0.001 must keep at least one doc"
+
+    # kept set == the quality gate's keep set
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept_ids = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id", quality_logit_micro(F.col("text")).alias("lm")
+        ).collect()
+        if r.lm >= 0
+    }
+    assert {r.doc_id for r in rows} == kept_ids
+
+    # global_pos is a permutation of 1..N
+    n = len(rows)
+    assert sorted(r.global_pos for r in rows) == list(range(1, n + 1))
+
+    # arithmetic position == lexicographic (lang_rank, lang) sort position
+    by_sort = sorted(rows, key=lambda r: (r.lang_rank, r.lang))
+    assert [r.global_pos for r in by_sort] == list(range(1, n + 1))
+
+    # within each language: contiguous ranks, quality-descending order
+    from collections import defaultdict
+
+    per_lang = defaultdict(list)
+    for r in rows:
+        per_lang[r.lang].append(r)
+    for lang, lr in per_lang.items():
+        lr.sort(key=lambda r: r.lang_rank)
+        assert [r.lang_rank for r in lr] == list(range(1, len(lr) + 1)), lang
+        # quality-descending, doc_id-ascending on ties
+        for a, b in zip(lr, lr[1:]):
+            assert a.logit_micro > b.logit_micro or (
+                a.logit_micro == b.logit_micro and a.doc_id < b.doc_id
+            ), (lang, a, b)
+    for h in cached_deps(out):
+        h.unpersist()

@@ -94,6 +94,41 @@ def read_box_state() -> dict:
         la = os.getloadavg()
         return {"load1": la[0], "load5": la[1], "load15": la[2], "tasks": ""}
 
+
+def read_cpu_ticks() -> dict | None:
+    """Aggregate jiffies from /proc/stat's first line.  The load gate
+    catches a busy GUEST, but on a shared host a noisy NEIGHBOR shows up
+    only as STEAL time — CPU the hypervisor gave to someone else while
+    this VM had runnable work (r13: a steal burst inflated the first
+    seven queries of an otherwise gate-green sf10 suite 2-19x with
+    byte-identical shuffles).  Bracketing the run makes that visible in
+    the committed artifact instead of needing a transcript."""
+    try:
+        p = Path("/proc/stat").read_text().splitlines()[0].split()
+        # user nice system idle iowait irq softirq steal
+        vals = [int(x) for x in p[1:9]]
+        return {
+            "busy": vals[0] + vals[1] + vals[2] + vals[5] + vals[6],
+            "idle": vals[3],
+            "iowait": vals[4],
+            "steal": vals[7],
+        }
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def steal_summary(t0: dict | None, t1: dict | None) -> dict | None:
+    """steal/iowait as a share of total elapsed ticks across the run."""
+    if not t0 or not t1:
+        return None
+    total = sum(t1.values()) - sum(t0.values())
+    if total <= 0:
+        return None
+    return {
+        "steal_pct": round(100.0 * (t1["steal"] - t0["steal"]) / total, 2),
+        "iowait_pct": round(100.0 * (t1["iowait"] - t0["iowait"]) / total, 2),
+    }
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from platform_etl_openfda_faers_spark.plans import benchmarks  # noqa: E402
@@ -108,6 +143,7 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_COLD", ""
     ) not in ("", "0")
     box = read_box_state()
+    ticks0 = read_cpu_ticks()
     # the load gate only applies to --cold runs; a warm artifact must not
     # read as gate-approved ("ok" would mean "not checked" there, the one
     # reading the field must never invite) — label warm runs distinctly
@@ -266,6 +302,13 @@ def main() -> None:
         finally:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
+
+    # whole-run steal/iowait share (hypervisor contention the load gate
+    # cannot see) — recorded into box_state so the committed artifact
+    # self-describes noisy-neighbor windows
+    cpu_run = steal_summary(ticks0, read_cpu_ticks())
+    if cpu_run:
+        box["cpu_run"] = cpu_run
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

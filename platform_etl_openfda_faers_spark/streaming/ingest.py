@@ -38,12 +38,31 @@ the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
 from ..operators import dedup
+
+# Partition value the compactor consolidates into.  Batch ids from a
+# live checkpoint lineage are >= 0, so -1 can never collide with an
+# append; reading the index root still discovers it as an ordinary
+# ``ingest_batch`` partition, so serving is oblivious to whether (or
+# how often) compaction has run.
+COMPACTED_BATCH = -1
+
+# Marker file (underscore-prefixed: invisible to Spark's partition
+# discovery) recording the highest batch id ever absorbed by a
+# compaction.  The ingest guards read it: a batch id at or below this
+# watermark can only be a replay from a LOST checkpoint lineage — its
+# rows already live in the compacted base, and rewriting its
+# ``ingest_batch=<id>`` directory would duplicate them.
+_WATERMARK_FILE = "_compacted_through"
 
 
 def _keep_lowest_accept(
@@ -114,6 +133,9 @@ def dedup_ingest_batch(
         stored = spark.read.parquet(index_path)
     except AnalysisException:
         stored = None  # no index yet: first batch ever
+    # a batch id at or below the compaction watermark is a replay from a
+    # lost lineage whose rows already live in the consolidated base
+    _guard_not_compacted(index_path, batch_id, "dedup ingest")
     if stored is not None and batch_id == 0:
         # batch id 0 with a non-empty index = checkpoint-loss replay (or
         # a reused index path): the lost lineage's ingest_batch=1..N
@@ -232,6 +254,7 @@ def emb_ingest_batch(
         stored = spark.read.parquet(cells_path)
     except AnalysisException:
         stored = None  # no index yet: first batch ever
+    _guard_not_compacted(cells_path, batch_id, "embedding ingest")
     if stored is not None and batch_id == 0:
         raise ValueError(
             f"embedding ingest: batch id 0 arrived but {cells_path} "
@@ -322,3 +345,184 @@ def start_emb_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _compacted_through(index_path: str) -> int | None:
+    """Read the compaction watermark (highest absorbed batch id), or
+    None if the index has never been compacted."""
+    p = Path(index_path) / _WATERMARK_FILE
+    try:
+        return int(p.read_text())
+    except (OSError, ValueError):
+        return None
+
+
+def _guard_not_compacted(index_path: str, batch_id: int, what: str) -> None:
+    """Refuse a batch id at or below the compaction watermark — within a
+    healthy checkpoint lineage this cannot happen (compaction runs with
+    the stream stopped, so every absorbed batch was checkpoint-committed
+    before the compactor saw it); seeing one means the checkpoint was
+    lost and the source is being replayed from scratch, and rewriting
+    ``ingest_batch=<id>`` would DUPLICATE rows already consolidated into
+    the ``ingest_batch=-1`` base."""
+    wm = _compacted_through(index_path)
+    if wm is not None and batch_id <= wm:
+        raise ValueError(
+            f"{what}: batch id {batch_id} arrived but {index_path} has "
+            f"been compacted through batch {wm} — those rows already "
+            "live in the consolidated base, so this can only be a replay "
+            "from a lost checkpoint lineage.  The checkpoint is "
+            "load-bearing dedup state: clear the index and accepted "
+            "paths before replaying from scratch."
+        )
+
+
+def compact_ingest_index(
+    spark: SparkSession,
+    index_path: str,
+    partition_cols: tuple[str, ...] = ("ci",),
+    target_partitions: int | None = None,
+) -> dict:
+    """Consolidate an ingest loop's accumulated ``ingest_batch=<id>``
+    appends into one ``ingest_batch=-1`` base — the small-files
+    maintenance job every streaming-maintained index needs (VERDICT r13
+    #4): at production cadence the per-micro-batch append discipline
+    writes one partition directory per batch per secondary-partition
+    value — thousands of small parquet files per day, the classic
+    metadata/open-cost scale-killer — while serving only ever wants the
+    UNION of the rows.  One compaction job rewrites N batch directories
+    into one base whose file count is bounded by the secondary-partition
+    key cardinality, and serving (``spark.read.parquet(index_path)``)
+    is oblivious: the base is just another ``ingest_batch`` partition
+    value, so the loop serves across the compaction boundary unchanged
+    (law-pinned in ``tests/test_compaction.py``).
+
+    Contract:
+    - IDEMPOTENT: the rewrite lands in a dot-prefixed scratch directory
+      (invisible to Spark's partition discovery) and a manifest records
+      the swap before any delete; a crash mid-swap is resumed — never
+      recomputed from a half-deleted index — on the next call, and
+      compacting an already-compacted index is a no-op.
+    - STAMP-PRESERVING: rows are rewritten verbatim, and any build-stamp
+      column (``index_fp`` from ``indexstamp``, ``centroid_fp`` from the
+      IVF family) is asserted SINGLE-VALUED before the rewrite — a mixed
+      index (two builds appended to one path) fails loudly here rather
+      than serving a half-stale result later.
+    - SAFE RELATIVE TO THE LOOP: run it while the stream is stopped
+      (between ``availableNow`` drains — every absorbed batch id is then
+      checkpoint-committed).  The ``_compacted_through`` watermark it
+      leaves makes a lost-checkpoint replay of an absorbed batch fail
+      loudly in the ingest guards instead of duplicating rows.
+
+    ``partition_cols`` — the secondary partitioning under each batch
+    directory (``("ci",)`` for the SimHash chunk index, ``("cell",)``
+    for IVF cells, ``()`` for the flat accepted-docs table).
+    ``target_partitions`` — output parallelism for the rewrite; None
+    repartitions by ``partition_cols`` (exactly one file per key —
+    right for key domains like ci's 4 or a few hundred IVF cells; for a
+    huge key domain or skewed keys pass an explicit count and accept a
+    few files per key).
+
+    Returns ``{"absorbed_batches", "rows", "files_before",
+    "files_after"}``.
+
+    At 100 TB: this is one shuffle of the INDEX (signatures, not
+    documents — the simhash64 chunk table is ~40 bytes/row), embarrassed
+    across the secondary key; the alternative (never compacting) makes
+    every serve enumerate O(batches x keys) files, which is a namenode /
+    object-store listing bomb long before it is an I/O problem.
+    """
+    root = Path(index_path)
+    tmp = root / ".compact_tmp"
+    manifest_path = root / ".compact_manifest.json"
+
+    def _list_files() -> list[Path]:
+        return [
+            p for p in root.rglob("*.parquet")
+            if ".compact_tmp" not in p.parts
+        ]
+
+    def _batch_dirs() -> list[Path]:
+        return sorted(
+            p for p in root.glob("ingest_batch=*") if p.is_dir()
+        )
+
+    def _finish_swap(manifest: dict) -> dict:
+        # tmp is COMPLETE (parquet commit protocol) before the manifest
+        # exists, so finishing is: delete absorbed dirs, promote tmp,
+        # advance the watermark, drop the manifest — each step
+        # re-runnable.
+        for d in manifest["absorbed_dirs"]:
+            shutil.rmtree(root / d, ignore_errors=True)
+        base = root / f"ingest_batch={COMPACTED_BATCH}"
+        if tmp.exists():
+            # the rewrite wrote rows under tmp/<partition dirs>; promote
+            # the whole scratch dir as the new base directory
+            tmp.rename(base)
+        (root / _WATERMARK_FILE).write_text(str(manifest["through"]))
+        manifest_path.unlink(missing_ok=True)
+        return {
+            "absorbed_batches": manifest["absorbed_batches"],
+            "rows": manifest["rows"],
+            "files_before": manifest["files_before"],
+            "files_after": len(_list_files()),
+        }
+
+    if manifest_path.exists():
+        # a previous compaction crashed between manifest and cleanup —
+        # resume the swap (tmp holds the complete consolidated copy)
+        return _finish_swap(json.loads(manifest_path.read_text()))
+    shutil.rmtree(tmp, ignore_errors=True)  # stale scratch, no manifest
+
+    dirs = _batch_dirs()
+    batch_ids = sorted(
+        int(d.name.split("=", 1)[1]) for d in dirs
+    )
+    live_ids = [b for b in batch_ids if b != COMPACTED_BATCH]
+    if not live_ids:
+        return {  # nothing to absorb: no-op (idempotency law)
+            "absorbed_batches": [],
+            "rows": None,
+            "files_before": len(_list_files()),
+            "files_after": len(_list_files()),
+        }
+
+    df = spark.read.parquet(index_path)
+    # stamp preservation: a constant build-stamp column must be constant
+    # ACROSS the batches being merged — bounded collect (1 row iff sane)
+    for stamp_col in ("index_fp", "centroid_fp"):
+        if stamp_col in df.columns:
+            stamps = df.select(stamp_col).distinct().limit(3).collect()
+            assert len(stamps) == 1, (
+                f"compaction refused: {index_path} holds "
+                f"{len(stamps)}+ distinct {stamp_col} values — batches "
+                "from different builds were appended to one index path; "
+                "serving it would mix stale and fresh geometry"
+            )
+    rows = df.count()
+    files_before = len(_list_files())
+    data_cols = [c for c in df.columns if c != "ingest_batch"]
+    out = df.select(*data_cols)
+    if partition_cols:
+        out = (
+            out.repartition(*[F.col(c) for c in partition_cols])
+            if target_partitions is None
+            else out.repartition(target_partitions, *partition_cols)
+        )
+        (
+            out.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(str(tmp))
+        )
+    else:
+        out = out.coalesce(target_partitions or 1)
+        out.write.mode("overwrite").parquet(str(tmp))
+    manifest = {
+        "absorbed_batches": batch_ids,
+        "absorbed_dirs": [d.name for d in dirs],
+        "through": max(live_ids),
+        "rows": rows,
+        "files_before": files_before,
+    }
+    manifest_path.write_text(json.dumps(manifest))
+    return _finish_swap(manifest)

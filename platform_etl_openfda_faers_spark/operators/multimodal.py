@@ -4352,6 +4352,47 @@ def audio_landmark_matches(
     )
 
 
+def audio_tail_spacing(
+    n_docs: int,
+    keys_eff: int = 2900,
+    lm_per_track: int = 18,
+    target_occ: int = 16,
+    base: int = 50,
+) -> int:
+    """Keyspace-scaled spacing for the mixed-geometry NEAR-MISS TAIL of
+    the audio dial/test harness (VERDICT r13 #5): every how-many ids a
+    tail track is planted so the landmark buckets the tail occupies stay
+    UNDER the combined-occupancy cap as the corpus grows.
+
+    The arithmetic (the same catalog-scale keyspace reasoning
+    :func:`audio_landmarks` documents): the test geometry's window=64 /
+    max_dt=3 landmarks live in an EFFECTIVE keyspace of ~``keys_eff``
+    distinct (a_bin, b_bin, dt) keys (~2.9k measured — the 31-residue
+    chain structure times 14 distinct per-seed steps times dt, minus
+    chain intersections), and every track contributes ~``lm_per_track``
+    keys; tail buckets therefore carry a mean occupancy of
+    ``n_tail x lm_per_track / keys_eff``.  Holding that at
+    ``target_occ`` (cap 64 with 4x margin — shared-key counts must also
+    clear ``min_matches`` AFTER hot-key pruning) bounds the tail
+    population, and the spacing follows:
+
+        max_tail = keys_eff x target_occ / lm_per_track   (~2.6k tracks)
+        spacing  = max(base, ceil(n_docs / max_tail / base) x base)
+
+    At the committed scales: 50 at sf0.1/sf1 (unchanged from r12 — its
+    sf1 evidence stands) and 200 at sf10, where the r12 fixed spacing
+    of 50 planted 10k tail tracks -> mean occupancy ~62 -> the cap
+    pruned every tail bucket and the sf10 dial read ``pair_rows: 0``.
+    The dHash/video families never needed this because their chunk
+    keyspace is 65,536 per chunk index — planting density was never the
+    binding constraint.  Rounded to a multiple of ``base`` so sub-group
+    membership stays aligned with the batch stripe (doc_id % 7)."""
+    import math
+
+    max_tail = max(1, (keys_eff * target_occ) // lm_per_track)
+    return max(base, math.ceil(n_docs / max_tail / base) * base)
+
+
 def audio_landmark_table(peaks: DataFrame, max_dt: int = 3) -> DataFrame:
     """(media_id, a_bin, b_bin, dt) — the UNCAPPED landmark-key table for
     an audio catalog: what a production deployment computes ONCE at

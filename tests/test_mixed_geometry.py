@@ -230,3 +230,113 @@ def test_video_mixed_capped_votes_match_replay(spark):
     }
     assert got == want
     assert got, "mixed tail must emit frame votes through the cap"
+
+
+def _audio_replay(lm_rows, cap, min_matches):
+    """Shared audio replay: combined-occupancy cap over landmark-key
+    rows -> surviving-key set intersections for batch-touching pairs."""
+    occ = Counter(key for _, key in lm_rows)
+    keysets = defaultdict(set)
+    for mid, key in lm_rows:
+        if occ[key] <= cap:
+            keysets[mid].add(key)
+    mids = sorted(keysets)
+    want = set()
+    for i, a in enumerate(mids):
+        for b in mids[i + 1:]:
+            if a % 7 != 0 and b % 7 != 0:
+                continue
+            shared = len(keysets[a] & keysets[b])
+            if shared >= min_matches:
+                want.add((a, b, shared))
+    return want
+
+
+def test_audio_tail_keyspace_scaling(spark):
+    """VERDICT r13 #5: the audio tail must be planted at a density the
+    landmark KEYSPACE can carry, or the combined-occupancy cap prunes
+    every tail bucket (the sf10 ``pair_rows: 0`` failure).  Pins:
+
+    (a) the committed spacing constants of
+        ``multimodal.audio_tail_spacing`` — 50 at sf0.1/sf1 (the r12
+        geometry, unchanged) and 200 at sf10;
+    (b) the failure mode it prevents, reproduced deterministically at
+        pytest scale: an over-dense tail drives mean tail-bucket
+        occupancy over the cap and the capped match list loses the
+        tail entirely — while STILL matching the independent replay
+        (the law holds, the geometry is just useless);
+    (c) the fix: spacing derived by the same arithmetic from the same
+        cap restores non-empty tail matches, again replay-exact.
+    """
+    n, cap, min_matches = 3000, 8, 5
+    target_occ = max(1, cap // 4)
+
+    def harness(spacing):
+        tail = F.col("doc_id") % spacing == 0
+        return _ids(spark, n).select(
+            "doc_id",
+            F.when(
+                tail,
+                F.lit(1000) + (F.col("doc_id") / (4 * spacing)).cast("long"),
+            )
+            .otherwise(F.col("doc_id") % 10)
+            .alias("gid"),
+            F.when(tail, (F.col("doc_id") / spacing).cast("long") % 2)
+            .otherwise((F.col("doc_id") / 10).cast("long") % 2)
+            .alias("off"),
+        )
+
+    def run(spacing):
+        peaks = multimodal.audio_spectral_peaks(
+            multimodal.synthetic_wav_media_tonal(
+                harness(spacing), "doc_id", seed_col="gid", offset_col="off"
+            ),
+            window=64,
+        ).persist()
+        is_new = F.col("media_id") % 7 == 0
+        got = {
+            (r.id_a, r.id_b, r.n_matches)
+            for r in multimodal.audio_landmark_matches_incremental(
+                peaks.where(is_new), peaks.where(~is_new),
+                min_matches=min_matches, max_bucket_size=cap,
+            ).collect()
+        }
+        lm_rows = [
+            (r.media_id, (r.a_bin, r.b_bin, r.dt))
+            for r in multimodal.audio_landmarks(peaks, max_dt=3).collect()
+        ]
+        peaks.unpersist()
+        return got, lm_rows
+
+    # --- (a) the committed production constants (keys_eff=2900 etc.)
+    assert multimodal.audio_tail_spacing(5_000) == 50
+    assert multimodal.audio_tail_spacing(50_000) == 50
+    assert multimodal.audio_tail_spacing(500_000) == 200
+
+    # --- (b) over-dense tail: law holds but the tail is cap-pruned away
+    dense = 2
+    got_d, lm_d = run(dense)
+    assert got_d == _audio_replay(lm_d, cap, min_matches)
+    occ_d = Counter(key for _, key in lm_d)
+    tail_keys_d = {k for mid, k in lm_d if mid % dense == 0}
+    mean_occ = sum(occ_d[k] for k in tail_keys_d) / len(tail_keys_d)
+    assert mean_occ > cap  # the saturation premise, measured
+    tails_d = {mid for mid, _ in lm_d if mid % dense == 0}
+    assert not any(a in tails_d and b in tails_d for a, b, _ in got_d)
+
+    # --- (c) keyspace-scaled spacing restores the tail, replay-exact.
+    # keys_eff/lm_per_track measured from THIS corpus's landmarks — the
+    # arithmetic is applied, not assumed
+    keys_eff = len(set(k for _, k in lm_d))
+    lm_per_track = max(1, len(lm_d) // len(set(m for m, _ in lm_d)))
+    scaled = multimodal.audio_tail_spacing(
+        n, keys_eff=keys_eff, lm_per_track=lm_per_track,
+        target_occ=target_occ, base=dense,
+    )
+    assert scaled > dense
+    got_s, lm_s = run(scaled)
+    assert got_s == _audio_replay(lm_s, cap, min_matches)
+    tails_s = {mid for mid, _ in lm_s if mid % scaled == 0}
+    assert any(a in tails_s and b in tails_s for a, b, _ in got_s), (
+        "keyspace-scaled tail must emit matches through the cap"
+    )

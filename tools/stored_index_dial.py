@@ -317,22 +317,30 @@ def main() -> None:
         # triangle (the 118-executor-second sf1 stage the operator's
         # cache note identifies).  Same geometry as the registry query:
         # tonal shifted-rendition harness, batch = doc_id % 7 == 0.
+        a_base = scale_out(load_table(spark, sf_dir, "documents"))
         if mixed:
-            # tail every 50th id, sub-groups of 4 (the landmark keyspace
-            # is only ~2.9k keys, so tail seeds x group size must stay
-            # under the 64 cap on average at sf10 — groups of 4 land
-            # mean occupancy ~62; over-cap outliers prune, the rest emit)
-            a_tail = F.col("doc_id") % 50 == 0
+            # KEYSPACE-SCALED tail spacing (VERDICT r13 #5): the r12
+            # fixed every-50th tail saturated the ~2.9k-key landmark
+            # keyspace at sf10 (10k tail tracks -> mean occupancy ~62 ->
+            # every tail bucket pruned, pair_rows 0).  The spacing now
+            # follows the keyspace arithmetic in
+            # multimodal.audio_tail_spacing — 50 at sf<=1 (r12 evidence
+            # unchanged), 200 at sf10 — with sub-groups of 4 and
+            # alternating offsets exactly as before.
+            a_sp = multimodal.audio_tail_spacing(a_base.count())
+            a_tail = F.col("doc_id") % a_sp == 0
             a_gid = F.when(
-                a_tail, F.lit(1000) + (F.col("doc_id") / 200).cast("long")
+                a_tail,
+                F.lit(1000) + (F.col("doc_id") / (4 * a_sp)).cast("long"),
             ).otherwise(F.col("doc_id") % 10)
             a_off = F.when(
-                a_tail, (F.col("doc_id") / 50).cast("long") % 2
+                a_tail, (F.col("doc_id") / a_sp).cast("long") % 2
             ).otherwise((F.col("doc_id") / 10).cast("long") % 2)
         else:
+            a_sp = None
             a_gid = F.col("doc_id") % 10
             a_off = (F.col("doc_id") / 10).cast("long") % 2
-        adocs = scale_out(load_table(spark, sf_dir, "documents")).select(
+        adocs = a_base.select(
             "doc_id", a_gid.alias("gid"), a_off.alias("off")
         )
 
@@ -380,6 +388,7 @@ def main() -> None:
         assert rec_rows == sto_rows, (rec_rows, sto_rows)
         out["audio"] = {
             "geometry": "mixed_tail" if mixed else "mega_cluster",
+            "tail_spacing": a_sp,
             "build_write_s": au_build,
             "index_rows": au_stored.count(),
             "recompute_s": rec_m,

@@ -78,3 +78,41 @@ def test_constructed_boilerplate_vs_body(spark, text, keep):
         (quality_logit_micro(F.col("text")) >= 0).alias("keep")
     ).collect()[0]["keep"]
     assert got is keep
+
+
+def test_calibration_operating_point_sf01(spark):
+    """VERDICT r13 #8: precision/recall of the frozen gate at its
+    operating point (threshold 0), measured against the CONSTRUCTED
+    ground-truth labels of the calibration population
+    (tools/quality_gate_study.py — prose vs boilerplate variants whose
+    class is known by construction).  Floors sit under the measured
+    sf0.1 values (precision 1.0 / recall 0.9984) with redraw margin;
+    the -1.5M ceiling proves the sweep is non-degenerate (thresholds
+    deep in boilerplate territory DO admit the negative class, so the
+    perfect precision at 0 is separation, not vacuity)."""
+    from tools.quality_gate_study import calibration_frame
+
+    docs = (
+        spark.read.parquet(f"{SF01}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    scored = calibration_frame(docs).select(
+        "label", quality_logit_micro(F.col("text")).alias("logit")
+    ).persist()
+
+    def pr(t):
+        a = scored.select(
+            F.sum(((F.col("logit") >= t) & (F.col("label") == 1)).cast("long")).alias("tp"),
+            F.sum(((F.col("logit") >= t) & (F.col("label") == 0)).cast("long")).alias("fp"),
+            F.sum(((F.col("logit") < t) & (F.col("label") == 1)).cast("long")).alias("fn"),
+        ).collect()[0]
+        prec = a["tp"] / (a["tp"] + a["fp"]) if a["tp"] + a["fp"] else 1.0
+        rec = a["tp"] / (a["tp"] + a["fn"])
+        return prec, rec
+
+    prec0, rec0 = pr(0)
+    assert prec0 >= 0.995, prec0
+    assert rec0 >= 0.99, rec0
+    prec_deep, _ = pr(-1_500_000)
+    assert prec_deep <= 0.6, prec_deep  # negatives exist and are admitted
+    scored.unpersist()

@@ -227,3 +227,89 @@ def test_compaction_refuses_mixed_stamp(spark, tmp_path):
     )
     with pytest.raises(AssertionError, match="distinct index_fp"):
         compact_ingest_index(spark, idx, partition_cols=("ci",))
+
+
+def test_compaction_emb_cells(spark, tmp_path):
+    """The embedding loop's cell table: partition_cols=("cell",),
+    centroid-fingerprint-stamped rows.  Serve identity pre/post
+    compaction and loop continuity (a post-compaction batch dedups
+    against the compacted base)."""
+    import json as _json
+
+    from platform_etl_openfda_faers_spark.operators import similarity
+    from platform_etl_openfda_faers_spark.streaming.ingest import (
+        start_emb_ingest,
+    )
+
+    contents = {
+        0: [1.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0, 0.0, 0.0],
+        2: [0.6, 0.0, 1.0, 0.0, 0.0, 0.0],
+        3: [0.0, 0.6, 0.0, 0.0, 1.0, 0.0],
+        4: [0.6, 0.0, 0.0, 1.0, 0.0, 0.0],
+    }
+
+    def vec(content, jitter=0.0):
+        v = list(contents[content])
+        v[content % 2] += jitter
+        return v
+
+    batches = [
+        [(0, vec(0)), (1, vec(1)), (2, vec(2))],
+        [(10, vec(3)), (11, vec(1, 0.04)), (12, vec(4))],
+    ]
+    cent = spark.createDataFrame(
+        [(0, contents[0]), (1, contents[1])],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    src = tmp_path / "src"
+    src.mkdir()
+    cells, acc, ckpt = (
+        str(tmp_path / "cells"), str(tmp_path / "acc"),
+        str(tmp_path / "ckpt"),
+    )
+    for i, rows in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                _json.dumps({"vec_id": v, "embedding": e}) for v, e in rows
+            )
+        )
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = start_emb_ingest(stream, cells, acc, ckpt, cent)
+        q.awaitTermination(120)
+
+    probe = spark.createDataFrame(
+        [(100, vec(0, 0.02)), (101, vec(4, 0.03)), (102, vec(1, 0.05))],
+        schema,
+    )
+
+    def serve():
+        spark.catalog.refreshByPath(cells)
+        stored = spark.read.parquet(cells)
+        return {
+            (r.id_a, r.id_b)
+            for r in similarity.semantic_near_duplicates_incremental(
+                probe, None, threshold=0.85, centroids=cent,
+                corpus_index=stored,
+            ).collect()
+        }
+
+    before = serve()
+    assert before  # probe really near-dups indexed vectors
+    res = compact_ingest_index(spark, cells, partition_cols=("cell",))
+    assert res["absorbed_batches"] == [0, 1]
+    assert serve() == before
+
+    # loop continuity: 20 near-dups accepted 0 across the boundary
+    (src / "b2.json").write_text(
+        _json.dumps({"vec_id": 20, "embedding": vec(0, 0.03)})
+        + "\n"
+        + _json.dumps({"vec_id": 21, "embedding": [0.3, 0.3, 0.2, 0.2, 0.2, 0.2]})
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = start_emb_ingest(stream, cells, acc, ckpt, cent)
+    q.awaitTermination(120)
+    accepted = {r.vec_id for r in spark.read.parquet(acc).collect()}
+    assert 20 not in accepted and 21 in accepted
+    assert accepted == {0, 1, 2, 10, 12, 21}

@@ -63,6 +63,14 @@ FLAPPER_MIN_ITERS = {
     # median.  j1_blacklist_anti's solo spread was 1.31 (<= 1.5) — noise
     # confirmed, not pinned.
     "w_distinct_windows": 5,
+    # r14: three consecutive rounds of widening cold spread at sf1
+    # (1.32 / 2.63 / 3.16) with BYTE-IDENTICAL 101.0 MB shuffles and
+    # identical input bytes — a heavy-persisting MinHash fold whose
+    # 3-iteration cold median lands anywhere in a 2x envelope.  Five
+    # iterations stabilize it like the other flappers.  (The r14 sf1
+    # suite artifact predates this entry and self-describes 3 effective
+    # iterations.)
+    "dedup_incremental_minhash": 5,
 }
 
 # Cold-run box-state gate: a timed cold bench started while the box is

@@ -4393,6 +4393,39 @@ def audio_tail_spacing(
     return max(base, math.ceil(n_docs / max_tail / base) * base)
 
 
+def video_tail_spacing(
+    n_docs: int,
+    classes: int = 251,
+    target_occ: int = 16,
+    base: int = 25,
+) -> int:
+    """Keyspace-scaled spacing for the mixed-geometry near-miss tail of
+    the VIDEO dial/test harness — the frame-chunk analogue of
+    :func:`audio_tail_spacing`, needed for the same reason at a
+    different modulus: the synthetic grid harness's frame bits are
+    ``(...) % 251 % 2`` expressions, so a seed enters the frame content
+    only MOD 251 — two tail gids 251 apart render BYTE-IDENTICAL frames
+    (pinned in ``test_mixed_geometry.py``).  The effective content
+    keyspace is therefore ~251 classes per frame index, not the 65,536
+    values a 16-bit chunk slice could take; every video in a class
+    lands one row in each of its frames' chunk buckets, so bucket
+    occupancy is ~``n_tail / classes`` and crossing the cap (64) prunes
+    the whole tail — the r14 first video sf10 mixed dial measured
+    exactly that (20k tail videos -> ~80 rows/bucket -> pair_rows 0).
+
+    Holding occupancy at ``target_occ`` (4x margin under the cap):
+
+        max_tail = classes x target_occ                (~4.0k videos)
+        spacing  = max(base, ceil(n_docs / max_tail / base) x base)
+
+    25 at sf0.1/sf1 (the r12 geometry, whose sf1 evidence stands —
+    1,890 pairs) and 125 at sf10."""
+    import math
+
+    max_tail = max(1, classes * target_occ)
+    return max(base, math.ceil(n_docs / max_tail / base) * base)
+
+
 def audio_landmark_table(peaks: DataFrame, max_dt: int = 3) -> DataFrame:
     """(media_id, a_bin, b_bin, dt) — the UNCAPPED landmark-key table for
     an audio catalog: what a production deployment computes ONCE at

@@ -340,3 +340,37 @@ def test_audio_tail_keyspace_scaling(spark):
     assert any(a in tails_s and b in tails_s for a, b, _ in got_s), (
         "keyspace-scaled tail must emit matches through the cap"
     )
+
+
+def test_video_tail_keyspace_scaling(spark):
+    """The video analogue of the audio keyspace scaling (r14): the grid
+    harness's frame bits reduce the seed MOD 251, so the effective
+    content keyspace is ~251 classes — NOT the 65,536 values a 16-bit
+    chunk slice could take — and a fixed every-25th tail saturates the
+    occupancy cap at sf10 (measured: 20k tail videos -> pair_rows 0).
+    Pins (a) the class-collapse premise itself: two gids 251 apart
+    render BYTE-IDENTICAL frame dHashes (the collision that makes
+    buckets fill with corpus size), and (b) the committed spacing
+    constants of ``multimodal.video_tail_spacing``."""
+    ids = spark.createDataFrame(
+        [(0, 1000, 0), (1, 1251, 0), (2, 1001, 0)],
+        "doc_id LONG, gid LONG, off LONG",
+    )
+    fh = multimodal.video_frame_dhash(
+        multimodal.synthetic_avi_media_grid(
+            ids, "doc_id", seed_col="gid", offset_col="off"
+        )
+    ).collect()
+    seq = {
+        mid: sorted(
+            (r.frame_idx, r.dhash_hi, r.dhash_lo) for r in fh
+            if r.media_id == mid
+        )
+        for mid in (0, 1, 2)
+    }
+    assert seq[0] == seq[1], "gids 251 apart must collide (mod-251 bits)"
+    assert seq[0] != seq[2], "adjacent gids must differ"
+
+    assert multimodal.video_tail_spacing(5_000) == 25
+    assert multimodal.video_tail_spacing(50_000) == 25
+    assert multimodal.video_tail_spacing(500_000) == 125

@@ -408,21 +408,31 @@ def main() -> None:
         # its OWN pre-split docs so the recompute path is the honest
         # production recompute (decode both sides), not the registry's
         # persisted-once harness shortcut.
+        v_base = scale_out(load_table(spark, sf_dir, "documents"))
         if mixed:
-            # tail every 25th id, sub-groups of 8: frame-chunk keyspace
-            # is 65,536 per ci, so distinct tail seeds stay distinct and
-            # bucket occupancy ~ group size — well under the cap
-            v_tail = F.col("doc_id") % 25 == 0
+            # KEYSPACE-SCALED tail spacing (r14): the 16-bit chunk
+            # slices suggest a 65,536 keyspace, but the grid harness's
+            # frame bits reduce the seed MOD 251 — only ~251 distinct
+            # content classes exist, so a fixed every-25th tail
+            # saturates the occupancy cap at sf10 (20k tail videos ->
+            # ~80 rows/bucket -> pair_rows 0, measured).  Spacing now
+            # follows multimodal.video_tail_spacing (25 at sf <= 1 —
+            # r12 geometry unchanged — and 125 at sf10); sub-groups of
+            # 8 with alternating offsets exactly as before.
+            v_sp = multimodal.video_tail_spacing(v_base.count())
+            v_tail = F.col("doc_id") % v_sp == 0
             v_gid = F.when(
-                v_tail, F.lit(1000) + (F.col("doc_id") / 200).cast("long")
+                v_tail,
+                F.lit(1000) + (F.col("doc_id") / (8 * v_sp)).cast("long"),
             ).otherwise(F.col("doc_id") % 10)
             v_off = F.when(
-                v_tail, (F.col("doc_id") / 25).cast("long") % 2
+                v_tail, (F.col("doc_id") / v_sp).cast("long") % 2
             ).otherwise((F.col("doc_id") / 10).cast("long") % 2)
         else:
+            v_sp = None
             v_gid = F.col("doc_id") % 10
             v_off = (F.col("doc_id") / 10).cast("long") % 2
-        vdocs = scale_out(load_table(spark, sf_dir, "documents")).select(
+        vdocs = v_base.select(
             "doc_id", v_gid.alias("gid"), v_off.alias("off")
         )
 
@@ -469,6 +479,7 @@ def main() -> None:
         assert rec_rows == sto_rows, (rec_rows, sto_rows)
         out["video"] = {
             "geometry": "mixed_tail" if mixed else "mega_cluster",
+            "tail_spacing": v_sp,
             "build_write_s": vi_build,
             "index_rows": vi_stored.count(),
             "recompute_s": rec_m,

@@ -209,7 +209,14 @@ def main() -> None:
                     file=sys.stderr,
                 )
                 sys.exit(2)
-            box["gate"] = "forced_steal"
+            # accumulate gate labels — a box that is BOTH loaded and
+            # stealing keeps both provenance tags in the artifact
+            # (previously 'forced_steal' overwrote 'forced_loaded')
+            box["gate"] = (
+                "forced_steal"
+                if box["gate"] == "ok"
+                else box["gate"] + "+forced_steal"
+            )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # shuffle partitions default to the core count; at larger scale

@@ -2002,9 +2002,10 @@ def dedup_stored_index_serve(spark: SparkSession, sf: str) -> DataFrame:
 # total (VERDICT r12 #4).
 BUILD_SERVE: dict[str, tuple] = {
     "dedup_stored_index_serve": (serving_index_build, serving_index_serve),
-    # registered late in the module (the video legs are defined beside
-    # the video family's queries); key presence is asserted after both
-    # definitions exist — see _register_video_build_serve below them
+    # the video stored-serve legs are registered by a direct
+    # BUILD_SERVE[...] assignment later in the module, immediately
+    # after the video legs themselves are defined (they need the video
+    # family's helpers, which don't exist yet at this point)
 }
 
 

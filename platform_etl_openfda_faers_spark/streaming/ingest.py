@@ -347,9 +347,31 @@ def start_emb_ingest(
     )
 
 
+def _require_local_index_path(index_path: str, what: str) -> None:
+    """The compaction watermark + manifest-swap machinery is LOCAL-FS
+    ONLY by design (``Path``/``shutil``/``rename`` atomicity): on a
+    remote URI (hdfs://, s3a://, ...) ``Path.read_text`` would raise
+    OSError and the replay guard would silently pass as "never
+    compacted" — the one failure mode worse than refusing.  Fail loudly
+    at the API boundary instead; porting to an object store means
+    re-implementing the swap on that store's commit primitives (e.g.
+    conditional PUT), not reusing this code path."""
+    scheme = index_path.split("://", 1)[0] if "://" in index_path else ""
+    if scheme and scheme not in ("file",):
+        raise NotImplementedError(
+            f"{what}: index path {index_path!r} uses scheme "
+            f"{scheme!r}, but the compaction watermark/manifest "
+            "machinery is local-FS only (atomic rename + POSIX "
+            "read_text). Running it against a remote store would make "
+            "the lost-checkpoint replay guard silently pass."
+        )
+
+
 def _compacted_through(index_path: str) -> int | None:
     """Read the compaction watermark (highest absorbed batch id), or
-    None if the index has never been compacted."""
+    None if the index has never been compacted.  Local-FS only — see
+    ``_require_local_index_path``."""
+    _require_local_index_path(index_path, "compaction watermark read")
     p = Path(index_path) / _WATERMARK_FILE
     try:
         return int(p.read_text())
@@ -432,6 +454,7 @@ def compact_ingest_index(
     every serve enumerate O(batches x keys) files, which is a namenode /
     object-store listing bomb long before it is an I/O problem.
     """
+    _require_local_index_path(index_path, "compact_ingest_index")
     root = Path(index_path)
     tmp = root / ".compact_tmp"
     manifest_path = root / ".compact_manifest.json"
@@ -451,11 +474,19 @@ def compact_ingest_index(
         # tmp is COMPLETE (parquet commit protocol) before the manifest
         # exists, so finishing is: delete absorbed dirs, promote tmp,
         # advance the watermark, drop the manifest — each step
-        # re-runnable.
-        for d in manifest["absorbed_dirs"]:
-            shutil.rmtree(root / d, ignore_errors=True)
+        # re-runnable.  The absorbed-dir deletes run ONLY while the swap
+        # is still pending (tmp present): on a RE-compaction the
+        # absorbed set includes the existing ``ingest_batch=-1`` base,
+        # and a resume after ``tmp.rename(base)`` must not rmtree the
+        # just-promoted base with no tmp left to restore it — that crash
+        # window would silently empty the index while the watermark
+        # still advanced.  Deletes are idempotent within the pending
+        # branch; once tmp is gone, promotion is done and the resume
+        # only finishes watermark + manifest.
         base = root / f"ingest_batch={COMPACTED_BATCH}"
         if tmp.exists():
+            for d in manifest["absorbed_dirs"]:
+                shutil.rmtree(root / d, ignore_errors=True)
             # the rewrite wrote rows under tmp/<partition dirs>; promote
             # the whole scratch dir as the new base directory
             tmp.rename(base)
@@ -493,12 +524,17 @@ def compact_ingest_index(
     for stamp_col in ("index_fp", "centroid_fp"):
         if stamp_col in df.columns:
             stamps = df.select(stamp_col).distinct().limit(3).collect()
-            assert len(stamps) == 1, (
-                f"compaction refused: {index_path} holds "
-                f"{len(stamps)}+ distinct {stamp_col} values — batches "
-                "from different builds were appended to one index path; "
-                "serving it would mix stale and fresh geometry"
-            )
+            if len(stamps) != 1:
+                # explicit raise, not assert: this safety check must
+                # survive `python -O` — a stripped assert would silently
+                # consolidate two builds' geometry into one index
+                raise ValueError(
+                    f"compaction refused: {index_path} holds "
+                    f"{len(stamps)}+ distinct {stamp_col} values — "
+                    "batches from different builds were appended to one "
+                    "index path; serving it would mix stale and fresh "
+                    "geometry"
+                )
     rows = df.count()
     files_before = len(_list_files())
     data_cols = [c for c in df.columns if c != "ingest_batch"]

@@ -213,6 +213,77 @@ def test_compaction_crash_resume(spark, tmp_path):
     assert _serve_pairs(spark, idx, PROBE) == before_pairs
 
 
+def test_recompaction_crash_after_promotion_keeps_base(spark, tmp_path):
+    """Regression (ADVICE r14 high): on a RE-compaction the absorbed set
+    includes the existing ``ingest_batch=-1`` base.  A crash landing
+    AFTER ``tmp.rename(base)`` but BEFORE the manifest unlink used to
+    make the resumed ``_finish_swap`` rmtree the just-promoted base
+    (tmp no longer existed to restore it) — silently emptying the index
+    while the watermark still advanced.  The fix only deletes absorbed
+    dirs while the swap is pending (tmp present); a resume after
+    promotion must finish watermark + manifest ONLY, leaving the base
+    intact."""
+    idx, _, src, ckpt = _ingest_files(spark, tmp_path, "repromote", BATCHES[:2])
+    root = Path(idx)
+    compact_ingest_index(spark, idx, partition_cols=("ci",))
+
+    # batch 2 arrives post-compaction -> dirs are base + ingest_batch=2
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": d, "text": t}) for d, t in BATCHES[2]
+        )
+    )
+    stream = spark.readStream.schema(_SCHEMA).json(str(src))
+    q = start_dedup_ingest(
+        stream, idx, str(tmp_path / "acc_repromote"), ckpt
+    )
+    q.awaitTermination(120)
+    spark.catalog.refreshByPath(idx)
+    before_pairs = _serve_pairs(spark, idx, PROBE)
+    rows_before = spark.read.parquet(idx).count()
+
+    # manufacture the post-promotion crash state of a SECOND compaction:
+    # consolidated copy promoted to base, absorbed dirs (old base + batch
+    # 2) deleted, tmp gone — manifest still present, watermark stale
+    df = spark.read.parquet(idx).drop("ingest_batch")
+    dirs = sorted(d.name for d in root.glob("ingest_batch=*"))
+    assert dirs == ["ingest_batch=-1", "ingest_batch=2"]
+    manifest = {
+        "absorbed_batches": [-1, 2],
+        "absorbed_dirs": dirs,
+        "through": 2,
+        "rows": rows_before,
+        "files_before": len(_parquet_files(idx)),
+    }
+    (
+        df.repartition(F.col("ci"))
+        .write.mode("overwrite")
+        .partitionBy("ci")
+        .parquet(str(root / ".compact_tmp"))
+    )
+    for d in dirs:
+        shutil.rmtree(root / d)
+    (root / ".compact_tmp").rename(root / "ingest_batch=-1")
+    (root / ".compact_manifest.json").write_text(json.dumps(manifest))
+
+    res = compact_ingest_index(spark, idx, partition_cols=("ci",))
+    # resume finished the bookkeeping without touching the promoted base
+    assert res["absorbed_batches"] == [-1, 2]
+    assert (root / "_compacted_through").read_text() == "2"
+    assert not (root / ".compact_manifest.json").exists()
+    spark.catalog.refreshByPath(idx)
+    assert spark.read.parquet(idx).count() == rows_before  # NOT emptied
+    assert _serve_pairs(spark, idx, PROBE) == before_pairs
+
+
+def test_compaction_rejects_remote_uri(spark):
+    """The watermark/manifest machinery is local-FS only; a remote URI
+    must fail loudly instead of letting the replay guard silently pass
+    as 'never compacted' (ADVICE r14 low)."""
+    with pytest.raises(NotImplementedError, match="local-FS only"):
+        compact_ingest_index(spark, "s3a://bucket/index")
+
+
 def test_compaction_refuses_mixed_stamp(spark, tmp_path):
     """Two different builds appended to one index path: the constant-
     stamp assertion refuses to consolidate them."""
@@ -225,7 +296,7 @@ def test_compaction_refuses_mixed_stamp(spark, tmp_path):
     poisoned.write.mode("overwrite").partitionBy("ci").parquet(
         f"{idx}/ingest_batch=9"
     )
-    with pytest.raises(AssertionError, match="distinct index_fp"):
+    with pytest.raises(ValueError, match="distinct index_fp"):
         compact_ingest_index(spark, idx, partition_cols=("ci",))
 
 

@@ -2009,6 +2009,91 @@ BUILD_SERVE: dict[str, tuple] = {
 }
 
 
+def compacted_index_build(spark: SparkSession, sf: str) -> str:
+    """BUILD+COMPACT leg of ``dedup_compacted_serve``: write the corpus
+    chunk table as THREE ``ingest_batch=<id>`` partition directories
+    (the shape the streaming ingest loop accumulates — one directory per
+    micro-batch per ``ci`` value), then run
+    :func:`~platform_etl_openfda_faers_spark.streaming.ingest.compact_ingest_index`
+    to consolidate them into the single ``ingest_batch=-1`` base.
+    Returns the index path; the compaction result is asserted non-vacuous
+    (three batches really absorbed) so the query can't silently degrade
+    into ``dedup_stored_index_serve``.
+
+    The batch split is doc_id % 3 over the corpus (deterministic, no
+    ordering dependence); every slice carries the same parameter-derived
+    ``index_fp`` stamp, so the compactor's single-stamp refusal check is
+    exercised on the passing side.  The directory is cleared first —
+    the registry callable must be self-contained and idempotent, and
+    re-appending batch dirs onto an already-compacted base would
+    duplicate index rows (the real loop prevents this with the
+    checkpoint + watermark; a benchmark callable has neither)."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ..streaming.ingest import compact_ingest_index
+
+    docs = load_docs(spark, sf)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    idx_path = _os.path.join(
+        _tf.gettempdir(),
+        f"spark_graft_compacted_index_{spark.sparkContext.applicationId}",
+        f"simhash64_{_hl.md5(sf.encode()).hexdigest()[:12]}",
+    )
+    _sh.rmtree(idx_path, ignore_errors=True)
+    for b in range(3):
+        (
+            dedup.simhash64_chunk_table(
+                corpus.where(F.col("doc_id") % 3 == b), "text", "doc_id"
+            )
+            .write.mode("overwrite")
+            .partitionBy("ci")
+            .parquet(f"{idx_path}/ingest_batch={b}")
+        )
+    res = compact_ingest_index(spark, idx_path, partition_cols=("ci",))
+    if res["absorbed_batches"] != [0, 1, 2]:
+        raise AssertionError(
+            f"compacted_index_build: expected to absorb batches "
+            f"[0, 1, 2], got {res['absorbed_batches']} — the query would "
+            "not be exercising the compaction boundary"
+        )
+    return idx_path
+
+
+@query("dedup_compacted_serve", _SIMHASH64_INC_SQL)
+def dedup_compacted_serve(spark: SparkSession, sf: str) -> DataFrame:
+    """Serve ACROSS the compaction boundary, driver-visible (VERDICT r14
+    #1): accumulate the corpus chunk index as three ``ingest_batch=``
+    appends (the streaming loop's on-disk shape), COMPACT them into the
+    ``ingest_batch=-1`` base with ``compact_ingest_index``
+    (``streaming/ingest.py:380``), then near-dup check the batch
+    (doc_id % 7 == 0) against the compacted stored index.
+
+    The oracle is the same analytic replay as
+    ``dedup_incremental_simhash64`` / ``dedup_stored_index_serve`` —
+    compaction is result-invariant BY CONSTRUCTION (rows are rewritten
+    verbatim; serving reads the union either way), so the driver's
+    value-hash now certifies the round's newest moving part, which was
+    previously pinned only by ``tests/test_compaction.py``.  The
+    build+compact and serve legs are split in ``BUILD_SERVE`` so the
+    committed artifact separates one-time maintenance cost from the
+    per-batch serving cost.
+
+    At 100 TB: the pre-compaction index here is 3 batches x 4 ci dirs of
+    small files; production cadence makes that thousands of directories
+    — the namenode/object-store listing bomb compaction exists to bound.
+    Serving from the compacted base reads 4 files total."""
+    return serving_index_serve(spark, sf, compacted_index_build(spark, sf))
+
+
+BUILD_SERVE["dedup_compacted_serve"] = (
+    compacted_index_build,
+    serving_index_serve,
+)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis over documents
 
@@ -7023,6 +7108,178 @@ def corpus_curriculum_packing(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "corpus_curriculum_packing_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_quality_logit_sql("text", "toks")} AS logit_micro,
+        len(toks) AS n_tokens
+      FROM (SELECT doc_id, lang, text, {_TOKENS_SQL} AS toks FROM documents)
+    ),
+    kept AS (SELECT * FROM t WHERE logit_micro >= 0),
+    r AS (
+      SELECT doc_id, lang, n_tokens,
+        CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY logit_micro DESC, doc_id) AS INT) AS lang_rank
+      FROM kept
+    ),
+    g AS (
+      SELECT doc_id, lang, n_tokens,
+        CAST(row_number() OVER (ORDER BY lang_rank, lang) AS BIGINT)
+          AS global_pos
+      FROM r
+    ),
+    p AS (
+      SELECT doc_id, lang, n_tokens, global_pos,
+        CAST((global_pos - 1) % 16 AS INT) AS shard,
+        CAST(SUM(n_tokens) OVER (PARTITION BY (global_pos - 1) % 16
+            ORDER BY global_pos ROWS UNBOUNDED PRECEDING) - n_tokens
+          AS BIGINT) AS tok_start
+      FROM g
+    ),
+    s AS (
+      SELECT doc_id, lang, global_pos, shard, tok_start,
+        CAST(tok_start + n_tokens - 1 AS BIGINT) AS tok_end
+      FROM p WHERE n_tokens > 0
+    )
+    SELECT doc_id, lang, global_pos, shard,
+      CAST(b.bin_id AS INT) AS bin_id,
+      CAST(GREATEST(tok_start, b.bin_id * 2048) - b.bin_id * 2048 AS INT)
+        AS bin_offset,
+      CAST(GREATEST(tok_start, b.bin_id * 2048) - tok_start AS INT)
+        AS doc_tok_start,
+      CAST(LEAST(tok_end, b.bin_id * 2048 + 2047)
+           - GREATEST(tok_start, b.bin_id * 2048) + 1 AS INT)
+        AS n_span_tokens
+    FROM s, LATERAL (
+      SELECT unnest(generate_series(tok_start // 2048, tok_end // 2048))
+        AS bin_id
+    ) b
+    """,
+)
+def corpus_curriculum_packing_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum-ordered packing, SPAN form (VERDICT r14 #7) — the last
+    composition in the training-export story: ``corpus_curriculum_packing``
+    emits each doc's (bin_id, bin_offset) in curriculum order;
+    ``text_packing_spans`` emits the per-bin span triples a loader
+    consumes, but in raw ``doc_id`` order.  This query emits the span
+    triples IN CURRICULUM ORDER — (bin_id, bin_offset, doc_tok_start,
+    n_span_tokens) per bin a doc touches, where the stream being packed
+    is the quality-annealed, language-interleaved curriculum — so the
+    exported bins are directly loadable (copy plan + loss-mask spans)
+    AND replay the curriculum.
+
+    Plan shape: identical to its two parents composed — the per-language
+    rank window, the bounded per-language count collect folded into
+    arithmetic ``global_pos`` (NO global window; the oracle's global
+    ``row_number`` is replayed arithmetically exactly as in
+    ``corpus_curriculum_order``), the per-shard running-sum window over
+    ``(global_pos - 1) % 16``, then the row-local ``sequence`` +
+    ``explode`` over the bins each doc touches (fan-out ≈ 1 row/doc).
+    All-integer, hash-exact across engines."""
+    from functools import reduce
+
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.text import quality_logit_micro, token_count
+    from ..operators.cache import attach_cached
+
+    cap, shards = 2048, 16
+    docs = load_docs(spark, sf)
+    # same persist rationale as corpus_curriculum_packing: two consumers
+    # (rank window + count aggregate) and the cache boundary stops
+    # Catalyst from evaluating the tokenize-heavy logit twice per row
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        quality_logit_micro(F.col("text")).alias("logit_micro"),
+        token_count(F.col("text")).alias("n_tokens"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    kept = scored.where(F.col("logit_micro") >= 0)
+    ranked = kept.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.col("logit_micro").desc(), "doc_id"
+            )
+        )
+        .cast("int")
+        .alias("lang_rank"),
+    )
+    # bounded collect: one (lang, count) row per language code
+    counts = sorted(
+        (row["lang"], int(row["cnt"]))
+        for row in kept.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    )
+    rank_l = F.col("lang_rank").cast("long")
+    below = reduce(
+        lambda a, b: a + b,
+        [F.least(F.lit(c).cast("long"), rank_l - 1) for _, c in counts],
+        F.lit(0).cast("long"),
+    )
+    ahead = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(
+                (F.lit(lg) < F.col("lang")) & (F.lit(c) >= F.col("lang_rank")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            for lg, c in counts
+        ],
+        F.lit(0).cast("long"),
+    )
+    positioned = ranked.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (below + ahead + 1).cast("long").alias("global_pos"),
+    ).withColumn(
+        "shard", F.pmod(F.col("global_pos") - 1, F.lit(shards)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("global_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = positioned.select(
+        "doc_id",
+        "lang",
+        "global_pos",
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_start"),
+    ).where(F.col("n_tokens") > 0)
+    s = s.withColumn("tok_end", F.col("tok_start") + F.col("n_tokens") - 1)
+    bin_id = F.explode(
+        F.sequence(
+            (F.col("tok_start") / cap).cast("long"),
+            (F.col("tok_end") / cap).cast("long"),
+        )
+    )
+    s = s.select(
+        "doc_id", "lang", "global_pos", "shard", "tok_start", "tok_end",
+        bin_id.alias("bin_id"),
+    )
+    span_lo = F.greatest(F.col("tok_start"), F.col("bin_id") * cap)
+    span_hi = F.least(F.col("tok_end"), F.col("bin_id") * cap + (cap - 1))
+    out = s.select(
+        "doc_id",
+        "lang",
+        "global_pos",
+        "shard",
+        F.col("bin_id").cast("int").alias("bin_id"),
+        (span_lo - F.col("bin_id") * cap).cast("int").alias("bin_offset"),
+        (span_lo - F.col("tok_start")).cast("int").alias("doc_tok_start"),
+        (span_hi - span_lo + 1).cast("int").alias("n_span_tokens"),
+    )
+    return attach_cached(out, scored)
+
+
+@query(
     "scd2_user_history",
     """
     WITH ordered AS (
@@ -7531,9 +7788,11 @@ def multimodal_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_audio_neardup_incremental",
-    """
+# Shared by multimodal_audio_neardup_incremental AND
+# multimodal_audio_stored_serve: stored == recompute is the family's
+# law (pytest-pinned), so the stored-index serving query is certified
+# by the same analytic replay.
+_AUDIO_NEARDUP_INC_SQL = """
     WITH d AS (
       SELECT doc_id, doc_id % 10 AS gid, (doc_id // 10) % 2 AS off,
         doc_id % 7 = 0 AS is_new
@@ -7569,8 +7828,10 @@ def multimodal_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id)
     )
     SELECT id_a, id_b, n_matches FROM m WHERE n_matches >= 10
-    """,
-)
+"""
+
+
+@query("multimodal_audio_neardup_incremental", _AUDIO_NEARDUP_INC_SQL)
 def multimodal_audio_neardup_incremental(
     spark: SparkSession, sf: str
 ) -> DataFrame:
@@ -7608,6 +7869,108 @@ def multimodal_audio_neardup_incremental(
     )
     out = matched.select(F.col("id_a"), F.col("id_b"), F.col("n_matches"))
     return attach_cached(out, *cached_deps(matched))
+
+
+def _audio_harness_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The shifted-rendition tonal WAV harness keys shared by the audio
+    near-dup queries: (gid, off) pick each track's tone sequence and
+    one-window time shift."""
+    return load_docs(spark, sf).select(
+        "doc_id",
+        (F.col("doc_id") % 10).alias("gid"),
+        ((F.col("doc_id") / 10).cast("long") % 2).alias("off"),
+    )
+
+
+def audio_serving_index_build(spark: SparkSession, sf: str) -> str:
+    """BUILD leg of the audio stored-index serving query (VERDICT r14
+    #3): synthesize + WAV-decode + FFT + landmark-triangle the CATALOG's
+    tracks (media_id % 7 != 0) ONCE with
+    :func:`multimodal.audio_landmark_table` (index_fp-stamped, ``max_dt``
+    in the stamp) and WRITE the landmark-key table to real
+    dt-partitioned parquet — the ingest-time fold a production audio
+    catalog pays once.  The r14 dial already measured the serve win
+    (−63% at sf10 with 7,153 real tail pairs); this leg makes the build
+    driver-visible.  Scratch path keyed by applicationId + SF, same
+    discipline as :func:`serving_index_build`."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.writers import write_partitioned
+
+    catalog = _audio_harness_docs(spark, sf).where(F.col("doc_id") % 7 != 0)
+    media = multimodal.synthetic_wav_media_tonal(
+        catalog, "doc_id", seed_col="gid", offset_col="off"
+    )
+    idx_path = _os.path.join(
+        _tf.gettempdir(),
+        f"spark_graft_serving_index_{spark.sparkContext.applicationId}",
+        f"audiolandmark_{_hl.md5(sf.encode()).hexdigest()[:12]}",
+    )
+    write_partitioned(
+        multimodal.audio_landmark_table(
+            multimodal.audio_spectral_peaks(media, window=64), max_dt=3
+        ),
+        idx_path,
+        ["dt"],
+    )
+    return idx_path
+
+
+def audio_serving_index_serve(
+    spark: SparkSession, sf: str, idx_path: str
+) -> DataFrame:
+    """SERVE leg: landmark-match the batch (media_id % 7 == 0) against
+    the STORED landmark index via ``corpus_index=`` — the catalog's
+    audio bytes are never re-read, so the batch pays synthesis + decode
+    + FFT + landmark build only for its own tracks and the catalog side
+    is a decode-free parquet scan of the stamped index (``max_dt``
+    asserted by ``indexstamp.guard_index`` at serve time)."""
+    batch = _audio_harness_docs(spark, sf).where(F.col("doc_id") % 7 == 0)
+    media = multimodal.synthetic_wav_media_tonal(
+        batch, "doc_id", seed_col="gid", offset_col="off"
+    )
+    stored = spark.read.parquet(idx_path)
+    return multimodal.audio_landmark_matches_incremental(
+        multimodal.audio_spectral_peaks(media, window=64),
+        None,
+        max_dt=3,
+        min_matches=10,
+        max_bucket_size=64,
+        corpus_index=stored,
+    ).select(F.col("id_a"), F.col("id_b"), F.col("n_matches"))
+
+
+@query("multimodal_audio_stored_serve", _AUDIO_NEARDUP_INC_SQL)
+def multimodal_audio_stored_serve(spark: SparkSession, sf: str) -> DataFrame:
+    """The audio stored-landmark-index SERVING path, driver-visible
+    (VERDICT r14 #3) — the THIRD stored-serve family to get the
+    hash-level driver certificate, after text (r13) and video (r14):
+    build the catalog's UNCAPPED landmark-key table with
+    :func:`multimodal.audio_landmark_table`, WRITE it to real
+    dt-partitioned parquet (what a production deployment computes once
+    at ingest), then serve the batch from the STORED index via
+    ``corpus_index=``.
+
+    The oracle is the SAME analytic replay as
+    ``multimodal_audio_neardup_incremental`` (stored == recompute is the
+    family's law, pytest-pinned in ``test_asof_multimodal.py``), so the
+    driver's value-hash certifies the stored path's RESULTS; the r14
+    dial (−63% at sf10, 7,153 tail pairs) already proved the runtime
+    win.  Self-contained registry callable → BUILD-DOMINATED total;
+    ``BUILD_SERVE`` exposes the legs separately so the committed
+    artifact carries the split and the decode+FFT-heavy build can't be
+    misread as the serving path."""
+    return audio_serving_index_serve(
+        spark, sf, audio_serving_index_build(spark, sf)
+    )
+
+
+BUILD_SERVE["multimodal_audio_stored_serve"] = (
+    audio_serving_index_build,
+    audio_serving_index_serve,
+)
 
 
 @query(
@@ -8631,87 +8994,72 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
 # full-registry result is committed as CORRECTNESS_LOCAL_r{N}.json).
 
 _DRIVER_FIRST = [
-    # ROUND-14 ROTATION (VERDICT r13 next-steps #2, executed as promised
-    # by the r13 _DEFERRED_TO_R14 header): lead with (a) the 16
-    # r10-driver-certified hold-backs — now the OLDEST driver evidence
-    # in the registry (four rounds stale; includes j3_left_outer /
-    # j6_full_outer, displaced from the r13 window by that round's new
-    # queries), every one re-verified by the judge's own full-registry
-    # oracle run on the r13 closing tree — then (b) the two queries NEW
-    # in r14, then (c) 32 of the 49 r11-driver-certified (three rounds
-    # stale).  Counts and disjointness are ASSERTED in
-    # _apply_driver_order against _DEFERRED_TO_R15 below.
-    # --- (a) the 16 r10-certified hold-backs:
-    "j3_left_outer", "j6_full_outer", "j7_semi_join",
-    "multimodal_audio_dedup", "multimodal_audio_neardup",
-    "multimodal_audio_neardup_incremental", "multimodal_audio_peaks",
-    "multimodal_decode_gif", "multimodal_gif_frames",
-    "multimodal_image_neardup_incremental", "multimodal_mp4_meta",
-    "multimodal_video_dedup", "multimodal_video_neardup",
-    "multimodal_video_neardup_incremental", "p6_null_guards",
-    "sql_q5_local_supplier",
-    # --- (b) new in r14:
-    # multimodal_video_stored_serve — the video frame-chunk family's
-    # stored-index serving path, driver-visible (VERDICT r13 #3; same
-    # oracle as the incremental twin — stored == recompute law).
-    # corpus_curriculum_packing — curriculum-ordered sequence packing
-    # (VERDICT r13 #6; composes corpus_curriculum_order's arithmetic
-    # global position with text_packing's per-shard running sum).
-    "multimodal_video_stored_serve", "corpus_curriculum_packing",
-    # --- (c) 32 of the 49 r11-driver-certified (the 17 NOT rotated all
-    # have fresher evidence through family cousins driver-certified in
-    # r12/r13 windows (minhash/LSH-ANN/simhash/sampling/join-suite
-    # cousins), rows-only-by-design status (faers_significant,
-    # w_approx_distinct — their hash evidence is golden-fixture
-    # pytests), or dense pytest coverage (sketches, zorder); they
-    # rotate first in r15 and stay covered by the committed
-    # full-registry CORRECTNESS_LOCAL runs):
-    "a_event_transitions", "a_sessionize_events", "corpus_shard_manifest",
-    "dedup_keep_list", "dedup_ngram_jaccard_capped", "dedup_source_leakage",
-    "emb_dim_diagnostics", "f_array_suite", "f_datetime_suite",
-    "f_from_json_typed", "f_inline_structs", "f_map_suite",
-    "f_posexplode_tokens", "f_string_suite", "faers_llr",
-    "j_bloom_prefilter", "j_merge_upsert", "j_salted_skew",
-    "media_curation_pipeline", "multimodal_video_frames",
-    "p5_filter_inlist", "q1_pricing_summary", "q3_shipping_priority",
-    "scd2_user_history", "set_ops_suite", "sql_ranking_suite",
-    "text_bm25_topk", "text_decontaminate", "text_pii_redact",
-    "w_analytic_extras", "w_funnel_conversion", "w_resample_ffill",
-]
-
-# Deferred to r15, MAINTAINED AS DATA so _apply_driver_order can assert
-# the bookkeeping.  Provenance: 17 r11-driver-certified (the hold-backs
-# named in the window comment above — four rounds stale by r15, rotate
-# FIRST), 49 r12-driver-certified, and the 50 queries certified by the
-# r13 driver window.  Rotation priority for r15: the 17 r11-certified,
-# then the r12 block.
-_DEFERRED_TO_R15 = [
-    # 17 r11-driver-certified (rotate FIRST in r15):
+    # ROUND-15 ROTATION (VERDICT r14 next-steps #2, executed as promised
+    # by the r14 _DEFERRED_TO_R15 header): lead with (a) the three
+    # queries NEW in r15, then (b) the 17 r11-driver-certified queries —
+    # the OLDEST driver evidence in the registry, four rounds stale —
+    # then (c) 30 of the 49 r12-driver-certified (three rounds stale).
+    # Counts and disjointness are ASSERTED in _apply_driver_order
+    # against _DEFERRED_TO_R16 below.
+    # --- (a) new in r15:
+    # dedup_compacted_serve — serve across the compaction boundary
+    # (VERDICT r14 #1; build 3 ingest_batch= appends, compact, serve —
+    # same oracle as dedup_stored_index_serve, compaction is
+    # result-invariant by construction).
+    # multimodal_audio_stored_serve — the audio landmark family's
+    # stored-index serving path (VERDICT r14 #3; third stored-serve
+    # driver certificate after text r13 / video r14).
+    # corpus_curriculum_packing_spans — curriculum-ordered loss-masking
+    # span export (VERDICT r14 #7; composes the arithmetic global
+    # position with the per-bin span triples).
+    "dedup_compacted_serve", "multimodal_audio_stored_serve",
+    "corpus_curriculum_packing_spans",
+    # --- (b) the 17 r11-certified (four rounds stale, rotate FIRST per
+    # the r14 deferred header):
     "a1_distinct_count", "a2_distinct_rows", "a3_dedup_subset",
     "a5_hash_sample", "dedup_incremental_simhash",
     "dedup_incremental_simhash64", "dedup_minhash_lsh", "dedup_simhash16",
     "dedup_simhash_pairs", "emb_lsh_ann", "emb_lsh_ann_sparse",
     "f_zorder_key", "faers_significant", "j_exists_subquery", "j_nullsafe",
     "sketch_hll_portable", "w_approx_distinct",
-    # 49 r12-driver-certified:
+    # --- (c) 30 of the 49 r12-driver-certified (the 19 NOT rotated all
+    # have fresher evidence: the twelve byte-level decode/meta queries
+    # are pytest-dense codec goldens with r14-window cousins
+    # (multimodal_decode_gif / multimodal_gif_frames certified the same
+    # decode plumbing), the two sketches have golden-fixture pytests,
+    # the three stream queries carry the stream==batch law pytests plus
+    # four r13-window stream cousins, and the two window suites have
+    # w_ranking_suite/w_analytic_extras cousins in this and the r14
+    # window; they rotate first in r16 and stay covered by the
+    # committed full-registry CORRECTNESS_LOCAL runs):
     "a_pivot_counts", "a_rollup_totals", "a_weighted_sample",
     "asof_forward_events", "cdc_apply_roundtrip", "cdc_scd2_history",
     "cdc_snapshot_diff", "corpus_curation_pipeline", "corpus_mix_allocation",
     "dedup_exact_groups", "dedup_incremental_minhash",
     "dedup_jaccard_prefix", "f_meddra_parse", "f_scalar_suite",
     "j1_blacklist_anti", "j_range_join", "l1_explode_structs",
+    "o1_global_topk", "sql_q6_revenue", "text_bpe_count",
+    "text_chunking", "text_fingerprint", "text_langid", "text_packing",
+    "text_quality_score", "text_repetition", "text_stats", "text_tfidf_topk",
+    "text_vocab_coverage", "w_ranking_suite",
+]
+
+# Deferred to r16, MAINTAINED AS DATA so _apply_driver_order can assert
+# the bookkeeping.  Provenance: 19 r12-driver-certified (the hold-backs
+# named in the window comment above — four rounds stale by r16, rotate
+# FIRST), the 50 queries certified by the r13 driver window, and the 50
+# certified by the r14 window.  Rotation priority for r16: the 19
+# r12-certified, then the r13 block.
+_DEFERRED_TO_R16 = [
+    # 19 r12-driver-certified (rotate FIRST in r16):
     "multimodal_audio_features", "multimodal_decode",
     "multimodal_decode_bmp", "multimodal_decode_jpeg",
     "multimodal_decode_jpeg12", "multimodal_decode_jpeg_420",
     "multimodal_decode_jpeg_prog", "multimodal_decode_oriented",
     "multimodal_decode_png", "multimodal_decode_wav", "multimodal_exif_meta",
-    "multimodal_frames", "o1_global_topk", "sketch_count_min_portable",
-    "sketch_kmv_overlap", "sql_q6_revenue", "stream_interval_join",
-    "stream_session_windows", "stream_tumbling_counts", "text_bpe_count",
-    "text_chunking", "text_fingerprint", "text_langid", "text_packing",
-    "text_quality_score", "text_repetition", "text_stats", "text_tfidf_topk",
-    "text_vocab_coverage", "w_distinct_windows", "w_frames_suite",
-    "w_ranking_suite",
+    "multimodal_frames", "sketch_count_min_portable", "sketch_kmv_overlap",
+    "stream_interval_join", "stream_session_windows",
+    "stream_tumbling_counts", "w_distinct_windows", "w_frames_suite",
     # 50 r13-driver-certified (the full r13 window):
     "dedup_clusters", "dedup_semantic", "emb_ivf_kmeans_topk",
     "emb_lsh_multiprobe_topk", "emb_quantize_int8", "graph_pagerank",
@@ -8733,6 +9081,27 @@ _DEFERRED_TO_R15 = [
     "emb_ivf_pq_topk", "emb_ivf_topk", "emb_near_dup_exact",
     "emb_pq_adc_hi_topk", "emb_pq_adc_rerank_topk", "emb_pq_adc_topk",
     "events_json_props", "j2_dimension_join",
+    # 50 r14-driver-certified (the full r14 window):
+    "j3_left_outer", "j6_full_outer", "j7_semi_join",
+    "multimodal_audio_dedup", "multimodal_audio_neardup",
+    "multimodal_audio_neardup_incremental", "multimodal_audio_peaks",
+    "multimodal_decode_gif", "multimodal_gif_frames",
+    "multimodal_image_neardup_incremental", "multimodal_mp4_meta",
+    "multimodal_video_dedup", "multimodal_video_neardup",
+    "multimodal_video_neardup_incremental", "p6_null_guards",
+    "sql_q5_local_supplier",
+    "multimodal_video_stored_serve", "corpus_curriculum_packing",
+    "a_event_transitions", "a_sessionize_events", "corpus_shard_manifest",
+    "dedup_keep_list", "dedup_ngram_jaccard_capped", "dedup_source_leakage",
+    "emb_dim_diagnostics", "f_array_suite", "f_datetime_suite",
+    "f_from_json_typed", "f_inline_structs", "f_map_suite",
+    "f_posexplode_tokens", "f_string_suite", "faers_llr",
+    "j_bloom_prefilter", "j_merge_upsert", "j_salted_skew",
+    "media_curation_pipeline", "multimodal_video_frames",
+    "p5_filter_inlist", "q1_pricing_summary", "q3_shipping_priority",
+    "scd2_user_history", "set_ops_suite", "sql_ranking_suite",
+    "text_bm25_topk", "text_decontaminate", "text_pii_redact",
+    "w_analytic_extras", "w_funnel_conversion", "w_resample_ffill",
 ]
 
 def _apply_driver_order() -> None:
@@ -8743,11 +9112,11 @@ def _apply_driver_order() -> None:
     # the deferred list is bookkeeping the judge audits — keep it honest
     # mechanically (r7/r8 both shipped miscounted comment blocks):
     # disjoint from the window, and window + deferred == whole registry
-    overlap = set(_DRIVER_FIRST) & set(_DEFERRED_TO_R15)
+    overlap = set(_DRIVER_FIRST) & set(_DEFERRED_TO_R16)
     assert not overlap, f"deferred names inside the driver window: {overlap}"
-    assert len(_DEFERRED_TO_R15) == len(set(_DEFERRED_TO_R15))
-    uncovered = set(SPARK_QUERIES) - set(_DRIVER_FIRST) - set(_DEFERRED_TO_R15)
-    phantom = set(_DEFERRED_TO_R15) - set(SPARK_QUERIES)
+    assert len(_DEFERRED_TO_R16) == len(set(_DEFERRED_TO_R16))
+    uncovered = set(SPARK_QUERIES) - set(_DRIVER_FIRST) - set(_DEFERRED_TO_R16)
+    phantom = set(_DEFERRED_TO_R16) - set(SPARK_QUERIES)
     assert not uncovered and not phantom, (uncovered, phantom)
     rest = [n for n in SPARK_QUERIES if n not in set(_DRIVER_FIRST)]
     ordered = {n: SPARK_QUERIES[n] for n in [*_DRIVER_FIRST, *rest]}

@@ -106,6 +106,59 @@ LOAD_GATE = 1.0
 STEAL_GATE_PCT = 2.0
 
 
+# Auto-promotion threshold for the rule below: a cold per-query
+# iteration spread (max/min) above this in TWO consecutive committed
+# suites at the same SF promotes the query into the flapper set.
+FLAPPER_AUTO_SPREAD = 2.0
+FLAPPER_AUTO_ITERS = 5
+
+
+def auto_promoted_flappers(sf_dir: str) -> dict[str, dict]:
+    """General flapper rule (VERDICT r14 #6): any query whose cold
+    ``queries_spread`` exceeded ``FLAPPER_AUTO_SPREAD`` in the TWO most
+    recent committed cold suites at this scale factor is promoted to
+    ``FLAPPER_AUTO_ITERS`` minimum cold iterations automatically —
+    heavy-persisting folds on this box flap structurally, and the manual
+    per-round judge/builder ping-pong (faers_llr r8,
+    dedup_incremental_minhash r14) is now the mechanical rule's first
+    instances.  Returns {query: {"rounds": [r, r'], "spreads": [s, s']}}
+    — recorded verbatim in the detail artifact as
+    ``flapper_auto_promoted`` so the promotion is self-describing.
+
+    Evidence source: the committed ``BENCH_DETAIL_r{N}_sf{X}.json``
+    cold-suite artifacts in the repo root (the files the judge already
+    reads); a query must appear with spread > threshold in BOTH of the
+    two most recent rounds that have a cold suite at this SF."""
+    import re
+
+    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "")
+    per_round: dict[int, dict] = {}
+    for p in Path(__file__).resolve().parent.glob(
+        f"BENCH_DETAIL_r*_{tag}.json"
+    ):
+        m = re.fullmatch(r"BENCH_DETAIL_r(\d+)_" + re.escape(tag) + r"\.json",
+                         p.name)
+        if not m:
+            continue  # solo/dial/probe artifacts carry extra name parts
+        try:
+            d = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if d.get("cold") and isinstance(d.get("queries_spread"), dict):
+            per_round[int(m.group(1))] = d["queries_spread"]
+    if len(per_round) < 2:
+        return {}
+    r_prev, r_last = sorted(per_round)[-2:]
+    a, b = per_round[r_prev], per_round[r_last]
+    return {
+        q: {"rounds": [r_prev, r_last], "spreads": [a[q], b[q]]}
+        for q in sorted(set(a) & set(b))
+        if a[q] > FLAPPER_AUTO_SPREAD
+        and b[q] > FLAPPER_AUTO_SPREAD
+        and q not in FLAPPER_MIN_ITERS
+    }
+
+
 def read_box_state() -> dict:
     """1/5/15-min load plus the runnable/total task counts from
     /proc/loadavg — enough to adjudicate 'was the box quiet' from the
@@ -228,6 +281,18 @@ def main() -> None:
     parts = os.environ.get(
         "SPARK_GRAFT_BENCH_PARTITIONS", str(max(int(cpus), 8))
     )
+    # effective flapper set = manual pins + the mechanical two-round
+    # spread rule (cold mode only — warm min-of-N doesn't flap)
+    auto_flap = auto_promoted_flappers(sf_dir) if cold else {}
+    flapper_iters = dict(FLAPPER_MIN_ITERS)
+    flapper_iters.update({q: FLAPPER_AUTO_ITERS for q in auto_flap})
+    if auto_flap:
+        print(
+            f"flapper auto-promotion: {sorted(auto_flap)} exceed "
+            f"{FLAPPER_AUTO_SPREAD}x cold spread in two consecutive "
+            f"committed suites -> min {FLAPPER_AUTO_ITERS} iterations",
+            file=sys.stderr,
+        )
     spark = get_spark(
         "bench",
         master=f"local[{cpus}]",
@@ -267,6 +332,7 @@ def main() -> None:
         *benchmarks.HEADLINE,
         *benchmarks.HEADLINE_V2_EXTRA,
         *benchmarks.HEADLINE_V3_EXTRA,
+        *benchmarks.HEADLINE_V4_EXTRA,
     ]
     if subset:
         wanted = [q.strip() for q in subset.split(",") if q.strip()]
@@ -286,7 +352,7 @@ def main() -> None:
         runs: list[float] = []
         # one failing query must not sink the whole bench (r3: a single
         # analysis error -> rc=1 -> no official number for the round)
-        q_iters = max(iters, FLAPPER_MIN_ITERS.get(name, 0)) if cold else iters
+        q_iters = max(iters, flapper_iters.get(name, 0)) if cold else iters
         try:
             for i in range(q_iters):
                 if cold and i:
@@ -388,7 +454,7 @@ def main() -> None:
     # that was 100% warm-up; the raw all-iterations ratio stays in the
     # detail file as queries_spread_all for adjudication).
     def _spread_core(n: str, rs: list[float]) -> list[float]:
-        if cold and n in FLAPPER_MIN_ITERS and len(rs) >= 3:
+        if cold and n in flapper_iters and len(rs) >= 3:
             return rs[1:]
         return rs
 
@@ -422,10 +488,14 @@ def main() -> None:
         "queries_spread": spread,
         "queries_spread_all": spread_all,
         "spread_policy": (
-            "flapper queries (FLAPPER_MIN_ITERS) exclude iteration 1 from "
-            "queries_spread in cold mode; queries_spread_all is the raw "
-            "all-iterations ratio"
+            "flapper queries (FLAPPER_MIN_ITERS + flapper_auto_promoted) "
+            "exclude iteration 1 from queries_spread in cold mode; "
+            "queries_spread_all is the raw all-iterations ratio"
         ),
+        # the mechanical promotion rule's evidence (VERDICT r14 #6):
+        # {query: {rounds: [r, r'], spreads: [s, s']}} from the two most
+        # recent committed cold suites at this SF
+        "flapper_auto_promoted": auto_flap,
         # actual run order — per-query numbers are position-aware
         # (CPU-storm queries are scheduled last in full-suite runs)
         "run_order": names,
@@ -465,6 +535,15 @@ def main() -> None:
             n: t
             for n, t in timings.items()
             if n in benchmarks.HEADLINE_V3_EXTRA
+        }
+    )
+    extra4 = (
+        {}
+        if subset
+        else {
+            n: t
+            for n, t in timings.items()
+            if n in benchmarks.HEADLINE_V4_EXTRA
         }
     )
     out = {
@@ -512,6 +591,37 @@ def main() -> None:
             ),
             "extra_queries": extra3,
         }
+    if extra4:
+        # v4 (r15, VERDICT r14 #4): v3 plus the r13-r15 family
+        # representatives — first measured in r15, never compared to
+        # pre-r15 totals.  The two BUILD_SERVE members contribute their
+        # SERVE-ONLY leg (per-batch serving cost — the thing the series
+        # should track; their one-time build legs stay in
+        # queries_build_serve); if a serve split failed, the full query
+        # time is used and the member is named in serve_leg_missing.
+        v4_contrib: dict[str, float] = {}
+        leg_missing: list[str] = []
+        for n, t in extra4.items():
+            if n in benchmarks.BUILD_SERVE:
+                leg = build_serve.get(n, {}).get("serve_only_s")
+                if leg is None:
+                    leg_missing.append(n)
+                    v4_contrib[n] = t
+                else:
+                    v4_contrib[n] = leg
+            else:
+                v4_contrib[n] = t
+        out["headline_v4"] = {
+            "value": round(
+                sum(legacy.values()) + sum(extra.values())
+                + sum(extra3.values()) + sum(v4_contrib.values()),
+                3,
+            ),
+            "extra_queries": extra4,
+            "contrib": {n: round(v, 3) for n, v in v4_contrib.items()},
+        }
+        if leg_missing:
+            out["headline_v4"]["serve_leg_missing"] = leg_missing
     # committed-artifact form (SPARK_GRAFT_BENCH_SUMMARY=path): the
     # summary ENRICHED with full box state, per-query iteration spreads,
     # and per-query shuffle-byte totals — so the "byte-identical shuffles,

@@ -117,6 +117,23 @@ HEADLINE_V3_EXTRA = [
     "dedup_stored_index_serve",
 ]
 
+# headline v4 (r15, VERDICT r14 #4): one representative per family the
+# engine grew in r13/r14/r15 — curriculum-ordered packing, the video
+# stored-index serving path, and serving across the compaction
+# boundary.  Same frozen-series rules as v2/v3 (BASELINE.md): the
+# legacy 20 stay "value"/"queries"; bench.py adds a "headline_v4" block
+# whose total = v3 + these three, first measured in r15 and NEVER
+# compared against pre-r15 totals.  For the two BUILD_SERVE members the
+# v4 total uses the SERVE-ONLY leg (the per-batch serving cost the
+# series should track — their build legs are one-time ingest costs,
+# recorded separately in queries_build_serve); corpus_curriculum_packing
+# contributes its full query time.
+HEADLINE_V4_EXTRA = [
+    "corpus_curriculum_packing",
+    "multimodal_video_stored_serve",
+    "dedup_compacted_serve",
+]
+
 # Suite-scheduling hint (VERDICT r12 #2): queries whose iteration leaves
 # the box CPU-hot for tens of seconds (the 500k-AVI decode storm behind
 # multimodal_video_dedup) contaminate whatever runs next in-suite — r12

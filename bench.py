@@ -133,9 +133,15 @@ def auto_promoted_flappers(sf_dir: str) -> dict[str, dict]:
 
     tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "")
     per_round: dict[int, dict] = {}
-    for p in Path(__file__).resolve().parent.glob(
-        f"BENCH_DETAIL_r*_{tag}.json"
-    ):
+    root = Path(__file__).resolve().parent
+    # current + previous round's suites live in the repo root; older
+    # rounds move to artifacts/r{NN}/ at round close (BASELINE.md
+    # retention policy) — scan both so the two-round evidence window
+    # survives the rotation
+    candidates = list(root.glob(f"BENCH_DETAIL_r*_{tag}.json")) + list(
+        root.glob(f"artifacts/r*/BENCH_DETAIL_r*_{tag}.json")
+    )
+    for p in candidates:
         m = re.fullmatch(r"BENCH_DETAIL_r(\d+)_" + re.escape(tag) + r"\.json",
                          p.name)
         if not m:

@@ -67,9 +67,23 @@ def _write(out, name, cols):
     print(f"  {name}: {table.num_rows} rows")
 
 
-def generate(sf: float, out: str, seed: int = 42) -> None:
+def generate(
+    sf: float, out: str, seed: int = 42, tables: set[str] | None = None
+) -> None:
+    """``tables`` — optional subset of the HEAVY tables to write
+    (orders / lineitem / events / documents / embeddings); the fixed
+    dims (region/nation/customer/supplier/part) are always written —
+    they cost seconds at any feasible sf.  Used by the sf30 scaling
+    probe, which only reads ``documents``.  NOTE: the single RNG stream
+    advances only through the tables actually generated, so a subset
+    run's table is NOT byte-identical to the same table from a full run
+    at the same seed — fine for scaling probes (same distributions),
+    wrong for cross-run correctness comparison; use full runs there."""
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(seed)
+
+    def want(name: str) -> bool:
+        return tables is None or name in tables
     n_li = int(6_000_000 * sf)
     n_ord = int(1_500_000 * sf)
     n_cust = int(150_000 * sf)
@@ -112,82 +126,87 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         "p_size": rng.integers(1, 51, n_part).astype(np.int32),
         "p_retailprice": 900.0 + (np.arange(n_part) % 1000) / 10.0,
     })
-    _write(out, "orders", {
-        "o_orderkey": np.arange(n_ord, dtype=np.int64),
-        "o_custkey": rng.integers(0, n_cust, n_ord),
-        "o_orderstatus": np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)],
-        "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
-        "o_orderdate": _ts_days(rng, n_ord, "1995-01-01", "2001-08-01"),
-        "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)],
-    })
-    qty = rng.integers(1, 51, n_li).astype(np.float64)
-    _write(out, "lineitem", {
-        "l_orderkey": rng.integers(0, n_ord, n_li),
-        "l_partkey": rng.integers(0, n_part, n_li),
-        "l_suppkey": rng.integers(0, n_supp, n_li),
-        "l_linenumber": rng.integers(1, 8, n_li).astype(np.int32),
-        "l_quantity": qty,
-        "l_extendedprice": np.round(qty * rng.uniform(900, 2100, n_li), 2),
-        "l_discount": np.round(rng.uniform(0, 0.10, n_li), 2),
-        "l_tax": np.round(rng.uniform(0, 0.08, n_li), 2),
-        "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
-        "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
-        "l_shipdate": _ts_days(rng, n_li, "1995-01-02", "2001-11-04"),
-    })
+    if want("orders"):
+        _write(out, "orders", {
+            "o_orderkey": np.arange(n_ord, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_cust, n_ord),
+            "o_orderstatus": np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)],
+            "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
+            "o_orderdate": _ts_days(rng, n_ord, "1995-01-01", "2001-08-01"),
+            "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)],
+        })
+    if want("lineitem"):
+        qty = rng.integers(1, 51, n_li).astype(np.float64)
+        _write(out, "lineitem", {
+            "l_orderkey": rng.integers(0, n_ord, n_li),
+            "l_partkey": rng.integers(0, n_part, n_li),
+            "l_suppkey": rng.integers(0, n_supp, n_li),
+            "l_linenumber": rng.integers(1, 8, n_li).astype(np.int32),
+            "l_quantity": qty,
+            "l_extendedprice": np.round(qty * rng.uniform(900, 2100, n_li), 2),
+            "l_discount": np.round(rng.uniform(0, 0.10, n_li), 2),
+            "l_tax": np.round(rng.uniform(0, 0.08, n_li), 2),
+            "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
+            "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
+            "l_shipdate": _ts_days(rng, n_li, "1995-01-02", "2001-11-04"),
+        })
 
-    ev_start = np.datetime64("2024-01-01", "us").astype(np.int64)
-    ev_end = np.datetime64("2024-01-31", "us").astype(np.int64)
-    _write(out, "events", {
-        "event_id": np.arange(n_ev, dtype=np.int64),
-        "ts": rng.integers(ev_start, ev_end, n_ev).astype("datetime64[us]"),
-        "user_id": rng.integers(0, max(1, int(n_ev * 0.015)), n_ev),
-        "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
-        "value": np.round(rng.uniform(0, 560.25, n_ev), 2),
-        "props": np.array([f'{{"k": {k}}}' for k in range(101)])[
-            rng.integers(0, 101, n_ev)],
-    })
+    if want("events"):
+        ev_start = np.datetime64("2024-01-01", "us").astype(np.int64)
+        ev_end = np.datetime64("2024-01-31", "us").astype(np.int64)
+        _write(out, "events", {
+            "event_id": np.arange(n_ev, dtype=np.int64),
+            "ts": rng.integers(ev_start, ev_end, n_ev).astype("datetime64[us]"),
+            "user_id": rng.integers(0, max(1, int(n_ev * 0.015)), n_ev),
+            "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
+            "value": np.round(rng.uniform(0, 560.25, n_ev), 2),
+            "props": np.array([f'{{"k": {k}}}' for k in range(101)])[
+                rng.integers(0, 101, n_ev)],
+        })
 
-    # documents: base corpus + ~2% near-dups (~10% word swaps + 'dup' marker)
-    # + ~0.2% exact dups, matching sf0.1's dup-token frequency and 8/5000
-    # exact-dup rate.
-    vocab = np.array(VOCAB)
-    lens = rng.integers(10, 101, n_doc)
-    docs = [" ".join(vocab[rng.integers(0, len(vocab), ln)]) for ln in lens]
-    n_near = int(n_doc * 0.02)
-    n_exact = max(1, int(n_doc * 0.002))
-    near_ids = rng.choice(n_doc, n_near + n_exact, replace=False)
-    for i in near_ids[:n_near]:
-        base = docs[rng.integers(0, n_doc)].split(" ")
-        k = max(1, len(base) // 10)
-        pos = rng.choice(len(base), k, replace=False)
-        for p in pos[:-1]:
-            base[p] = vocab[rng.integers(0, len(vocab))]
-        base[pos[-1]] = "dup"
-        docs[i] = " ".join(base)
-    for i in near_ids[n_near:]:
-        docs[i] = docs[int(rng.integers(0, n_doc))]
-    _write(out, "documents", {
-        "doc_id": np.arange(n_doc, dtype=np.int64),
-        "text": docs,
-        "lang": rng.choice(LANGS, n_doc, p=LANG_P),
-        "source": np.array([f"src{s}" for s in range(20)])[
-            rng.integers(0, 20, n_doc)],
-        "n_chars": np.array([len(t) for t in docs], dtype=np.int64),
-    })
+    if want("documents"):
+        # documents: base corpus + ~2% near-dups (~10% word swaps + 'dup' marker)
+        # + ~0.2% exact dups, matching sf0.1's dup-token frequency and 8/5000
+        # exact-dup rate.
+        vocab = np.array(VOCAB)
+        lens = rng.integers(10, 101, n_doc)
+        docs = [" ".join(vocab[rng.integers(0, len(vocab), ln)]) for ln in lens]
+        n_near = int(n_doc * 0.02)
+        n_exact = max(1, int(n_doc * 0.002))
+        near_ids = rng.choice(n_doc, n_near + n_exact, replace=False)
+        for i in near_ids[:n_near]:
+            base = docs[rng.integers(0, n_doc)].split(" ")
+            k = max(1, len(base) // 10)
+            pos = rng.choice(len(base), k, replace=False)
+            for p in pos[:-1]:
+                base[p] = vocab[rng.integers(0, len(vocab))]
+            base[pos[-1]] = "dup"
+            docs[i] = " ".join(base)
+        for i in near_ids[n_near:]:
+            docs[i] = docs[int(rng.integers(0, n_doc))]
+        _write(out, "documents", {
+            "doc_id": np.arange(n_doc, dtype=np.int64),
+            "text": docs,
+            "lang": rng.choice(LANGS, n_doc, p=LANG_P),
+            "source": np.array([f"src{s}" for s in range(20)])[
+                rng.integers(0, 20, n_doc)],
+            "n_chars": np.array([len(t) for t in docs], dtype=np.int64),
+        })
 
-    # embeddings: unit vectors with a weak 10-cluster label signal
-    # (within-label mean cosine ~ a^2/(1+a^2) ~= 0.005 at a=0.07, as measured
-    # on the driver's sf0.1 table).
-    labels = rng.integers(0, 10, n_emb).astype(np.int32)
-    centers = rng.standard_normal((10, 64)) / np.sqrt(64)
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    vecs = rng.standard_normal((n_emb, 64)) / np.sqrt(64) + 0.07 * centers[labels]
-    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(np.float32)
-    _write(out, "embeddings", {
-        "vec_id": np.arange(n_emb, dtype=np.int64),
-        "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
-        "label": labels,
-    })
+    if want("embeddings"):
+        # embeddings: unit vectors with a weak 10-cluster label signal
+        # (within-label mean cosine ~ a^2/(1+a^2) ~= 0.005 at a=0.07, as measured
+        # on the driver's sf0.1 table).
+        labels = rng.integers(0, 10, n_emb).astype(np.int32)
+        centers = rng.standard_normal((10, 64)) / np.sqrt(64)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        vecs = rng.standard_normal((n_emb, 64)) / np.sqrt(64) + 0.07 * centers[labels]
+        vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(np.float32)
+        _write(out, "embeddings", {
+            "vec_id": np.arange(n_emb, dtype=np.int64),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "label": labels,
+        })
 
 
 if __name__ == "__main__":
@@ -195,9 +214,23 @@ if __name__ == "__main__":
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list of heavy tables to write (orders,lineitem,"
+        "events,documents,embeddings); fixed dims are always written. "
+        "Subset output is distribution-identical but not byte-identical "
+        "to a full run (RNG stream position) — see generate().",
+    )
     a = ap.parse_args()
     out = a.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "testdata", f"sf{a.sf:g}")
-    print(f"generating sf={a.sf} -> {out}")
-    generate(a.sf, out, a.seed)
+    subset = (
+        {t.strip() for t in a.tables.split(",") if t.strip()}
+        if a.tables
+        else None
+    )
+    print(f"generating sf={a.sf} -> {out}"
+          + (f" (tables: {sorted(subset)})" if subset else ""))
+    generate(a.sf, out, a.seed, tables=subset)

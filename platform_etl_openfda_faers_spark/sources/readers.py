@@ -204,6 +204,17 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     executes a shingle explode on one core.  Only repartitions when the scan
     has fewer partitions than the target (cluster-scale inputs with many
     splits pass through untouched, so this is safe to leave in at 100 TB).
+
+    CAVEAT (measured, r15 sf30 probe): the guard counts BYTE-RANGE
+    splits, which overestimate effective parallelism when the file's
+    parquet ROW GROUPS are oversized — only splits containing a
+    row-group start produce rows, so a 283 MB file with two 1M-row
+    groups planned 32 splits but executed the downstream SimHash fold
+    on TWO tasks.  The fix belongs at WRITE time (bounded row groups —
+    Spark's own parquet sink writes ≤128 MB blocks; the testdata
+    generator now writes 32k-row groups); a reader-side row-group probe
+    would cost a footer read per file per query, which at 100 TB /
+    millions of files is exactly the metadata storm this engine avoids.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -63,7 +63,18 @@ def _ts_days(rng, n, start, end):
 
 def _write(out, name, cols):
     table = pa.table(cols)
-    pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+    # Bounded row groups (r15): pyarrow's default (1M rows/group) writes
+    # ~200 MB text row groups at sf30 — Spark then plans 32 byte-range
+    # splits but only the splits containing a row-group START produce
+    # rows, so a 1.5M-doc file executed downstream folds on TWO tasks
+    # (measured: the sf30 probe's first simhash build ran 21 min on one
+    # straggler).  32k rows/group keeps effective parallelism
+    # proportional to byte splits at every sf this tool generates, the
+    # same discipline Spark's own parquet sink applies via its 128 MB
+    # block size.
+    pq.write_table(
+        table, os.path.join(out, f"{name}.parquet"), row_group_size=32_768
+    )
     print(f"  {name}: {table.num_rows} rows")
 
 

@@ -1398,6 +1398,7 @@ def simhash_near_duplicates_incremental64(
     max_hamming: int = 3,
     max_bucket_size: int | None = 64,
     corpus_index: DataFrame | None = None,
+    corpus_occupancy: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL SimHash near-dup at the PRODUCTION geometry: 64-bit
     signatures in 4 x 16-bit pigeonhole chunks, WITH the combined-
@@ -1430,11 +1431,24 @@ def simhash_near_duplicates_incremental64(
     scan of the stored index (no text read, no signature fold), the
     batch side folds only ``new_docs``, and the combined-occupancy cap
     applies across stored + batch rows exactly as in the recompute path
-    — results are identical by construction (tested)."""
+    — results are identical by construction (tested).
+
+    ``corpus_occupancy`` — optional stored occupancy sidecar
+    (:func:`stored_occupancy_table` over the same index build, fp-
+    stamped).  When given (requires ``corpus_index``), the combined-
+    occupancy cap is evaluated as (stored n + batch n) against the
+    kept-key broadcast semi-join instead of a count window over the
+    whole union — result-identical (law-pinned), but the stored index
+    is never exchanged or sorted at serve time (the catalog-growing
+    serve stage the r15 sf30 probe measured)."""
     assert max_hamming <= 3, "4-chunk bucketing is lossy beyond Hamming 3"
     assert (corpus_docs is None) != (corpus_index is None), (
         "pass exactly one of corpus_docs (recompute) or corpus_index "
         "(stored signature index)"
+    )
+    assert corpus_occupancy is None or corpus_index is not None, (
+        "corpus_occupancy is a sidecar of the stored index — pass it "
+        "together with corpus_index"
     )
     if corpus_index is None:
         combined = corpus_docs.select(
@@ -1458,6 +1472,13 @@ def simhash_near_duplicates_incremental64(
         )
         from .indexstamp import guard_index
 
+        if corpus_occupancy is not None and max_bucket_size is not None:
+            # the batch chunk table feeds BOTH the per-key batch counts
+            # and the union below; without a persist the signature fold
+            # (the batch's dominant CPU) would run once per consumer
+            from pyspark import StorageLevel as _SL
+
+            batch = batch.persist(_SL.MEMORY_AND_DISK)
         keyed = guard_index(
             corpus_index, "simhash64_chunk_table"
         ).select(
@@ -1467,7 +1488,20 @@ def simhash_near_duplicates_incremental64(
             batch.select(id_col, "_new", "sim_hi", "sim_lo", "ci", "cv")
         )
     if max_bucket_size is not None:
-        keyed = prune_df_window(keyed, ["ci", "cv"], max_bucket_size)
+        if corpus_occupancy is not None:
+            from .indexstamp import guard_index as _guard_occ
+
+            kept = kept_keys_with_stored_occupancy(
+                batch.groupBy("ci", "cv").agg(
+                    F.count(F.lit(1)).cast("long").alias("_bn")
+                ),
+                _guard_occ(corpus_occupancy, "simhash64_chunk_table"),
+                ["ci", "cv"],
+                max_bucket_size,
+            )
+            keyed = keyed.join(F.broadcast(kept), ["ci", "cv"], "left_semi")
+        else:
+            keyed = prune_df_window(keyed, ["ci", "cv"], max_bucket_size)
     # persist the capped chunk table: the a/b sides below consume it under
     # DIFFERENT exchange types (shuffle probe vs broadcast build), so
     # exchange reuse cannot collapse the duplicate lineage and the
@@ -1511,7 +1545,66 @@ def simhash_near_duplicates_incremental64(
     )
     from .cache import attach_cached
 
+    if corpus_occupancy is not None and max_bucket_size is not None:
+        # the persisted batch chunk table is a second live handle the
+        # caller must be able to release (cache-lifetime contract)
+        return attach_cached(out, keyed, batch)
     return attach_cached(out, keyed)
+
+
+def stored_occupancy_table(
+    index: DataFrame, keys: tuple[str, ...] = ("ci", "cv")
+) -> DataFrame:
+    """(keys..., n, index_fp) — per-bucket occupancy of a stored chunk
+    index, computed ONCE at build (and refreshable at compaction) and
+    written beside the index as a tiny sidecar table.
+
+    Why it exists (measured, r15 sf30 probe): the combined-occupancy
+    cap in the stored-serve paths recomputed per-bucket counts over
+    (stored index ∪ batch) on EVERY serve — a count window whose input
+    grows with the CATALOG, which showed up as the video family's
+    serve leg reading 4.55x for 3x data while the batch only tripled.
+    Occupancy counts are additive, so the serve-time combined count is
+    exactly (stored n) + (batch n) — the stored side of the groupBy
+    never needs to run again.
+
+    Cardinality is bounded by the KEY DOMAIN, not the index: 262,144
+    rows max for the 4 x 16-bit chunk scheme (ci x cv), a few MB —
+    always broadcastable.  The ``index_fp`` stamp rides along (constant
+    first() per group) so serving can assert the sidecar belongs to the
+    same build as the index it summarizes."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    if "index_fp" in index.columns:
+        aggs.append(F.first("index_fp").alias("index_fp"))
+    return index.groupBy(*keys).agg(*aggs)
+
+
+def kept_keys_with_stored_occupancy(
+    batch_counts: DataFrame,
+    stored_occupancy: DataFrame,
+    keys: list[str],
+    max_bucket_size: int,
+) -> DataFrame:
+    """The bucket-key KEEP set under the combined-occupancy cap, from a
+    stored occupancy sidecar plus the batch's own per-key counts —
+    result-identical to ``prune_df_window`` over (index ∪ batch)
+    (law-pinned): a key is kept iff stored_n + batch_n <= cap, where a
+    side's missing key counts 0.  Both union sides are then filtered by
+    a BROADCAST left-semi join on this set, so the stored index is
+    never exchanged or sorted at serve time — the exact stage the sf30
+    probe measured growing with the catalog.  ``batch_counts`` must be
+    ``batch.groupBy(*keys).count()``-shaped with the count aliased
+    ``_bn``; pass a PERSISTED batch lineage upstream or the batch fold
+    runs once for the count and once for the join."""
+    occ = stored_occupancy.select(*keys, F.col("n").alias("_sn"))
+    total = F.coalesce(F.col("_bn"), F.lit(0)) + F.coalesce(
+        F.col("_sn"), F.lit(0)
+    )
+    return (
+        batch_counts.join(occ, keys, "full_outer")
+        .where(total <= max_bucket_size)
+        .select(*keys)
+    )
 
 
 def shingle_array(text, n: int = 3):

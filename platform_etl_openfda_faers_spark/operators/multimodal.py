@@ -3640,6 +3640,7 @@ def video_near_duplicates_incremental(
     min_frames: int = 2,
     max_bucket_size: int | None = 64,
     corpus_index: DataFrame | None = None,
+    corpus_occupancy: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL video near-dup retrieval — an incoming batch of
     :func:`video_frame_dhash` rows frame-voted against itself and the
@@ -3669,11 +3670,26 @@ def video_near_duplicates_incremental(
     repo) — the batch side decodes only its own clips, and the
     combined-occupancy cap applies across stored + batch rows exactly
     as in the recompute path.
+
+    ``corpus_occupancy`` — optional stored occupancy sidecar
+    (``dedup.stored_occupancy_table`` over the same index build,
+    fp-stamped).  When given (requires ``corpus_index``), the cap is
+    evaluated as (stored n + batch n) with a kept-key BROADCAST
+    semi-join instead of a count window over the whole union —
+    result-identical (law-pinned), but the stored index is never
+    exchanged or sorted at serve time.  This is the r15 sf30 probe's
+    finding made code: the occupancy recompute was the one serve stage
+    whose input grew with the CATALOG (serve read 4.55x for 3x data
+    while the batch only tripled).
     """
     assert max_hamming <= 3, "4-chunk bucketing is lossy beyond Hamming 3"
     assert (corpus_frame_hashes is None) != (corpus_index is None), (
         "pass exactly one of corpus_frame_hashes (recompute) or "
         "corpus_index (stored frame-chunk index)"
+    )
+    assert corpus_occupancy is None or corpus_index is not None, (
+        "corpus_occupancy is a sidecar of the stored index — pass it "
+        "together with corpus_index"
     )
     if corpus_index is None:
         combined = corpus_frame_hashes.select(
@@ -3696,6 +3712,13 @@ def video_near_duplicates_incremental(
             ),
             "media_id", keep=("frame_idx", "_new"),
         )
+        if corpus_occupancy is not None and max_bucket_size is not None:
+            # the batch chunk table feeds BOTH the per-key batch counts
+            # and the union below; without a persist the batch's video
+            # decode (its dominant CPU) would run once per consumer
+            from pyspark import StorageLevel as _SL
+
+            batch = batch.persist(_SL.MEMORY_AND_DISK)
         from .indexstamp import guard_index
 
         keyed = guard_index(corpus_index, "video_frame_chunk_table").select(
@@ -3709,9 +3732,23 @@ def video_near_duplicates_incremental(
             )
         )
     if max_bucket_size is not None:
-        from .dedup import prune_df_window
+        if corpus_occupancy is not None:
+            from .dedup import kept_keys_with_stored_occupancy
+            from .indexstamp import guard_index as _guard_occ
 
-        keyed = prune_df_window(keyed, ["ci", "cv"], max_bucket_size)
+            kept = kept_keys_with_stored_occupancy(
+                batch.groupBy("ci", "cv").agg(
+                    F.count(F.lit(1)).cast("long").alias("_bn")
+                ),
+                _guard_occ(corpus_occupancy, "video_frame_chunk_table"),
+                ["ci", "cv"],
+                max_bucket_size,
+            )
+            keyed = keyed.join(F.broadcast(kept), ["ci", "cv"], "left_semi")
+        else:
+            from .dedup import prune_df_window
+
+            keyed = prune_df_window(keyed, ["ci", "cv"], max_bucket_size)
     a = keyed.where(F.col("_new")).select(
         F.col("media_id").alias("id_a"),
         F.col("frame_idx").alias("f_a"),
@@ -3747,13 +3784,20 @@ def video_near_duplicates_incremental(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
-    return (
+    out = (
         frame_pairs.groupBy(
             F.col("vid_a").alias("id_a"), F.col("vid_b").alias("id_b")
         )
         .agg(F.count("*").cast("long").alias("n_frame_matches"))
         .where(F.col("n_frame_matches") >= min_frames)
     )
+    if corpus_occupancy is not None and max_bucket_size is not None:
+        # the persisted batch chunk table is a live handle the caller
+        # must be able to release (cache-lifetime contract)
+        from .cache import attach_cached
+
+        return attach_cached(out, batch)
+    return out
 
 
 def video_fingerprint(frame_hashes: DataFrame) -> DataFrame:

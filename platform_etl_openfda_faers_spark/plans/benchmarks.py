@@ -1963,6 +1963,13 @@ def serving_index_build(spark: SparkSession, sf: str) -> str:
         idx_path,
         ["ci"],
     )
+    # occupancy sidecar (r15, from the sf30 probe's finding): per-bucket
+    # counts computed ONCE here from the just-written index (a cheap
+    # signature scan — no text fold) so the serve-time cap never
+    # re-aggregates the catalog side
+    dedup.stored_occupancy_table(
+        spark.read.parquet(idx_path)
+    ).write.mode("overwrite").parquet(idx_path + "_occ")
     return idx_path
 
 
@@ -1973,9 +1980,19 @@ def serving_index_serve(
     STORED chunk index at ``idx_path`` via ``corpus_index=`` — the corpus
     text is never re-read and the signature fold runs only over the
     batch."""
+    import os as _os
+
     docs = load_docs(spark, sf)
     new = docs.where(F.col("doc_id") % 7 == 0)
     stored = spark.read.parquet(idx_path)
+    # occupancy sidecar written by the build leg when present (the
+    # compacted-index build also writes one post-compaction); serving
+    # falls back to the count-window cap for indexes without it
+    occ = (
+        spark.read.parquet(idx_path + "_occ")
+        if _os.path.exists(idx_path + "_occ")
+        else None
+    )
     return dedup.simhash_near_duplicates_incremental64(
         new,
         None,
@@ -1984,6 +2001,7 @@ def serving_index_serve(
         max_hamming=3,
         max_bucket_size=64,
         corpus_index=stored,
+        corpus_occupancy=occ,
     )
 
 
@@ -2076,6 +2094,13 @@ def compacted_index_build(spark: SparkSession, sf: str) -> str:
             f"[0, 1, 2], got {res['absorbed_batches']} — the query would "
             "not be exercising the compaction boundary"
         )
+    # refresh the occupancy sidecar from the compacted base (counts are
+    # additive, so compaction preserves them — recomputing from the
+    # 4-file base is a trivial scan and keeps the sidecar's provenance
+    # one-to-one with the index files it summarizes)
+    dedup.stored_occupancy_table(
+        spark.read.parquet(idx_path)
+    ).write.mode("overwrite").parquet(idx_path + "_occ")
     return idx_path
 
 
@@ -7948,15 +7973,21 @@ def audio_serving_index_serve(
     media = multimodal.synthetic_wav_media_tonal(
         batch, "doc_id", seed_col="gid", offset_col="off"
     )
+    from ..operators.cache import attach_cached, cached_deps
+
     stored = spark.read.parquet(idx_path)
-    return multimodal.audio_landmark_matches_incremental(
+    matched = multimodal.audio_landmark_matches_incremental(
         multimodal.audio_spectral_peaks(media, window=64),
         None,
         max_dt=3,
         min_matches=10,
         max_bucket_size=64,
         corpus_index=stored,
-    ).select(F.col("id_a"), F.col("id_b"), F.col("n_matches"))
+    )
+    out = matched.select(F.col("id_a"), F.col("id_b"), F.col("n_matches"))
+    # re-attach the operator's persist handles across the select (the
+    # cache-lifetime contract: the runner releases via attached handles)
+    return attach_cached(out, *cached_deps(matched))
 
 
 @query("multimodal_audio_stored_serve", _AUDIO_NEARDUP_INC_SQL)
@@ -8290,6 +8321,13 @@ def video_serving_index_build(spark: SparkSession, sf: str) -> str:
         idx_path,
         ["ci"],
     )
+    # occupancy sidecar (r15): computed from the just-written index (a
+    # cheap hash scan — NOT a second decode pass) so the serve-time cap
+    # reads stored counts instead of re-aggregating the catalog — the
+    # stage the sf30 probe measured at 4.55x for 3x data
+    dedup.stored_occupancy_table(
+        spark.read.parquet(idx_path)
+    ).write.mode("overwrite").parquet(idx_path + "_occ")
     return idx_path
 
 
@@ -8301,19 +8339,33 @@ def video_serving_index_serve(
     bytes are never re-read, so the batch pays synthesis + decode +
     dHash only for its own clips and the catalog side is a decode-free
     parquet scan of the stamped index."""
+    import os as _os
+
+    from ..operators.cache import attach_cached, cached_deps
+
     batch = _video_harness_docs(spark, sf).where(F.col("doc_id") % 7 == 0)
     media = multimodal.synthetic_avi_media_grid(
         batch, "doc_id", seed_col="gid", offset_col="off"
     )
     stored = spark.read.parquet(idx_path)
-    return multimodal.video_near_duplicates_incremental(
+    occ = (
+        spark.read.parquet(idx_path + "_occ")
+        if _os.path.exists(idx_path + "_occ")
+        else None
+    )
+    matched = multimodal.video_near_duplicates_incremental(
         multimodal.video_frame_dhash(media),
         None,
         max_hamming=3,
         min_frames=2,
         max_bucket_size=64,
         corpus_index=stored,
-    ).select(F.col("id_a"), F.col("id_b"), F.col("n_frame_matches"))
+        corpus_occupancy=occ,
+    )
+    out = matched.select(
+        F.col("id_a"), F.col("id_b"), F.col("n_frame_matches")
+    )
+    return attach_cached(out, *cached_deps(matched))
 
 
 @query("multimodal_video_stored_serve", _VIDEO_NEARDUP_INC_SQL)

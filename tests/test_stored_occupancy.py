@@ -1,0 +1,160 @@
+"""Laws for the stored-occupancy serve path (r15, from the sf30 probe).
+
+The combined-occupancy cap in the stored-serve paths used to recompute
+per-bucket counts over (stored index ∪ batch) on EVERY serve — a count
+window whose input grows with the CATALOG (the sf30 probe measured the
+video serve leg at 4.55x for 3x data while the batch only tripled).
+Counts are additive, so a build-time occupancy sidecar
+(``dedup.stored_occupancy_table``) plus the batch's own counts give the
+identical keep set with a broadcast semi-join and NO exchange/sort of
+the stored index.  Pinned here:
+
+1. serve with ``corpus_occupancy`` is ROW-IDENTICAL to the count-window
+   path, on harnesses where buckets genuinely STRADDLE the cap (some
+   pruned, some kept — both branches non-vacuous), for the simhash64
+   and video families;
+2. the occupancy path's physical plan contains no window over the
+   union and broadcasts the kept-key set;
+3. a sidecar from a different build family is refused via the
+   ``index_fp`` stamp; a sidecar without an index is refused.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_openfda_faers_spark.operators import dedup, multimodal
+from platform_etl_openfda_faers_spark.sources import writers
+
+
+def _text_for(i: int) -> str:
+    return " ".join(f"tok{i}w{j}" for j in range(20))
+
+
+_SCHEMA = "doc_id LONG, text STRING"
+_CAP = 8
+
+
+@pytest.fixture()
+def straddle_index(spark, tmp_path):
+    """Corpus whose chunk buckets straddle cap=8: 12 identical 'mega'
+    docs (every bucket they occupy exceeds the cap once the batch twin
+    arrives), one 2-doc near-dup bucket (well under), four uniques."""
+    corpus_rows = (
+        [(i, _text_for(0)) for i in range(1, 13)]            # mega-class
+        + [(20, _text_for(5)), (21, _text_for(5))]           # small class
+        + [(30 + i, _text_for(40 + i)) for i in range(4)]    # uniques
+    )
+    corpus = spark.createDataFrame(corpus_rows, _SCHEMA)
+    idx_path = str(tmp_path / "simhash64_index")
+    writers.write_partitioned(
+        dedup.simhash64_chunk_table(corpus, "text", "doc_id"),
+        idx_path,
+        ["ci"],
+    )
+    stored = spark.read.parquet(idx_path)
+    occ = dedup.stored_occupancy_table(stored)
+    batch = spark.createDataFrame(
+        [(100, _text_for(0)), (101, _text_for(5)), (102, _text_for(77))],
+        _SCHEMA,
+    )
+    return stored, occ, batch
+
+
+def test_simhash64_occupancy_serve_matches_window_prune(spark, straddle_index):
+    stored, occ, batch = straddle_index
+    kw = dict(max_hamming=3, max_bucket_size=_CAP, corpus_index=stored)
+    win = dedup.simhash_near_duplicates_incremental64(
+        batch, None, "text", "doc_id", **kw
+    )
+    via_occ = dedup.simhash_near_duplicates_incremental64(
+        batch, None, "text", "doc_id", corpus_occupancy=occ, **kw
+    )
+    a = sorted(map(tuple, win.collect()))
+    b = sorted(map(tuple, via_occ.collect()))
+    assert a == b
+    ids_in_pairs = {i for row in a for i in (row[0], row[1])}
+    # cap straddled for real: the mega-class batch doc found nothing
+    # (its buckets hold 13 > 8), the small-class doc found its two twins
+    assert 100 not in ids_in_pairs
+    assert {20, 21, 101} <= ids_in_pairs
+    # ...and the uncapped run DOES pair the mega class (prune non-vacuous)
+    uncapped = dedup.simhash_near_duplicates_incremental64(
+        batch, None, "text", "doc_id",
+        max_hamming=3, max_bucket_size=None, corpus_index=stored,
+    )
+    assert 100 in {
+        i for row in uncapped.collect() for i in (row.id_a, row.id_b)
+    }
+
+    # plan contract: no count window anywhere (the stored index is not
+    # exchanged/sorted for the cap); the kept-key set arrives broadcast
+    plan = via_occ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    wplan = win._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in wplan, wplan  # the twin really uses the window
+
+
+def test_video_occupancy_serve_matches_window_prune(spark, sf_dir, tmp_path):
+    """Same law at the video family's production geometry over the
+    shifted-rendition harness (content classes land whole buckets above
+    and below the cap)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % 10).alias("gid"),
+        ((F.col("doc_id") / 10).cast("long") % 2).alias("off"),
+    )
+    is_new = F.col("doc_id") % 7 == 0
+
+    def hashes(pred):
+        return multimodal.video_frame_dhash(
+            multimodal.synthetic_avi_media_grid(
+                docs.where(pred), "doc_id", seed_col="gid", offset_col="off"
+            )
+        )
+
+    idx_path = str(tmp_path / "video_frame_index")
+    writers.write_partitioned(
+        multimodal.video_frame_chunk_table(hashes(~is_new)), idx_path, ["ci"]
+    )
+    stored = spark.read.parquet(idx_path)
+    occ = dedup.stored_occupancy_table(stored)
+    kw = dict(max_hamming=3, min_frames=2, corpus_index=stored)
+    win = multimodal.video_near_duplicates_incremental(
+        hashes(is_new), None, max_bucket_size=64, **kw
+    )
+    via_occ = multimodal.video_near_duplicates_incremental(
+        hashes(is_new), None, max_bucket_size=64, corpus_occupancy=occ, **kw
+    )
+    a = sorted(map(tuple, win.collect()))
+    b = sorted(map(tuple, via_occ.collect()))
+    assert a == b
+    assert a, "harness must produce at least one frame-voted pair"
+    plan = via_occ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_occupancy_guard_refuses_wrong_stamp(spark, straddle_index):
+    """A sidecar whose index_fp is not this family's build is refused at
+    materialization — serving stale counts would silently mis-prune."""
+    stored, occ, batch = straddle_index
+    poisoned = occ.withColumn("index_fp", F.lit("someone-elses-build"))
+    res = dedup.simhash_near_duplicates_incremental64(
+        batch, None, "text", "doc_id",
+        max_hamming=3, max_bucket_size=_CAP,
+        corpus_index=stored, corpus_occupancy=poisoned,
+    )
+    with pytest.raises(Exception, match="stale stored index"):
+        res.collect()
+
+
+def test_occupancy_requires_corpus_index(spark, straddle_index):
+    stored, occ, batch = straddle_index
+    corpus = spark.createDataFrame([(1, _text_for(0))], _SCHEMA)
+    with pytest.raises(AssertionError, match="together with corpus_index"):
+        dedup.simhash_near_duplicates_incremental64(
+            batch, corpus, "text", "doc_id", corpus_occupancy=occ
+        )

@@ -4501,6 +4501,7 @@ def audio_landmark_matches_incremental(
     min_matches: int = 10,
     max_bucket_size: int | None = 64,
     corpus_index: DataFrame | None = None,
+    corpus_occupancy: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL landmark retrieval — an incoming batch of tracks
     matched against itself and the existing corpus, NEVER corpus x
@@ -4543,6 +4544,10 @@ def audio_landmark_matches_incremental(
         "pass exactly one of peaks_corpus (recompute) or corpus_index "
         "(stored landmark index)"
     )
+    assert corpus_occupancy is None or corpus_index is not None, (
+        "corpus_occupancy is a sidecar of the stored index — pass it "
+        "together with corpus_index"
+    )
     if corpus_index is None:
         corpus_lm = audio_landmarks(peaks_corpus, max_dt=max_dt)
     else:
@@ -4551,15 +4556,39 @@ def audio_landmark_matches_incremental(
         corpus_lm = guard_index(
             corpus_index, "audio_landmark_table", max_dt=max_dt
         ).select("media_id", "a_bin", "b_bin", "dt")
-    lm = corpus_lm.withColumn("_new", F.lit(False)).unionByName(
-        audio_landmarks(peaks_batch, max_dt=max_dt).withColumn(
-            "_new", F.lit(True)
-        )
-    )
-    if max_bucket_size is not None:
-        from .dedup import prune_df_window
+    batch_lm = audio_landmarks(peaks_batch, max_dt=max_dt)
+    use_occ = corpus_occupancy is not None and max_bucket_size is not None
+    if use_occ:
+        # the batch landmark table feeds BOTH the per-key batch counts
+        # and the union below; without a persist the batch's synthesis +
+        # FFT + landmark build (its dominant CPU) would run per consumer
+        from pyspark import StorageLevel as _SL
 
-        lm = prune_df_window(lm, ["a_bin", "b_bin", "dt"], max_bucket_size)
+        batch_lm = batch_lm.persist(_SL.MEMORY_AND_DISK)
+    lm = corpus_lm.withColumn("_new", F.lit(False)).unionByName(
+        batch_lm.withColumn("_new", F.lit(True))
+    )
+    keys = ["a_bin", "b_bin", "dt"]
+    if max_bucket_size is not None:
+        if use_occ:
+            from .dedup import kept_keys_with_stored_occupancy
+            from .indexstamp import guard_index as _guard_occ
+
+            kept = kept_keys_with_stored_occupancy(
+                batch_lm.groupBy(*keys).agg(
+                    F.count(F.lit(1)).cast("long").alias("_bn")
+                ),
+                _guard_occ(
+                    corpus_occupancy, "audio_landmark_table", max_dt=max_dt
+                ),
+                keys,
+                max_bucket_size,
+            )
+            lm = lm.join(F.broadcast(kept), keys, "left_semi")
+        else:
+            from .dedup import prune_df_window
+
+            lm = prune_df_window(lm, keys, max_bucket_size)
     # persist the capped landmark table: the a/b sides consume it under
     # DIFFERENT exchange types (shuffle probe vs broadcast build), so
     # exchange reuse cannot collapse the duplicate lineage — WITHOUT the
@@ -4600,6 +4629,10 @@ def audio_landmark_matches_incremental(
     )
     from .cache import attach_cached
 
+    if use_occ:
+        # the persisted batch landmark table is a second live handle the
+        # caller must be able to release (cache-lifetime contract)
+        return attach_cached(out, lm, batch_lm)
     return attach_cached(out, lm)
 
 

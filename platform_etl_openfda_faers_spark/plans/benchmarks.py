@@ -7957,6 +7957,12 @@ def audio_serving_index_build(spark: SparkSession, sf: str) -> str:
         idx_path,
         ["dt"],
     )
+    # occupancy sidecar (r15): per-landmark-key counts from the written
+    # index (a cheap integer scan — no decode/FFT) so the serve-time cap
+    # reads stored counts instead of re-aggregating the catalog
+    dedup.stored_occupancy_table(
+        spark.read.parquet(idx_path), keys=("a_bin", "b_bin", "dt")
+    ).write.mode("overwrite").parquet(idx_path + "_occ")
     return idx_path
 
 
@@ -7973,9 +7979,16 @@ def audio_serving_index_serve(
     media = multimodal.synthetic_wav_media_tonal(
         batch, "doc_id", seed_col="gid", offset_col="off"
     )
+    import os as _os
+
     from ..operators.cache import attach_cached, cached_deps
 
     stored = spark.read.parquet(idx_path)
+    occ = (
+        spark.read.parquet(idx_path + "_occ")
+        if _os.path.exists(idx_path + "_occ")
+        else None
+    )
     matched = multimodal.audio_landmark_matches_incremental(
         multimodal.audio_spectral_peaks(media, window=64),
         None,
@@ -7983,6 +7996,7 @@ def audio_serving_index_serve(
         min_matches=10,
         max_bucket_size=64,
         corpus_index=stored,
+        corpus_occupancy=occ,
     )
     out = matched.select(F.col("id_a"), F.col("id_b"), F.col("n_matches"))
     # re-attach the operator's persist handles across the select (the

@@ -137,6 +137,49 @@ def test_video_occupancy_serve_matches_window_prune(spark, sf_dir, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
 
 
+def test_audio_occupancy_serve_matches_window_prune(spark, sf_dir, tmp_path):
+    """Same law for the audio landmark family (keys are the landmark
+    triple (a_bin, b_bin, dt), not (ci, cv) — the sidecar is generic
+    over the key tuple)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % 10).alias("gid"),
+        ((F.col("doc_id") / 10).cast("long") % 2).alias("off"),
+    )
+    is_new = F.col("doc_id") % 7 == 0
+
+    def peaks(pred):
+        return multimodal.audio_spectral_peaks(
+            multimodal.synthetic_wav_media_tonal(
+                docs.where(pred), "doc_id", seed_col="gid", offset_col="off"
+            ),
+            window=64,
+        )
+
+    idx_path = str(tmp_path / "audio_landmark_index")
+    writers.write_partitioned(
+        multimodal.audio_landmark_table(peaks(~is_new), max_dt=3),
+        idx_path,
+        ["dt"],
+    )
+    stored = spark.read.parquet(idx_path)
+    occ = dedup.stored_occupancy_table(stored, keys=("a_bin", "b_bin", "dt"))
+    kw = dict(max_dt=3, min_matches=10, corpus_index=stored)
+    win = multimodal.audio_landmark_matches_incremental(
+        peaks(is_new), None, max_bucket_size=64, **kw
+    )
+    via_occ = multimodal.audio_landmark_matches_incremental(
+        peaks(is_new), None, max_bucket_size=64, corpus_occupancy=occ, **kw
+    )
+    a = sorted(map(tuple, win.collect()))
+    b = sorted(map(tuple, via_occ.collect()))
+    assert a == b
+    assert a, "harness must produce at least one landmark match"
+    plan = via_occ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
 def test_occupancy_guard_refuses_wrong_stamp(spark, straddle_index):
     """A sidecar whose index_fp is not this family's build is refused at
     materialization — serving stale counts would silently mis-prune."""

@@ -1479,8 +1479,14 @@ def simhash_near_duplicates_incremental64(
             from pyspark import StorageLevel as _SL
 
             batch = batch.persist(_SL.MEMORY_AND_DISK)
+        src = corpus_index
+        if corpus_occupancy is not None:
+            # content-staleness assert rides the index scan (lazy, one
+            # constant comparison per row) — a sidecar that predates an
+            # ingest_batch append fails loudly instead of under-capping
+            src = guard_occupancy_fresh(src, corpus_occupancy)
         keyed = guard_index(
-            corpus_index, "simhash64_chunk_table"
+            src, "simhash64_chunk_table"
         ).select(
             F.col(id_col), F.lit(False).alias("_new"),
             F.col("sim_hi"), F.col("sim_lo"), F.col("ci"), F.col("cv"),
@@ -1570,13 +1576,105 @@ def stored_occupancy_table(
 
     Cardinality is bounded by the KEY DOMAIN, not the index: 262,144
     rows max for the 4 x 16-bit chunk scheme (ci x cv), a few MB —
-    always broadcastable.  The ``index_fp`` stamp rides along (constant
-    first() per group) so serving can assert the sidecar belongs to the
-    same build as the index it summarizes."""
+    always broadcastable.
+
+    Two identity stamps ride along (ADVICE r15 — ``index_fp`` alone is
+    NOT a content identity, it is derived from family name + build
+    parameters, so a sidecar computed before later ``ingest_batch=``
+    appends to the same path would still carry a matching fp while
+    undercounting):
+
+    - ``index_fp`` — the build-PARAMETER stamp (constant first() per
+      group), asserted by ``indexstamp.guard_index`` as for the index
+      itself;
+    - ``occ_through`` — the CONTENT watermark: the highest
+      ``ingest_batch`` id summarized by these counts (null-typed
+      constant when the index has no ``ingest_batch`` column, i.e. a
+      one-shot build that is never appended to in place).  The serving
+      paths assert ``index.ingest_batch <= occ_through`` row-wise via
+      ``guard_occupancy_fresh`` — a sidecar that predates an append
+      fails loudly instead of silently under-enforcing the cap.
+
+    The total stored row count is recoverable as ``sum(n)`` over the
+    sidecar; ``tools``/tests can eagerly verify a sidecar against its
+    index by comparing that to ``index.count()`` plus the watermark."""
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     if "index_fp" in index.columns:
         aggs.append(F.first("index_fp").alias("index_fp"))
-    return index.groupBy(*keys).agg(*aggs)
+    if "ingest_batch" in index.columns:
+        # per-group max, then one tiny second agg over the sidecar-sized
+        # result broadcast back on — the index is scanned exactly once
+        aggs.append(F.max("ingest_batch").cast("long").alias("_g"))
+        occ = index.groupBy(*keys).agg(*aggs)
+        wm = occ.groupBy().agg(F.max("_g").alias("occ_through"))
+        return occ.crossJoin(F.broadcast(wm)).drop("_g")
+    return index.groupBy(*keys).agg(*aggs).withColumn(
+        "occ_through", F.lit(None).cast("long")
+    )
+
+
+def guard_occupancy_fresh(
+    index: DataFrame, occupancy: DataFrame
+) -> DataFrame:
+    """Attach the sidecar CONTENT-staleness assert to a stored index
+    (VERDICT r15 #3): every index row's ``ingest_batch`` must be at or
+    below the sidecar's ``occ_through`` watermark, or the first
+    offending row raises.
+
+    The parameter stamp (``index_fp``) cannot catch this case — appends
+    from the same builder carry the same fp, so a sidecar built before
+    N later appends passes ``guard_index`` while its counts under-report
+    occupancy and the combined cap silently admits pairs the window
+    path would have pruned (a RESULTS difference).  The check is the
+    same lazy filter-side ``assert_true`` discipline as the fp guards:
+    the 1-row watermark scalar broadcasts onto the index scan (the
+    PLANS.md lazy-scalar idiom) and costs one constant comparison per
+    index row — the index is still never exchanged or sorted.
+
+    Indexes without an ``ingest_batch`` column (one-shot builds) have
+    no in-place append channel to go stale against; they pass through
+    untouched.  An appendable index with a pre-watermark sidecar (no
+    ``occ_through`` column) is refused eagerly — rebuild the sidecar.
+
+    Scope (by construction, and it is the RIGHT scope): Catalyst may
+    evaluate this filter after the kept-key bucket prune, so the assert
+    sees only index rows in buckets the BATCH touches — which is
+    precisely the set whose staleness could alter this serve's result.
+    Occupancy staleness is one-directional (counts only grow), so a
+    wrong keep decision always leaves post-watermark rows in a
+    surviving batch-touched bucket, and the assert fires; appends
+    confined to buckets the batch never probes pass silently AND
+    harmlessly (those buckets contribute no pairs either way)."""
+    if "ingest_batch" not in index.columns:
+        return index
+    assert "occ_through" in occupancy.columns, (
+        "occupancy sidecar lacks the occ_through content watermark but "
+        "the index carries ingest_batch appends — rebuild the sidecar "
+        "with stored_occupancy_table (a watermark-less sidecar cannot "
+        "be checked against later appends)"
+    )
+    wm = occupancy.groupBy().agg(
+        # min: on a (malformed) mixed sidecar the strictest watermark
+        # wins; an EMPTY sidecar yields null, which assert_true treats
+        # as failure — correct, since any index row is then unsummarized
+        F.min("occ_through").alias("_occ_through")
+    )
+    msg = F.lit(
+        "stale occupancy sidecar: the stored index holds ingest_batch "
+        "appends newer than the sidecar's occ_through watermark — its "
+        "counts under-report bucket occupancy and the combined cap "
+        "would silently under-enforce.  Rebuild the sidecar "
+        "(stored_occupancy_table) or let the ingest loop maintain it."
+    )
+    return (
+        index.crossJoin(F.broadcast(wm))
+        .where(
+            F.assert_true(
+                F.col("ingest_batch") <= F.col("_occ_through"), msg
+            ).isNull()
+        )
+        .drop("_occ_through")
+    )
 
 
 def kept_keys_with_stored_occupancy(
@@ -1595,13 +1693,27 @@ def kept_keys_with_stored_occupancy(
     probe measured growing with the catalog.  ``batch_counts`` must be
     ``batch.groupBy(*keys).count()``-shaped with the count aliased
     ``_bn``; pass a PERSISTED batch lineage upstream or the batch fold
-    runs once for the count and once for the join."""
+    runs once for the count and once for the join.
+
+    LEFT join from the batch side (ADVICE r15): a stored-only key can
+    never contribute output — the pair join's build side requires
+    ``_new`` rows, and stored-only buckets have none — so including
+    them (the old full_outer) only inflated the broadcast keep set
+    toward the key-domain bound; bounding it by the BATCH's keys keeps
+    the result identical and the broadcast at most |batch keys|.
+
+    NULL-key semantics: join equality never matches NULL, so a NULL-key
+    batch group pairs with no stored count here — and the downstream
+    left-semi join drops NULL-key rows regardless, whereas
+    ``prune_df_window`` KEEPS a within-cap NULL partition (window
+    partitioning groups NULLs).  The shipped key tuples (ci/cv chunk
+    values, landmark bins) are non-null by construction; pre-filter
+    ``isNotNull`` upstream before using this helper with nullable
+    keys."""
     occ = stored_occupancy.select(*keys, F.col("n").alias("_sn"))
-    total = F.coalesce(F.col("_bn"), F.lit(0)) + F.coalesce(
-        F.col("_sn"), F.lit(0)
-    )
+    total = F.col("_bn") + F.coalesce(F.col("_sn"), F.lit(0))
     return (
-        batch_counts.join(occ, keys, "full_outer")
+        batch_counts.join(occ, keys, "left")
         .where(total <= max_bucket_size)
         .select(*keys)
     )

@@ -3721,7 +3721,15 @@ def video_near_duplicates_incremental(
             batch = batch.persist(_SL.MEMORY_AND_DISK)
         from .indexstamp import guard_index
 
-        keyed = guard_index(corpus_index, "video_frame_chunk_table").select(
+        src = corpus_index
+        if corpus_occupancy is not None:
+            # content-staleness assert rides the index scan (lazy, one
+            # constant comparison per row) — a sidecar that predates an
+            # ingest_batch append fails loudly instead of under-capping
+            from .dedup import guard_occupancy_fresh
+
+            src = guard_occupancy_fresh(src, corpus_occupancy)
+        keyed = guard_index(src, "video_frame_chunk_table").select(
             F.col("media_id"), F.col("frame_idx"),
             F.lit(False).alias("_new"),
             F.col("dhash_hi"), F.col("dhash_lo"), F.col("ci"), F.col("cv"),
@@ -4553,8 +4561,16 @@ def audio_landmark_matches_incremental(
     else:
         from .indexstamp import guard_index
 
+        src = corpus_index
+        if corpus_occupancy is not None:
+            # content-staleness assert rides the index scan (lazy, one
+            # constant comparison per row) — a sidecar that predates an
+            # ingest_batch append fails loudly instead of under-capping
+            from .dedup import guard_occupancy_fresh
+
+            src = guard_occupancy_fresh(src, corpus_occupancy)
         corpus_lm = guard_index(
-            corpus_index, "audio_landmark_table", max_dt=max_dt
+            src, "audio_landmark_table", max_dt=max_dt
         ).select("media_id", "a_bin", "b_bin", "dt")
     batch_lm = audio_landmarks(peaks_batch, max_dt=max_dt)
     use_occ = corpus_occupancy is not None and max_bucket_size is not None

@@ -1970,6 +1970,11 @@ def serving_index_build(spark: SparkSession, sf: str) -> str:
     dedup.stored_occupancy_table(
         spark.read.parquet(idx_path)
     ).write.mode("overwrite").parquet(idx_path + "_occ")
+    # this leg REUSES its sf-keyed path across invocations (overwrite) —
+    # same-app re-serves must not ride the previous build's file listing
+    # (VERDICT r15 #1's flake class)
+    spark.catalog.refreshByPath(idx_path)
+    spark.catalog.refreshByPath(idx_path + "_occ")
     return idx_path
 
 
@@ -2044,6 +2049,12 @@ BUILD_SERVE: dict[str, tuple] = {
 }
 
 
+# per-process invocation counter for compacted_index_build's fresh-leaf
+# scratch discipline (NOT a timestamp/uuid: deterministic across runs,
+# and monotonic within one app is all re-entrancy needs)
+_COMPACT_BUILD_SEQ = 0
+
+
 def compacted_index_build(spark: SparkSession, sf: str) -> str:
     """BUILD+COMPACT leg of ``dedup_compacted_serve``: write the corpus
     chunk table as THREE ``ingest_batch=<id>`` partition directories
@@ -2058,11 +2069,20 @@ def compacted_index_build(spark: SparkSession, sf: str) -> str:
     The batch split is doc_id % 3 over the corpus (deterministic, no
     ordering dependence); every slice carries the same parameter-derived
     ``index_fp`` stamp, so the compactor's single-stamp refusal check is
-    exercised on the passing side.  The directory is cleared first —
-    the registry callable must be self-contained and idempotent, and
-    re-appending batch dirs onto an already-compacted base would
-    duplicate index rows (the real loop prevents this with the
-    checkpoint + watermark; a benchmark callable has neither)."""
+    exercised on the passing side.
+
+    RE-ENTRANCY within one Spark app (VERDICT r15 #1): each invocation
+    builds under a FRESH ``i<n>`` leaf (a per-process counter), after
+    clearing the sf-keyed parent of earlier invocations' leaves — this
+    query rmtree-and-rewrites, compacts (directory RENAMES), and serves
+    the same logical index, and the r15 warm bench caught iteration 2
+    erroring on a save over the reused path (unreproducible in
+    isolation — consistent with a stale file-listing cache).  A
+    never-reused leaf makes any stale listing of the previous
+    invocation's directories unreachable by construction, and the
+    parent clear bounds the session's scratch footprint at one live
+    index per SF.  The real loop prevents re-append corruption with the
+    checkpoint + watermark; a benchmark callable has neither."""
     import hashlib as _hl
     import os as _os
     import shutil as _sh
@@ -2072,12 +2092,15 @@ def compacted_index_build(spark: SparkSession, sf: str) -> str:
 
     docs = load_docs(spark, sf)
     corpus = docs.where(F.col("doc_id") % 7 != 0)
-    idx_path = _os.path.join(
+    global _COMPACT_BUILD_SEQ
+    _COMPACT_BUILD_SEQ += 1
+    parent = _os.path.join(
         _tf.gettempdir(),
         f"spark_graft_compacted_index_{spark.sparkContext.applicationId}",
         f"simhash64_{_hl.md5(sf.encode()).hexdigest()[:12]}",
     )
-    _sh.rmtree(idx_path, ignore_errors=True)
+    _sh.rmtree(parent, ignore_errors=True)
+    idx_path = _os.path.join(parent, f"i{_COMPACT_BUILD_SEQ}")
     for b in range(3):
         (
             dedup.simhash64_chunk_table(
@@ -7963,6 +7986,10 @@ def audio_serving_index_build(spark: SparkSession, sf: str) -> str:
     dedup.stored_occupancy_table(
         spark.read.parquet(idx_path), keys=("a_bin", "b_bin", "dt")
     ).write.mode("overwrite").parquet(idx_path + "_occ")
+    # path reused across invocations (overwrite) — drop any stale
+    # same-app file listing before the serve leg reads it back
+    spark.catalog.refreshByPath(idx_path)
+    spark.catalog.refreshByPath(idx_path + "_occ")
     return idx_path
 
 
@@ -8339,9 +8366,11 @@ def video_serving_index_build(spark: SparkSession, sf: str) -> str:
     # cheap hash scan — NOT a second decode pass) so the serve-time cap
     # reads stored counts instead of re-aggregating the catalog — the
     # stage the sf30 probe measured at 4.55x for 3x data
+    spark.catalog.refreshByPath(idx_path)  # path reused across calls
     dedup.stored_occupancy_table(
         spark.read.parquet(idx_path)
     ).write.mode("overwrite").parquet(idx_path + "_occ")
+    spark.catalog.refreshByPath(idx_path + "_occ")
     return idx_path
 
 

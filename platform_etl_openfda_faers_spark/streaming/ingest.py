@@ -56,6 +56,14 @@ from ..operators import dedup
 # how often) compaction has run.
 COMPACTED_BATCH = -1
 
+# Suffix appended to an index path to locate its occupancy sidecar —
+# the tiny (keys..., n, index_fp, occ_through) table the stored-serve
+# paths use instead of re-counting the catalog side per serve (the r15
+# sf30 probe's fix).  A SIBLING directory, not a child: the index root
+# stays pure ``ingest_batch=`` partitions for Spark's discovery, and
+# the compactor's file accounting never mixes sidecar files in.
+OCCUPANCY_SUFFIX = "_occ"
+
 # Marker file (underscore-prefixed: invisible to Spark's partition
 # discovery) recording the highest batch id ever absorbed by a
 # compaction.  The ingest guards read it: a batch id at or below this
@@ -149,6 +157,17 @@ def dedup_ingest_batch(
             "from scratch."
         )
     if stored is not None:
+        # serve via the occupancy sidecar when the loop has maintained
+        # one (VERDICT r15 #5) — the combined-occupancy cap then costs a
+        # broadcast semi-join on stored+batch COUNTS instead of a count
+        # window over the catalog-sized union; missing sidecar (never
+        # built, or the swap's crash window) falls back to the window
+        # path, and a STALE one fails loudly via guard_occupancy_fresh
+        occ = (
+            read_occupancy_sidecar(spark, index_path)
+            if max_bucket_size is not None
+            else None
+        )
         pairs = dedup.simhash_near_duplicates_incremental64(
             batch,
             None,
@@ -157,6 +176,7 @@ def dedup_ingest_batch(
             max_hamming=max_hamming,
             max_bucket_size=max_bucket_size,
             corpus_index=stored,
+            corpus_occupancy=occ,
         )
     else:
         empty = spark.createDataFrame(
@@ -178,9 +198,25 @@ def dedup_ingest_batch(
         accepted.write.mode("overwrite").parquet(
             f"{accepted_path}/ingest_batch={batch_id}"
         )
-        dedup.simhash64_chunk_table(accepted, text_col, id_col).write.mode(
-            "overwrite"
-        ).partitionBy("ci").parquet(f"{index_path}/ingest_batch={batch_id}")
+        # persist the batch's index rows: the append write AND the
+        # sidecar count below both consume them, and the signature fold
+        # is the batch's dominant CPU
+        chunks = dedup.simhash64_chunk_table(
+            accepted, text_col, id_col
+        ).persist()
+        try:
+            chunks.write.mode("overwrite").partitionBy("ci").parquet(
+                f"{index_path}/ingest_batch={batch_id}"
+            )
+            # keep the occupancy sidecar in lockstep with the append
+            # (VERDICT r15 #5): additive merge of this batch's per-key
+            # counts, occ_through advanced to batch_id — the next serve
+            # takes the broadcast-semi cap path with a fresh watermark
+            _maintain_occupancy_sidecar(
+                spark, index_path, chunks, batch_id, keys=("ci", "cv")
+            )
+        finally:
+            chunks.unpersist()
     finally:
         accepted.unpersist()
 
@@ -347,32 +383,51 @@ def start_emb_ingest(
     )
 
 
-def _require_local_index_path(index_path: str, what: str) -> None:
-    """The compaction watermark + manifest-swap machinery is LOCAL-FS
-    ONLY by design (``Path``/``shutil``/``rename`` atomicity): on a
-    remote URI (hdfs://, s3a://, ...) ``Path.read_text`` would raise
-    OSError and the replay guard would silently pass as "never
-    compacted" — the one failure mode worse than refusing.  Fail loudly
-    at the API boundary instead; porting to an object store means
-    re-implementing the swap on that store's commit primitives (e.g.
-    conditional PUT), not reusing this code path."""
-    scheme = index_path.split("://", 1)[0] if "://" in index_path else ""
-    if scheme and scheme not in ("file",):
+def _as_local_path(index_path: str, what: str) -> Path:
+    """Normalize an index path to a local ``Path`` — the compaction
+    watermark + manifest-swap machinery is LOCAL-FS ONLY by design
+    (``Path``/``shutil``/``rename`` atomicity): on a remote URI
+    (hdfs://, s3a://, ...) ``Path.read_text`` would raise OSError and
+    the replay guard would silently pass as "never compacted" — the one
+    failure mode worse than refusing.  Fail loudly at the API boundary
+    instead; porting to an object store means re-implementing the swap
+    on that store's commit primitives (e.g. conditional PUT), not
+    reusing this code path.
+
+    ``file://`` URIs are NORMALIZED, not just allowlisted (ADVICE r15:
+    ``Path('file:///x')`` is a bogus relative path, so the allowlist
+    alone made the watermark read raise FileNotFoundError and return
+    "never compacted" for a file:// URI — exactly the silent bypass
+    this guard exists to prevent — while the compactor would glob an
+    empty bogus directory and no-op even though Spark reads real data
+    at the URI)."""
+    if "://" not in index_path:
+        return Path(index_path)
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(index_path)
+    if parsed.scheme != "file":
         raise NotImplementedError(
             f"{what}: index path {index_path!r} uses scheme "
-            f"{scheme!r}, but the compaction watermark/manifest "
+            f"{parsed.scheme!r}, but the compaction watermark/manifest "
             "machinery is local-FS only (atomic rename + POSIX "
             "read_text). Running it against a remote store would make "
             "the lost-checkpoint replay guard silently pass."
         )
+    if parsed.netloc not in ("", "localhost"):
+        raise NotImplementedError(
+            f"{what}: file:// index path {index_path!r} names a remote "
+            f"host {parsed.netloc!r} — local-FS only."
+        )
+    return Path(unquote(parsed.path))
 
 
 def _compacted_through(index_path: str) -> int | None:
     """Read the compaction watermark (highest absorbed batch id), or
     None if the index has never been compacted.  Local-FS only — see
-    ``_require_local_index_path``."""
-    _require_local_index_path(index_path, "compaction watermark read")
-    p = Path(index_path) / _WATERMARK_FILE
+    ``_as_local_path``."""
+    p = _as_local_path(index_path, "compaction watermark read")
+    p = p / _WATERMARK_FILE
     try:
         return int(p.read_text())
     except (OSError, ValueError):
@@ -397,6 +452,127 @@ def _guard_not_compacted(index_path: str, batch_id: int, what: str) -> None:
             "load-bearing dedup state: clear the index and accepted "
             "paths before replaying from scratch."
         )
+
+
+def occupancy_sidecar_path(index_path: str) -> str:
+    """Where an index's occupancy sidecar lives (string form — valid
+    for the same schemes the index path is)."""
+    return index_path.rstrip("/") + OCCUPANCY_SUFFIX
+
+
+def _write_occupancy_sidecar(spark, occ_df, index_path: str) -> None:
+    """Swap a freshly computed sidecar into place: materialize to a
+    sibling ``.tmp`` directory first (the merge path READS the old
+    sidecar — writing over it in place would overwrite its own input),
+    then rmtree + rename.  The crash window between the two leaves NO
+    sidecar, which is safe by construction: serving falls back to the
+    count-window path and the next ingest batch rebuilds it from the
+    index (``refresh_occupancy_sidecar``) — a sidecar can be missing,
+    never silently stale."""
+    occ_path = occupancy_sidecar_path(index_path)
+    local = _as_local_path(occ_path, "occupancy sidecar write")
+    tmp = local.with_name(local.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    # the whole table is at most key-domain-sized (262k rows for ci x
+    # cv) — one file keeps the sidecar a single-open read at serve
+    occ_df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    shutil.rmtree(local, ignore_errors=True)
+    tmp.rename(local)
+    # same-app re-reads must not ride a stale listing of the swapped dir
+    spark.catalog.refreshByPath(str(local))
+
+
+def refresh_occupancy_sidecar(
+    spark: SparkSession,
+    index_path: str,
+    keys: tuple[str, ...] = ("ci", "cv"),
+) -> None:
+    """FULL rebuild of the occupancy sidecar from the index — one scan
+    of the (signature-sized, never document-sized) index.  Used at
+    bootstrap, after compaction, and whenever the additive merge can't
+    prove it would be exact (replayed batch, pre-watermark sidecar)."""
+    spark.catalog.refreshByPath(index_path)  # post-append/-swap listing
+    occ = dedup.stored_occupancy_table(
+        spark.read.parquet(index_path), keys=tuple(keys)
+    )
+    _write_occupancy_sidecar(spark, occ, index_path)
+
+
+def _maintain_occupancy_sidecar(
+    spark: SparkSession,
+    index_path: str,
+    batch_index_rows,
+    batch_id: int,
+    keys: tuple[str, ...] = ("ci", "cv"),
+) -> None:
+    """Per-batch sidecar maintenance (VERDICT r15 #5): occupancy counts
+    are ADDITIVE, so after appending ``ingest_batch=<id>`` the new
+    sidecar is exactly (old counts + this batch's per-key counts) with
+    the ``occ_through`` content watermark advanced to ``batch_id`` — a
+    ≤|batch keys| aggregate plus a tiny full-outer merge, never a
+    rescan of the catalog-sized index.
+
+    Falls back to a full rebuild when the merge can't be proven exact:
+    no sidecar yet (bootstrap / post-crash-window), a pre-watermark
+    sidecar (no ``occ_through`` column), or an at-least-once REPLAY of
+    a batch already summarized (``occ_through >= batch_id`` — the
+    ``ingest_batch=<id>`` append is an idempotent overwrite, so an
+    additive merge would double-count exactly once).
+
+    ``batch_index_rows`` — the batch's just-appended index rows (chunk
+    table / landmark table), PERSISTED by the caller so the signature
+    fold isn't re-paid for the count."""
+    local = _as_local_path(
+        occupancy_sidecar_path(index_path), "occupancy sidecar update"
+    )
+    if not local.exists():
+        refresh_occupancy_sidecar(spark, index_path, keys)
+        return
+    old = spark.read.parquet(str(local))
+    wm = None
+    if "occ_through" in old.columns:
+        # bounded 1-value collect over the key-domain-sized sidecar
+        wm = old.agg(F.min("occ_through").alias("w")).first()["w"]
+    if wm is None or wm >= batch_id:
+        refresh_occupancy_sidecar(spark, index_path, keys)
+        return
+    batch_counts = batch_index_rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("_bn")
+    )
+    merged = (
+        old.select(*keys, F.col("n").alias("_sn"))
+        .join(batch_counts, list(keys), "full_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col("_sn"), F.lit(0))
+                + F.coalesce(F.col("_bn"), F.lit(0))
+            ).cast("long").alias("n"),
+        )
+    )
+    if "index_fp" in old.columns:
+        # constant by the compactor's single-stamp invariant — bounded
+        # 1-row collect so batch-introduced keys carry it too
+        fp = old.select("index_fp").first()["index_fp"]
+        merged = merged.withColumn("index_fp", F.lit(fp))
+    merged = merged.withColumn(
+        "occ_through", F.lit(batch_id).cast("long")
+    )
+    _write_occupancy_sidecar(spark, merged, index_path)
+
+
+def read_occupancy_sidecar(
+    spark: SparkSession, index_path: str
+):
+    """The index's occupancy sidecar as a DataFrame, or None if absent
+    (never built, or inside the swap's crash window) — callers fall
+    back to the count-window cap."""
+    local = _as_local_path(
+        occupancy_sidecar_path(index_path), "occupancy sidecar read"
+    )
+    if not local.exists():
+        return None
+    return spark.read.parquet(str(local))
 
 
 def compact_ingest_index(
@@ -454,8 +630,7 @@ def compact_ingest_index(
     every serve enumerate O(batches x keys) files, which is a namenode /
     object-store listing bomb long before it is an I/O problem.
     """
-    _require_local_index_path(index_path, "compact_ingest_index")
-    root = Path(index_path)
+    root = _as_local_path(index_path, "compact_ingest_index")
     tmp = root / ".compact_tmp"
     manifest_path = root / ".compact_manifest.json"
 
@@ -492,6 +667,27 @@ def compact_ingest_index(
             tmp.rename(base)
         (root / _WATERMARK_FILE).write_text(str(manifest["through"]))
         manifest_path.unlink(missing_ok=True)
+        # the swap renamed directories under the index root — a
+        # same-app re-read must not ride the pre-swap file listing
+        # (the r15 warm-bench flake's suspected mechanism)
+        spark.catalog.refreshByPath(str(root))
+        # refresh the occupancy sidecar from the compacted base
+        # (VERDICT r15 #5): counts are additive so they're unchanged by
+        # construction, but the rebuild keeps the sidecar's provenance
+        # one-to-one with the index files it summarizes and re-stamps
+        # occ_through from the post-swap partition values.  Keys are
+        # recovered from the existing sidecar's own schema (the
+        # compactor is generic over index families).
+        occ_local = _as_local_path(
+            occupancy_sidecar_path(index_path), "compaction sidecar"
+        )
+        if occ_local.exists():
+            keys = tuple(
+                c
+                for c in spark.read.parquet(str(occ_local)).columns
+                if c not in ("n", "index_fp", "centroid_fp", "occ_through")
+            )
+            refresh_occupancy_sidecar(spark, index_path, keys)
         return {
             "absorbed_batches": manifest["absorbed_batches"],
             "rows": manifest["rows"],

@@ -282,6 +282,32 @@ def test_compaction_rejects_remote_uri(spark):
     as 'never compacted' (ADVICE r14 low)."""
     with pytest.raises(NotImplementedError, match="local-FS only"):
         compact_ingest_index(spark, "s3a://bucket/index")
+    with pytest.raises(NotImplementedError, match="remote host"):
+        compact_ingest_index(spark, "file://nn.example.com/index")
+
+
+def test_compaction_normalizes_file_uri(spark, tmp_path):
+    """file:// URIs are NORMALIZED to local paths (ADVICE r15): before,
+    ``Path('file:///x')`` was a bogus relative path, so the watermark
+    read silently returned 'never compacted' (the exact replay-guard
+    bypass the scheme guard exists to prevent) and the compactor
+    globbed an empty directory and no-opped while Spark read real data
+    at the URI.  Now the whole watermark + swap machinery operates on
+    the real directory through the URI form."""
+    from platform_etl_openfda_faers_spark.streaming.ingest import (
+        _compacted_through,
+    )
+
+    idx, _, _, _ = _ingest_files(spark, tmp_path, "fileuri", BATCHES[:2])
+    uri = "file://" + idx
+    res = compact_ingest_index(spark, uri, partition_cols=("ci",))
+    assert res["absorbed_batches"] == [0, 1]
+    # the watermark is readable through BOTH forms — no silent bypass
+    assert _compacted_through(uri) == 1
+    assert _compacted_through(idx) == 1
+    # serving through the plain path sees the compacted base only
+    assert {p.parent.parent.name if "ci=" in p.parent.name else None
+            for p in _parquet_files(idx)} <= {"ingest_batch=-1", None}
 
 
 def test_compaction_refuses_mixed_stamp(spark, tmp_path):

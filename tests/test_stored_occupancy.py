@@ -201,3 +201,159 @@ def test_occupancy_requires_corpus_index(spark, straddle_index):
         dedup.simhash_near_duplicates_incremental64(
             batch, corpus, "text", "doc_id", corpus_occupancy=occ
         )
+
+
+# ---------------------------------------------------------------------------
+# Loop/compactor sidecar MAINTENANCE + content-watermark staleness
+# (VERDICT r15 #5 / ADVICE r15): the r15 registry legs rebuilt the
+# sidecar inline, but the production ingest loop appended index rows
+# without touching it and the parameter stamp (index_fp) cannot detect
+# an appended-to index — a stale sidecar under-counted occupancy and
+# silently under-enforced the cap.  Pinned here:
+#
+# 4. the LOOP-maintained sidecar (additive per-batch merge) is
+#    row-identical to a fresh stored_occupancy_table rebuild, including
+#    the occ_through content watermark — and an at-least-once REPLAY of
+#    a batch doesn't double-count;
+# 5. serving with a sidecar that predates an ingest_batch append fails
+#    loudly (guard_occupancy_fresh's lazy assert), and the loop's own
+#    maintained sidecar passes it;
+# 6. the compactor refreshes an existing sidecar from the compacted
+#    base (counts unchanged, occ_through re-stamped from the base).
+
+
+def _sidecar_rows(spark, idx_path):
+    from platform_etl_openfda_faers_spark.streaming.ingest import (
+        occupancy_sidecar_path,
+    )
+
+    df = spark.read.parquet(occupancy_sidecar_path(idx_path))
+    return sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+
+
+def _fresh_rebuild_rows(spark, idx_path):
+    spark.catalog.refreshByPath(idx_path)
+    df = dedup.stored_occupancy_table(spark.read.parquet(idx_path))
+    return sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+
+
+_LOOP_BATCHES = [
+    [(0, _text_for(0)), (1, _text_for(1)), (3, _text_for(0))],
+    [(10, _text_for(3)), (11, _text_for(1)), (12, _text_for(4))],
+    [(20, _text_for(0)), (21, _text_for(5)), (23, _text_for(99))],
+]
+
+
+def _run_loop(spark, tmp_path, name, batches, cap=8):
+    from platform_etl_openfda_faers_spark.streaming import ingest
+
+    idx = str(tmp_path / f"idx_{name}")
+    acc = str(tmp_path / f"acc_{name}")
+    for bid, rows in enumerate(batches):
+        ingest.dedup_ingest_batch(
+            spark.createDataFrame(rows, _SCHEMA), bid, idx, acc,
+            max_bucket_size=cap,
+        )
+    return idx, acc
+
+
+def test_loop_maintained_sidecar_equals_fresh_rebuild(spark, tmp_path):
+    idx, _ = _run_loop(spark, tmp_path, "law", _LOOP_BATCHES)
+    got = _sidecar_rows(spark, idx)
+    want = _fresh_rebuild_rows(spark, idx)
+    assert got == want
+    # the watermark really advanced to the last batch id
+    occ = spark.read.parquet(idx + "_occ")
+    assert occ.select("occ_through").distinct().collect()[0][0] == 2
+
+
+def test_loop_sidecar_replay_does_not_double_count(spark, tmp_path):
+    from platform_etl_openfda_faers_spark.streaming import ingest
+
+    idx, acc = _run_loop(spark, tmp_path, "replay", _LOOP_BATCHES[:2])
+    before = _sidecar_rows(spark, idx)
+    # at-least-once replay of batch 1 within the same lineage: the
+    # ingest_batch=1 append is an idempotent overwrite, and the sidecar
+    # falls back to a full rebuild instead of merging twice
+    ingest.dedup_ingest_batch(
+        spark.createDataFrame(_LOOP_BATCHES[1], _SCHEMA), 1, idx, acc,
+        max_bucket_size=8,
+    )
+    assert _sidecar_rows(spark, idx) == before
+    assert _sidecar_rows(spark, idx) == _fresh_rebuild_rows(spark, idx)
+
+
+def test_stale_sidecar_serve_fails_loudly(spark, tmp_path):
+    """A sidecar computed BEFORE a later ingest_batch append carries the
+    same index_fp (parameter stamp — same family, same params), so only
+    the occ_through content watermark can convict it; serving must
+    raise, not silently under-enforce the cap."""
+    idx = str(tmp_path / "idx_stale")
+    corpus0 = spark.createDataFrame(
+        [(i, _text_for(i)) for i in range(4)], _SCHEMA
+    )
+    dedup.simhash64_chunk_table(corpus0, "text", "doc_id").write.mode(
+        "overwrite"
+    ).partitionBy("ci").parquet(f"{idx}/ingest_batch=0")
+    stale_occ = dedup.stored_occupancy_table(spark.read.parquet(idx))
+    stale_occ.write.mode("overwrite").parquet(idx + "_occ_stale")
+    # a later append from the SAME builder (same fp) lands — IN the
+    # bucket the probe batch touches (text_for(0) twins): the guard's
+    # assert is scoped to batch-probed buckets (exactly the rows whose
+    # staleness could alter this serve — see guard_occupancy_fresh),
+    # so the append must be batch-relevant to be convictable
+    corpus1 = spark.createDataFrame(
+        [(10 + i, _text_for(0)) for i in range(4)], _SCHEMA
+    )
+    dedup.simhash64_chunk_table(corpus1, "text", "doc_id").write.mode(
+        "overwrite"
+    ).partitionBy("ci").parquet(f"{idx}/ingest_batch=1")
+    spark.catalog.refreshByPath(idx)
+    stored = spark.read.parquet(idx)
+    stale = spark.read.parquet(idx + "_occ_stale")
+    batch = spark.createDataFrame([(100, _text_for(0))], _SCHEMA)
+    res = dedup.simhash_near_duplicates_incremental64(
+        batch, None, "text", "doc_id",
+        max_hamming=3, max_bucket_size=8,
+        corpus_index=stored, corpus_occupancy=stale,
+    )
+    with pytest.raises(Exception, match="stale occupancy sidecar"):
+        res.collect()
+    # ...and a FRESH rebuild over the appended index serves fine
+    fresh = dedup.stored_occupancy_table(stored)
+    ok = dedup.simhash_near_duplicates_incremental64(
+        batch, None, "text", "doc_id",
+        max_hamming=3, max_bucket_size=8,
+        corpus_index=stored, corpus_occupancy=fresh,
+    )
+    ids = {i for r in ok.collect() for i in (r.id_a, r.id_b)}
+    assert 100 in ids and 0 in ids  # the twin pair survived the cap
+
+
+def test_compactor_refreshes_sidecar(spark, tmp_path):
+    from platform_etl_openfda_faers_spark.streaming import ingest
+
+    idx, _ = _run_loop(spark, tmp_path, "compact", _LOOP_BATCHES)
+    before = {
+        t for t in _sidecar_rows(spark, idx)
+    }
+    res = ingest.compact_ingest_index(spark, idx, partition_cols=("ci",))
+    assert res["absorbed_batches"] == [0, 1, 2]
+    occ = spark.read.parquet(idx + "_occ")
+    # occ_through re-stamped from the compacted base (all rows now live
+    # under ingest_batch=-1); counts preserved verbatim
+    assert occ.select("occ_through").distinct().collect()[0][0] == -1
+    strip = lambda rows: sorted(  # noqa: E731
+        r[:-1] for r in rows  # drop occ_through (sorted cols -> last)
+    )
+    assert strip(_sidecar_rows(spark, idx)) == strip(before)
+    assert _sidecar_rows(spark, idx) == _fresh_rebuild_rows(spark, idx)
+    # serving via the refreshed sidecar is accepted by the guard
+    batch = spark.createDataFrame([(100, _text_for(1))], _SCHEMA)
+    ok = dedup.simhash_near_duplicates_incremental64(
+        batch, None, "text", "doc_id",
+        max_hamming=3, max_bucket_size=8,
+        corpus_index=spark.read.parquet(idx),
+        corpus_occupancy=occ,
+    )
+    assert {i for r in ok.collect() for i in (r.id_a, r.id_b)} >= {100, 1}

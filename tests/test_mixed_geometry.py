@@ -312,6 +312,11 @@ def test_audio_tail_keyspace_scaling(spark):
     assert multimodal.audio_tail_spacing(5_000) == 50
     assert multimodal.audio_tail_spacing(50_000) == 50
     assert multimodal.audio_tail_spacing(500_000) == 200
+    # sf30 (r16, VERDICT r15 #6): the half-decade extension — at 1.5M
+    # docs the same arithmetic yields 600, holding mean tail-bucket
+    # occupancy at target_occ=16 (4x under the 64 cap) so the sf30
+    # harness tail SURVIVES the cap instead of reading pair_rows 0
+    assert multimodal.audio_tail_spacing(1_500_000) == 600
 
     # --- (b) over-dense tail: law holds but the tail is cap-pruned away
     dense = 2
@@ -374,3 +379,8 @@ def test_video_tail_keyspace_scaling(spark):
     assert multimodal.video_tail_spacing(5_000) == 25
     assert multimodal.video_tail_spacing(50_000) == 25
     assert multimodal.video_tail_spacing(500_000) == 125
+    # sf30 (r16, VERDICT r15 #6): 1.5M docs -> 375; the tail's ~500
+    # distinct gids reduce MOD 251 to ~251 content classes of ~2 gids
+    # x 2 offsets x ~4 clips ≈ 16 rows/bucket = target_occ, 4x under
+    # the 64 cap — a non-empty capped pair join at sf30, by arithmetic
+    assert multimodal.video_tail_spacing(1_500_000) == 375

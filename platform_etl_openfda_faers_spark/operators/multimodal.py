@@ -3339,6 +3339,7 @@ def dhash_near_duplicates_incremental(
     id_col: str = "media_id",
     max_bucket_size: int | None = 64,
     corpus_index: DataFrame | None = None,
+    corpus_occupancy: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL Hamming-near image retrieval — an incoming batch of
     ``image_dhash`` rows paired against itself and the existing corpus,
@@ -3368,11 +3369,28 @@ def dhash_near_duplicates_incremental(
     is the Python/Arrow image decode itself), the batch side hashes only
     ``new_hashes``'s images, and the combined-occupancy cap applies
     across stored + batch rows exactly as in the recompute path.
+
+    ``corpus_occupancy`` — optional stored occupancy sidecar
+    (``dedup.stored_occupancy_table`` over the same index build, fp- and
+    content-stamped).  When given (requires ``corpus_index``), the cap
+    is evaluated as (stored n + batch n) with a kept-key BROADCAST
+    semi-join instead of a count window over the whole union —
+    result-identical (law-pinned), but the stored index is never
+    exchanged, sorted, or PERSISTED at serve time (the recompute/plain
+    stored paths cache the whole capped chunk table for the a/b dual
+    consumption; with a sidecar only the BATCH's decode+hash lineage is
+    cached and the catalog side stays a streaming parquet scan — the
+    fourth family to take the r15 sf30 re-plan, after dedup SimHash,
+    video frames, and audio landmarks).
     """
     assert max_hamming <= 3, "4-chunk bucketing is lossy beyond Hamming 3"
     assert (corpus_hashes is None) != (corpus_index is None), (
         "pass exactly one of corpus_hashes (recompute) or corpus_index "
         "(stored chunk index)"
+    )
+    assert corpus_occupancy is None or corpus_index is not None, (
+        "corpus_occupancy is a sidecar of the stored index — pass it "
+        "together with corpus_index"
     )
     if corpus_index is None:
         combined = corpus_hashes.select(
@@ -3392,30 +3410,65 @@ def dhash_near_duplicates_incremental(
             ),
             id_col, keep=("_new",),
         )
+        if corpus_occupancy is not None:
+            # the batch chunk table feeds BOTH the per-key batch counts
+            # and the union below; without a persist the batch's image
+            # decode+hash (its dominant CPU) would run once per consumer
+            from pyspark import StorageLevel as _SL
+
+            batch = batch.persist(_SL.MEMORY_AND_DISK)
         from .indexstamp import guard_index
 
-        keyed = guard_index(corpus_index, "dhash_chunk_table").select(
+        src = corpus_index
+        if corpus_occupancy is not None:
+            # content-staleness assert rides the index scan (lazy, one
+            # constant comparison per row) — a sidecar that predates an
+            # ingest_batch append fails loudly instead of under-capping
+            from .dedup import guard_occupancy_fresh
+
+            src = guard_occupancy_fresh(src, corpus_occupancy)
+        keyed = guard_index(src, "dhash_chunk_table").select(
             F.col(id_col), F.lit(False).alias("_new"),
             F.col("dhash_hi"), F.col("dhash_lo"), F.col("ci"), F.col("cv"),
         ).unionByName(
             batch.select(id_col, "_new", "dhash_hi", "dhash_lo", "ci", "cv")
         )
     if max_bucket_size is not None:
-        from .dedup import prune_df_window
+        if corpus_occupancy is not None:
+            from .dedup import kept_keys_with_stored_occupancy
+            from .indexstamp import guard_index as _guard_occ
 
-        keyed = prune_df_window(keyed, ["ci", "cv"], max_bucket_size)
-    # persist the capped chunk table: the a/b sides consume it under
-    # DIFFERENT exchange types (shuffle probe vs broadcast build), so
-    # exchange reuse cannot collapse the duplicate lineage — WITHOUT the
-    # cache the upstream decode+hash pipeline runs TWICE (profiled at
-    # sf1: two decode stages, 124 + 47 executor-seconds, vs the full
-    # form's single 105s stage).  Four ~50-byte rows per image; the
-    # production analogue is the stored hash index, computed once at
-    # ingest (the same discipline as the video frame-hash cache and the
-    # 64-bit SimHash chunk table).
+            kept = kept_keys_with_stored_occupancy(
+                batch.groupBy("ci", "cv").agg(
+                    F.count(F.lit(1)).cast("long").alias("_bn")
+                ),
+                _guard_occ(corpus_occupancy, "dhash_chunk_table"),
+                ["ci", "cv"],
+                max_bucket_size,
+            )
+            keyed = keyed.join(F.broadcast(kept), ["ci", "cv"], "left_semi")
+        else:
+            from .dedup import prune_df_window
+
+            keyed = prune_df_window(keyed, ["ci", "cv"], max_bucket_size)
     from pyspark import StorageLevel
 
-    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    if corpus_occupancy is None:
+        # persist the capped chunk table: the a/b sides consume it under
+        # DIFFERENT exchange types (shuffle probe vs broadcast build), so
+        # exchange reuse cannot collapse the duplicate lineage — WITHOUT
+        # the cache the upstream decode+hash pipeline runs TWICE
+        # (profiled at sf1: two decode stages, 124 + 47 executor-seconds,
+        # vs the full form's single 105s stage).  Four ~50-byte rows per
+        # image; the production analogue is the stored hash index,
+        # computed once at ingest (the same discipline as the video
+        # frame-hash cache and the 64-bit SimHash chunk table).
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    # with a sidecar, only the BATCH lineage is cached (persisted above):
+    # caching `keyed` would materialize the CATALOG-sized index scan into
+    # executor memory, exactly what the stored-occupancy re-plan exists
+    # to avoid — the decode-free parquet scan of the index is cheaper
+    # than its own cache at catalog scale
     a = keyed.where(F.col("_new")).select(
         F.col(id_col).alias("id_a"),
         F.col("dhash_hi").alias("hi_a"),
@@ -3448,6 +3501,10 @@ def dhash_near_duplicates_incremental(
     )
     from .cache import attach_cached
 
+    if corpus_occupancy is not None:
+        # the persisted batch chunk table is a live handle the caller
+        # must be able to release (cache-lifetime contract)
+        return attach_cached(out, batch)
     return attach_cached(out, keyed)
 
 

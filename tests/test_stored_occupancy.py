@@ -357,3 +357,60 @@ def test_compactor_refreshes_sidecar(spark, tmp_path):
         corpus_occupancy=occ,
     )
     assert {i for r in ok.collect() for i in (r.id_a, r.id_b)} >= {100, 1}
+
+
+def test_image_occupancy_serve_matches_window_prune(spark, tmp_path):
+    """Same law for the image dHash family (r16 — the fourth and last
+    family to take the stored-occupancy re-plan): perturbed perceptual
+    BMP harness where the gid-0 mega class genuinely straddles cap=8 —
+    every chunk bucket the batch's gid-0 twin probes holds >= 9 rows
+    (pruned), while the 3-member gid-5 class keeps all its buckets."""
+    ids = (
+        [50 * i for i in range(12)]        # gid-0 mega class (12 copies)
+        + [5, 55]                          # gid-5 small class
+        + [23, 24, 26, 27]                 # uniques
+    )
+    corpus = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+    batch = spark.createDataFrame(
+        [(600,), (105,), (649,)], "doc_id LONG"
+    )  # gid-0 twin, gid-5 twin, unique
+
+    def hashes(df):
+        return multimodal.image_dhash(
+            multimodal.synthetic_bmp_media_perceptual(
+                df, "doc_id", perturb=True
+            )
+        )
+
+    idx_path = str(tmp_path / "image_dhash_index")
+    writers.write_partitioned(
+        multimodal.dhash_chunk_table(hashes(corpus)), idx_path, ["ci"]
+    )
+    stored = spark.read.parquet(idx_path)
+    occ = dedup.stored_occupancy_table(stored)
+    kw = dict(max_hamming=3, corpus_index=stored)
+    win = multimodal.dhash_near_duplicates_incremental(
+        hashes(batch), None, max_bucket_size=8, **kw
+    )
+    via_occ = multimodal.dhash_near_duplicates_incremental(
+        hashes(batch), None, max_bucket_size=8, corpus_occupancy=occ, **kw
+    )
+    a = sorted(map(tuple, win.collect()))
+    b = sorted(map(tuple, via_occ.collect()))
+    assert a == b
+    assert a, "harness must produce at least one hamming pair"
+    ids_in_pairs = {i for row in a for i in (row[0], row[1])}
+    assert 105 in ids_in_pairs      # the small class survived the cap
+    assert 600 not in ids_in_pairs  # the mega class pruned everywhere
+    # ...and the uncapped run DOES pair the mega twin (non-vacuous)
+    uncapped = multimodal.dhash_near_duplicates_incremental(
+        hashes(batch), None, max_bucket_size=None, **kw
+    )
+    assert 600 in {
+        i for r in uncapped.collect() for i in (r.id_a, r.id_b)
+    }
+    plan = via_occ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    wplan = win._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in wplan, wplan  # the twin really uses the window

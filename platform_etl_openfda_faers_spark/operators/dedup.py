@@ -827,9 +827,9 @@ def minhash_near_duplicates_shared(
     out = verified.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
-    from .cache import attach_cached
+    from .cache import attach_cached, cached_deps
 
-    return attach_cached(out, base)
+    return attach_cached(out, base, *cached_deps(verified))
 
 
 def minhash_near_duplicates_incremental(
@@ -956,9 +956,9 @@ def minhash_near_duplicates_incremental(
     out = verified.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
-    from .cache import attach_cached
+    from .cache import attach_cached, cached_deps
 
-    return attach_cached(out, base)
+    return attach_cached(out, base, *cached_deps(verified))
 
 
 # ---------------------------------------------------------------------------
@@ -1015,6 +1015,50 @@ def simhash_portable(
     )
 
 
+def _simhash_sig_counts(hash_arr_col: str, bits: int):
+    """Column expr: ``bits``-bit SimHash signature (non-negative long) from
+    an array-of-32-bit-token-hashes column — SINGLE-PASS integer fold.
+
+    Bit-identical to the per-position ±1 majority vote (the exploded
+    ``simhash_portable`` shape and the DuckDB oracle's replay): with
+    ``c_p = |{h : bit_p(h) = 1}|`` over ``n`` token hashes, the vote is
+    ``sum(±1) = 2*c_p - n``, so ``vote_p > 0  <=>  2*c_p > n`` — and
+    ``bit_p(h) = floor(h / 2^p) % 2 = (h & 2^p != 0)`` exactly for the
+    non-negative sub-2^32 hashes ``token_hash32`` produces.
+
+    Why this shape (r16 optimization, guide §1.2 "per-task work"): the
+    previous fold ran one ``aggregate(transform(hashes, ...))`` PER BIT
+    POSITION — ``bits`` full traversals of the token array per doc, each
+    element paying a double ``pow``/``floor``/``%`` chain — and profiled
+    as the dominant CPU of every SimHash build/serve stage.  One
+    ``aggregate`` with a ``bits``-wide ``zip_with`` counter accumulator
+    traverses the array ONCE with integer ``&`` ops: measured 2.8x on
+    the sf0.1 corpus fold (1.08s -> 0.38s solo), identical output rows.
+    """
+    powers = F.array(*[F.lit(1 << p).cast("long") for p in range(bits)])
+    counts = F.aggregate(
+        F.col(hash_arr_col),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, pw: a + F.when(h.bitwiseAND(pw) != 0, 1).otherwise(0),
+        ),
+    )
+    n = F.size(F.col(hash_arr_col))
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            powers,
+            lambda c, pw: F.when(c * 2 > n, pw).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def simhash_local(
     df: DataFrame, text_col: str, id_col: str, bits: int = 16,
     keep: tuple[str, ...] = (),
@@ -1046,33 +1090,9 @@ def simhash_local(
         *[F.col(c) for c in keep],
         F.transform(toks, lambda t: token_hash32(t)).alias("_h"),
     ).where(F.size("_h") > 0)
-
-    def vote(pos):
-        return F.aggregate(
-            F.transform(
-                F.col("_h"),
-                lambda h: F.when(
-                    F.floor(h / F.pow(F.lit(2), pos).cast("long")) % 2 == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-
-    positions = F.sequence(F.lit(0), F.lit(bits - 1))
-    sig = F.aggregate(
-        F.transform(
-            positions,
-            lambda pos: F.when(
-                vote(pos) > 0, F.pow(F.lit(2), pos).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     return hashed.select(
-        F.col(id_col), *[F.col(c) for c in keep], sig.alias("simhash")
+        F.col(id_col), *[F.col(c) for c in keep],
+        _simhash_sig_counts("_h", bits).alias("simhash"),
     )
 
 
@@ -1274,34 +1294,10 @@ def simhash_near_duplicates_incremental(
 
 def _simhash_sig32(hash_arr_col: str):
     """Column expr: 32-bit SimHash signature (as a non-negative long) from
-    an array-of-32-bit-token-hashes column — the per-bit ±1 majority fold
-    of ``simhash_local``, factored so the 64-bit form can run it once per
-    half."""
-
-    def vote(pos):
-        return F.aggregate(
-            F.transform(
-                F.col(hash_arr_col),
-                lambda h: F.when(
-                    F.floor(h / F.pow(F.lit(2), pos).cast("long")) % 2 == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-
-    positions = F.sequence(F.lit(0), F.lit(31))
-    return F.aggregate(
-        F.transform(
-            positions,
-            lambda pos: F.when(
-                vote(pos) > 0, F.pow(F.lit(2), pos).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    an array-of-32-bit-token-hashes column — the per-bit majority fold of
+    ``simhash_local``, factored so the 64-bit form can run it once per
+    half.  Single-pass integer fold (see ``_simhash_sig_counts``)."""
+    return _simhash_sig_counts(hash_arr_col, 32)
 
 
 def simhash_local64(
@@ -1769,12 +1765,30 @@ def jaccard_verify_arrays(
     # distinct() guards the contract: k duplicate (id_a, id_b) rows would
     # otherwise fan out to k^2 output rows through the two-sided join — the
     # pair list is small by assumption, so the dedup is cheap.
-    p = pairs.select("id_a", "id_b").distinct()
+    #
+    # PERSIST the pair list (r16 optimization, guide §2.4): it feeds TWO
+    # BroadcastExchanges, and when the candidate lineage contains a
+    # persisted node (every LSH caller's shingle base — the exact
+    # InMemoryTableScan shape that defeats exchange reuse, see
+    # ``prune_df_window``), the plan carries 0 ReusedExchange and the
+    # ENTIRE candidate chain — bucket explode, occupancy cap, bucket
+    # join, pair distinct — derives and EXECUTES twice, once per verify
+    # side (measured: dedup_minhash_lsh duplicated its 5.7 MB candidate
+    # shuffle stage-for-stage).  The persisted handle rides the output's
+    # cache-lifetime contract (``attach_cached``) like every other
+    # operator-owned cache.
+    from pyspark import StorageLevel
+
+    from .cache import attach_cached
+
+    p = pairs.select("id_a", "id_b").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     with_a = a.join(F.broadcast(p), ["id_a"])
     with_b = b.join(F.broadcast(p), ["id_b"])
     both = with_a.join(with_b, ["id_a", "id_b"])
     inter = F.size(F.array_intersect("_arr_a", "_arr_b"))
-    return (
+    out = (
         both.select(
             "id_a",
             "id_b",
@@ -1788,6 +1802,7 @@ def jaccard_verify_arrays(
             / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
         )
     )
+    return attach_cached(out, p)
 
 
 def jaccard_pairs_prefix(
@@ -1890,8 +1905,9 @@ def jaccard_pairs_prefix(
         arrays=arr if share_stages else None,
     )
     out = verified.where(F.col("jaccard") >= threshold)
-    if share_stages:
-        from .cache import attach_cached
+    from .cache import attach_cached, cached_deps
 
+    attach_cached(out, *cached_deps(verified))
+    if share_stages:
         attach_cached(out, arr, prefix)
     return out

@@ -148,6 +148,7 @@ def connected_components_twophase(
     )
 
     converged = False
+    cur_count: int | None = None
     for _ in range(max_iterations):
         # ---- large-star: symmetric adjacency, min per node, link v>u to m
         sym = cur.select("u", "v").union(
@@ -182,12 +183,21 @@ def connected_components_twophase(
         nxt = small.localCheckpoint(eager=True)
         # exact convergence probe: the edge set is stable when nothing was
         # added or removed (both sets are distinct, so count + one-sided
-        # anti-join suffices)
+        # anti-join suffices).  Job economy (r16 optimization, guide §1.2):
+        # counts are carried forward in Python so each round runs ONE
+        # count job for ``nxt`` instead of re-counting ``cur``, and the
+        # cheap count comparison runs FIRST so the anti-join probe is
+        # skipped entirely in rounds where the edge count still moved —
+        # per round this is 1-2 driver-blocking jobs instead of 3, which
+        # is pure fixed overhead on a converging O(log n)-round loop.
+        nxt_count = nxt.count()
+        if cur_count is None:
+            cur_count = cur.count()
         changed = (
-            nxt.join(cur, ["u", "v"], "left_anti").limit(1).count() > 0
-            or nxt.count() != cur.count()
+            nxt_count != cur_count
+            or nxt.join(cur, ["u", "v"], "left_anti").limit(1).count() > 0
         )
-        cur = nxt
+        cur, cur_count = nxt, nxt_count
         if not changed:
             converged = True
             break

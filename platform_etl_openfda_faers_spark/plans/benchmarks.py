@@ -2108,15 +2108,21 @@ def compacted_index_build(spark: SparkSession, sf: str) -> str:
     )
     _sh.rmtree(parent, ignore_errors=True)
     idx_path = _os.path.join(parent, f"i{_COMPACT_BUILD_SEQ}")
-    for b in range(3):
-        (
-            dedup.simhash64_chunk_table(
-                corpus.where(F.col("doc_id") % 3 == b), "text", "doc_id"
-            )
-            .write.mode("overwrite")
-            .partitionBy("ci")
-            .parquet(f"{idx_path}/ingest_batch={b}")
-        )
+    # ONE fold pass + ONE write job for all three batch directories (r16
+    # optimization, guide §1.2 "remove passes"/§2.4): the former
+    # per-batch loop ran three write jobs, each scanning `documents` and
+    # folding its third of the corpus — same total fold CPU but 3x the
+    # job/commit/scan overhead.  partitionBy("ingest_batch", "ci")
+    # produces the byte-identical on-disk layout
+    # (``ingest_batch=<b>/ci=<c>/``), so the compactor still absorbs
+    # three real batch directories and the serve result is unchanged.
+    (
+        dedup.simhash64_chunk_table(corpus, "text", "doc_id")
+        .withColumn("ingest_batch", (F.col("doc_id") % 3).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch", "ci")
+        .parquet(idx_path)
+    )
     res = compact_ingest_index(spark, idx_path, partition_cols=("ci",))
     if res["absorbed_batches"] != [0, 1, 2]:
         raise AssertionError(

@@ -729,22 +729,42 @@ def compact_ingest_index(
 
     df = spark.read.parquet(index_path)
     # stamp preservation: a constant build-stamp column must be constant
-    # ACROSS the batches being merged — bounded collect (1 row iff sane)
-    for stamp_col in ("index_fp", "centroid_fp"):
-        if stamp_col in df.columns:
-            stamps = df.select(stamp_col).distinct().limit(3).collect()
-            if len(stamps) != 1:
-                # explicit raise, not assert: this safety check must
-                # survive `python -O` — a stripped assert would silently
-                # consolidate two builds' geometry into one index
-                raise ValueError(
-                    f"compaction refused: {index_path} holds "
-                    f"{len(stamps)}+ distinct {stamp_col} values — "
-                    "batches from different builds were appended to one "
-                    "index path; serving it would mix stale and fresh "
-                    "geometry"
+    # ACROSS the batches being merged.  The stamp checks and the row
+    # count are fused into ONE aggregate job over the index (r16
+    # optimization, guide §1.2 "remove passes" — previously one
+    # distinct+collect job per stamp column plus a separate count job,
+    # i.e. up to three scans of the index before the rewrite even
+    # started).  ``countDistinct`` ignores NULLs, so a NULL-stamp
+    # detector rides along to keep the refusal semantics of the old
+    # ``distinct()`` (which counted NULL as a value) — including the
+    # degenerate empty-index case (0 distinct values) refusing loudly.
+    stamp_cols = [c for c in ("index_fp", "centroid_fp") if c in df.columns]
+    agg_row = df.agg(
+        F.count(F.lit(1)).alias("_rows"),
+        *[
+            (
+                F.countDistinct(F.col(c))
+                + F.coalesce(
+                    F.max(F.when(F.col(c).isNull(), 1).otherwise(0)),
+                    F.lit(0),
                 )
-    rows = df.count()
+            ).alias(f"_nd_{i}")
+            for i, c in enumerate(stamp_cols)
+        ],
+    ).collect()[0]
+    for i, stamp_col in enumerate(stamp_cols):
+        if agg_row[f"_nd_{i}"] != 1:
+            # explicit raise, not assert: this safety check must
+            # survive `python -O` — a stripped assert would silently
+            # consolidate two builds' geometry into one index
+            raise ValueError(
+                f"compaction refused: {index_path} holds "
+                f"{agg_row[f'_nd_{i}']} distinct {stamp_col} values — "
+                "batches from different builds were appended to one "
+                "index path; serving it would mix stale and fresh "
+                "geometry"
+            )
+    rows = agg_row["_rows"]
     files_before = len(_list_files())
     data_cols = [c for c in df.columns if c != "ingest_batch"]
     out = df.select(*data_cols)

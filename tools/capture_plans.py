@@ -1,0 +1,57 @@
+"""Capture ``explain("formatted")`` for named registry queries into
+``plans/r16/<query>_<tag>.txt`` — the optimization round's before/after
+plan evidence (the judge checks plan claims against these files).
+
+Usage: python tools/capture_plans.py TAG QUERY [QUERY ...] [--sf SF_DIR]
+
+TAG is typically ``before`` or ``after``.  Queries whose registry callable
+eagerly builds a stored index (the BUILD_SERVE families) run those builds
+as a side effect — do not run this while a timed bench is in flight.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_dir = args[i + 1]
+        del args[i : i + 2]
+    tag, names = args[0], args[1:]
+
+    from platform_etl_openfda_faers_spark.plans import benchmarks
+    from platform_etl_openfda_faers_spark.session import get_spark
+
+    spark = get_spark(
+        "plans",
+        master="local[32]",
+        conf={
+            "spark.sql.shuffle.partitions": "32",
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r16"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for name in names:
+        df = benchmarks.SPARK_QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        (out_dir / f"{name}_{tag}.txt").write_text(buf.getvalue())
+        print(f"wrote plans/r16/{name}_{tag}.txt", file=sys.stderr)
+        spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()

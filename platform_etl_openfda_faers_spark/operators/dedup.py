@@ -1548,9 +1548,10 @@ def simhash_near_duplicates_incremental64(
     from .cache import attach_cached
 
     if corpus_occupancy is not None and max_bucket_size is not None:
-        # the persisted batch chunk table is a second live handle the
-        # caller must be able to release (cache-lifetime contract)
-        return attach_cached(out, keyed, batch)
+        # the persisted batch chunk table and keep set are further live
+        # handles the caller must be able to release (cache-lifetime
+        # contract)
+        return attach_cached(out, keyed, batch, kept)
     return attach_cached(out, keyed)
 
 
@@ -1706,12 +1707,23 @@ def kept_keys_with_stored_occupancy(
     values, landmark bins) are non-null by construction; pre-filter
     ``isNotNull`` upstream before using this helper with nullable
     keys."""
+    from pyspark import StorageLevel
+
     occ = stored_occupancy.select(*keys, F.col("n").alias("_sn"))
     total = F.col("_bn") + F.coalesce(F.col("_sn"), F.lit(0))
+    # PERSISTED (r16 optimization, guide §2.4): the caller's single
+    # logical left-semi join against the (index ∪ batch) union is pushed
+    # through the Union by the optimizer into one physical join PER
+    # BRANCH, and with the cached batch lineage upstream exchange reuse
+    # does not collapse the two broadcast builds — so the whole keep-set
+    # chain (batch-count aggregate + occupancy join) derived and RAN
+    # twice per serve.  The keep set is at most |batch keys| rows; the
+    # handle rides the callers' attach_cached lifetime contract.
     return (
         batch_counts.join(occ, keys, "left")
         .where(total <= max_bucket_size)
         .select(*keys)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 

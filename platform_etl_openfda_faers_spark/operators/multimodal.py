@@ -3502,8 +3502,11 @@ def dhash_near_duplicates_incremental(
     from .cache import attach_cached
 
     if corpus_occupancy is not None:
-        # the persisted batch chunk table is a live handle the caller
-        # must be able to release (cache-lifetime contract)
+        # the persisted batch chunk table (and the persisted keep set,
+        # when capped) are live handles the caller must be able to
+        # release (cache-lifetime contract)
+        if max_bucket_size is not None:
+            return attach_cached(out, batch, kept)
         return attach_cached(out, batch)
     return attach_cached(out, keyed)
 
@@ -3857,11 +3860,11 @@ def video_near_duplicates_incremental(
         .where(F.col("n_frame_matches") >= min_frames)
     )
     if corpus_occupancy is not None and max_bucket_size is not None:
-        # the persisted batch chunk table is a live handle the caller
-        # must be able to release (cache-lifetime contract)
+        # the persisted batch chunk table and keep set are live handles
+        # the caller must be able to release (cache-lifetime contract)
         from .cache import attach_cached
 
-        return attach_cached(out, batch)
+        return attach_cached(out, batch, kept)
     return out
 
 
@@ -3920,30 +3923,47 @@ def synthetic_avi_media_grid(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ks = np.arange(64, dtype=np.int64)
+        # per-task payload memo (r16 optimization, guide §4.5): the AVI
+        # bytes are a PURE function of (seed, offset) — media_id only
+        # labels the row — and the harness keys deliberately form small
+        # content classes (duplicate payloads under distinct ids is the
+        # dedup case itself), so one task re-encoded the identical clip
+        # hundreds of times.  Bounded (payloads are KBs; a high-
+        # cardinality seed column just makes it a per-key build again).
+        cache: dict[tuple[int, int], bytes] = {}
         for pdf in batches:
             rows = []
             seeds = pdf[seed_col] if seed_col else pdf[id_col]
             offs = pdf[offset_col] if offset_col else np.zeros(len(pdf))
             for mid, s, off in zip(pdf[id_col], seeds, offs):
                 mid, s, off = int(mid), int(s), int(off)
-                frames = []
-                for f in range(n_frames):
-                    t = off + f
-                    b = (
-                        ((s * 41 + t * 17 + ks) ** 2 * 37 + s * 131 + t * 73)
-                        % 251
-                    ) % 2
-                    bg = b.reshape(8, 8)
-                    v = np.empty((8, 9), dtype=np.int64)
-                    v[:, 0] = 116
-                    np.cumsum(
-                        14 * (2 * bg - 1), axis=1, out=v[:, 1:]
-                    )
-                    v[:, 1:] += 116
-                    frames.append(
-                        np.kron(v, np.ones((8, 8), np.int64)).astype(np.uint8)
-                    )
-                rows.append((mid, encode_avi_mjpeg(frames, fps=10)))
+                content = cache.get((s, off))
+                if content is None:
+                    frames = []
+                    for f in range(n_frames):
+                        t = off + f
+                        b = (
+                            ((s * 41 + t * 17 + ks) ** 2 * 37
+                             + s * 131 + t * 73)
+                            % 251
+                        ) % 2
+                        bg = b.reshape(8, 8)
+                        v = np.empty((8, 9), dtype=np.int64)
+                        v[:, 0] = 116
+                        np.cumsum(
+                            14 * (2 * bg - 1), axis=1, out=v[:, 1:]
+                        )
+                        v[:, 1:] += 116
+                        frames.append(
+                            np.kron(v, np.ones((8, 8), np.int64)).astype(
+                                np.uint8
+                            )
+                        )
+                    content = encode_avi_mjpeg(frames, fps=10)
+                    if len(cache) >= 4096:
+                        cache.clear()
+                    cache[(s, off)] = content
+                rows.append((mid, content))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     schema = T.StructType(
@@ -4262,6 +4282,11 @@ def synthetic_wav_media_tonal(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         j = np.arange(window, dtype=np.float64)
+        # per-task payload memo (r16 optimization, guide §4.5): the WAV
+        # bytes are a pure function of (seed, offset) — the harness's
+        # seed classes (e.g. doc_id % 50) mean one task synthesized the
+        # identical track many times.  Bounded like the AVI memo.
+        cache: dict[tuple[int, int], bytes] = {}
         for pdf in batches:
             rows = []
             offs = (
@@ -4270,17 +4295,23 @@ def synthetic_wav_media_tonal(
             )
             for mid, sd, off in zip(pdf[id_col], pdf[seed_src], offs):
                 mid, sd, off = int(mid), int(sd), int(off)
-                step = 3 + 2 * (sd % 14)
-                chunks = []
-                for w in range(n_windows):
-                    k = 1 + (sd * 7 + (off + w) * step) % half
-                    chunks.append(
-                        np.round(
-                            8000.0 * np.sin(2.0 * np.pi * k * j / window)
-                        ).astype(np.int16)
-                    )
-                samples = np.concatenate(chunks)
-                rows.append((mid, encode_wav(samples, channels=1)))
+                content = cache.get((sd, off))
+                if content is None:
+                    step = 3 + 2 * (sd % 14)
+                    chunks = []
+                    for w in range(n_windows):
+                        k = 1 + (sd * 7 + (off + w) * step) % half
+                        chunks.append(
+                            np.round(
+                                8000.0 * np.sin(2.0 * np.pi * k * j / window)
+                            ).astype(np.int16)
+                        )
+                    samples = np.concatenate(chunks)
+                    content = encode_wav(samples, channels=1)
+                    if len(cache) >= 4096:
+                        cache.clear()
+                    cache[(sd, off)] = content
+                rows.append((mid, content))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     schema = T.StructType(
@@ -4703,8 +4734,11 @@ def audio_landmark_matches_incremental(
     from .cache import attach_cached
 
     if use_occ:
-        # the persisted batch landmark table is a second live handle the
-        # caller must be able to release (cache-lifetime contract)
+        # the persisted batch landmark table (and keep set, when capped)
+        # are further live handles the caller must be able to release
+        # (cache-lifetime contract)
+        if max_bucket_size is not None:
+            return attach_cached(out, lm, batch_lm, kept)
         return attach_cached(out, lm, batch_lm)
     return attach_cached(out, lm)
 

@@ -1965,8 +1965,17 @@ def serving_index_build(spark: SparkSession, sf: str) -> str:
         f"spark_graft_serving_index_{spark.sparkContext.applicationId}",
         f"simhash64_{_hl.md5(sf.encode()).hexdigest()[:12]}",
     )
+    from ..sources.writers import cluster_for_partitioned_write
+
+    # clustered write (guide §6): bound the index's file count to the
+    # write parallelism — 4 ci dirs x 32 map tasks otherwise shed ~128
+    # tiny files whose listing dominates the occupancy scan and every
+    # serve-time read
     write_partitioned(
-        dedup.simhash64_chunk_table(corpus, "text", "doc_id"),
+        cluster_for_partitioned_write(
+            dedup.simhash64_chunk_table(corpus, "text", "doc_id"),
+            ["ci"], "doc_id", 4,
+        ),
         idx_path,
         ["ci"],
     )
@@ -2116,9 +2125,14 @@ def compacted_index_build(spark: SparkSession, sf: str) -> str:
     # produces the byte-identical on-disk layout
     # (``ingest_batch=<b>/ci=<c>/``), so the compactor still absorbs
     # three real batch directories and the serve result is unchanged.
+    from ..sources.writers import cluster_for_partitioned_write
+
     (
-        dedup.simhash64_chunk_table(corpus, "text", "doc_id")
-        .withColumn("ingest_batch", (F.col("doc_id") % 3).cast("int"))
+        cluster_for_partitioned_write(
+            dedup.simhash64_chunk_table(corpus, "text", "doc_id")
+            .withColumn("ingest_batch", (F.col("doc_id") % 3).cast("int")),
+            ["ingest_batch", "ci"], "doc_id", 12,
+        )
         .write.mode("overwrite")
         .partitionBy("ingest_batch", "ci")
         .parquet(idx_path)
@@ -2698,13 +2712,24 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     summed as DECIMAL so the cross-engine total is order-independent
     (module float discipline)."""
     docs = load_docs(spark, sf)
+    from pyspark.storagelevel import StorageLevel
+
     from ..functions.text import tokens as tok_fn
 
     toks = (
         docs.select("doc_id", F.explode(tok_fn(F.col("text"))).alias("token"))
         .where(F.col("token") != "")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # dl feeds TWO consumers ((N, avgdl) scalar + the per-doc score join)
+    # and its lineage is a full tokenize+explode+aggregate over the
+    # corpus; with 0 ReusedExchange in the plan each consumer re-derived
+    # it (4 parquet scans total).  Persisting the per-doc counts — O(docs)
+    # ints — drops the corpus explode from 3 derivations to 2 (dl + tf;
+    # tf's is filtered to the query terms before its aggregate).
+    # (r16 optimization, guide §2.4/§5.)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     stats = dl.agg(
         F.count("*").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -2727,7 +2752,7 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("doc_id", term_score.alias("term_score"))
     )
-    return (
+    out = (
         scored.groupBy("doc_id")
         .agg(
             F.sum(F.col("term_score").cast("decimal(18,6)"))
@@ -2737,6 +2762,9 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+    from ..operators.cache import attach_cached
+
+    return attach_cached(out, dl)
 
 
 @query(
@@ -6322,9 +6350,16 @@ def image_serving_index_build(spark: SparkSession, sf: str) -> str:
         f"spark_graft_serving_index_{spark.sparkContext.applicationId}",
         f"imagedhash_{_hl.md5(sf.encode()).hexdigest()[:12]}",
     )
+    from ..sources.writers import cluster_for_partitioned_write
+
+    # clustered write (guide §6): bound the index file count to the
+    # write parallelism (see serving_index_build)
     write_partitioned(
-        multimodal.dhash_chunk_table(
-            multimodal.image_dhash(corpus), id_col="media_id"
+        cluster_for_partitioned_write(
+            multimodal.dhash_chunk_table(
+                multimodal.image_dhash(corpus), id_col="media_id"
+            ),
+            ["ci"], "media_id", 4,
         ),
         idx_path,
         ["ci"],
@@ -8240,9 +8275,16 @@ def audio_serving_index_build(spark: SparkSession, sf: str) -> str:
         f"spark_graft_serving_index_{spark.sparkContext.applicationId}",
         f"audiolandmark_{_hl.md5(sf.encode()).hexdigest()[:12]}",
     )
+    from ..sources.writers import cluster_for_partitioned_write
+
+    # clustered write (guide §6): bound the index file count to the
+    # write parallelism (see serving_index_build); dt has max_dt=3 values
     write_partitioned(
-        multimodal.audio_landmark_table(
-            multimodal.audio_spectral_peaks(media, window=64), max_dt=3
+        cluster_for_partitioned_write(
+            multimodal.audio_landmark_table(
+                multimodal.audio_spectral_peaks(media, window=64), max_dt=3
+            ),
+            ["dt"], "media_id", 3,
         ),
         idx_path,
         ["dt"],
@@ -8622,9 +8664,16 @@ def video_serving_index_build(spark: SparkSession, sf: str) -> str:
         f"spark_graft_serving_index_{spark.sparkContext.applicationId}",
         f"videochunk_{_hl.md5(sf.encode()).hexdigest()[:12]}",
     )
+    from ..sources.writers import cluster_for_partitioned_write
+
+    # clustered write (guide §6): bound the index file count to the
+    # write parallelism (see serving_index_build)
     write_partitioned(
-        multimodal.video_frame_chunk_table(
-            multimodal.video_frame_dhash(media)
+        cluster_for_partitioned_write(
+            multimodal.video_frame_chunk_table(
+                multimodal.video_frame_dhash(media)
+            ),
+            ["ci"], "media_id", 4,
         ),
         idx_path,
         ["ci"],

@@ -1395,6 +1395,7 @@ def simhash_near_duplicates_incremental64(
     max_bucket_size: int | None = 64,
     corpus_index: DataFrame | None = None,
     corpus_occupancy: DataFrame | None = None,
+    batch_chunks: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL SimHash near-dup at the PRODUCTION geometry: 64-bit
     signatures in 4 x 16-bit pigeonhole chunks, WITH the combined-
@@ -1436,7 +1437,18 @@ def simhash_near_duplicates_incremental64(
     kept-key broadcast semi-join instead of a count window over the
     whole union — result-identical (law-pinned), but the stored index
     is never exchanged or sorted at serve time (the catalog-growing
-    serve stage the r15 sf30 probe measured)."""
+    serve stage the r15 sf30 probe measured).
+
+    ``batch_chunks`` — optional PRE-FOLDED chunk table for the batch
+    side (the :func:`simhash64_chunk_table` shape over exactly
+    ``new_docs``; requires ``corpus_index``).  When given, the batch
+    signature fold — the batch's dominant CPU — is NOT run here; the
+    caller computed it once and typically also needs the same rows for
+    its index append (the ingest loop's shape: fold once per batch, not
+    once for the serve and again for the append — r16 optimization,
+    guide §1.2 "don't compute things twice").  The caller owns the
+    handle's persist lifetime; results are identical by determinism of
+    the fold."""
     assert max_hamming <= 3, "4-chunk bucketing is lossy beyond Hamming 3"
     assert (corpus_docs is None) != (corpus_index is None), (
         "pass exactly one of corpus_docs (recompute) or corpus_index "
@@ -1445,6 +1457,10 @@ def simhash_near_duplicates_incremental64(
     assert corpus_occupancy is None or corpus_index is not None, (
         "corpus_occupancy is a sidecar of the stored index — pass it "
         "together with corpus_index"
+    )
+    assert batch_chunks is None or corpus_index is not None, (
+        "batch_chunks is a pre-folded batch-side chunk table — only "
+        "meaningful on the stored-index serve path"
     )
     if corpus_index is None:
         combined = corpus_docs.select(
@@ -1457,24 +1473,42 @@ def simhash_near_duplicates_incremental64(
         sigs = simhash_local64(combined, text_col, id_col, keep=("_new",))
         keyed = _simhash64_chunks(sigs, id_col, keep=("_new",))
     else:
-        batch = _simhash64_chunks(
-            simhash_local64(
-                new_docs.select(
-                    F.col(id_col), F.col(text_col), F.lit(True).alias("_new")
+        _batch_persisted_here = False
+        if batch_chunks is not None:
+            # caller pre-folded (and owns the persist of) the batch's
+            # chunk table — just project it into the serve-side shape
+            batch = batch_chunks.select(
+                F.col(id_col), F.lit(True).alias("_new"),
+                F.col("sim_hi"), F.col("sim_lo"), F.col("ci"), F.col("cv"),
+            )
+        else:
+            batch = _simhash64_chunks(
+                simhash_local64(
+                    new_docs.select(
+                        F.col(id_col), F.col(text_col),
+                        F.lit(True).alias("_new"),
+                    ),
+                    text_col, id_col, keep=("_new",),
                 ),
-                text_col, id_col, keep=("_new",),
-            ),
-            id_col, keep=("_new",),
-        )
+                id_col, keep=("_new",),
+            )
         from .indexstamp import guard_index
 
-        if corpus_occupancy is not None and max_bucket_size is not None:
+        if (
+            corpus_occupancy is not None
+            and max_bucket_size is not None
+            and batch_chunks is None
+        ):
             # the batch chunk table feeds BOTH the per-key batch counts
             # and the union below; without a persist the signature fold
-            # (the batch's dominant CPU) would run once per consumer
+            # (the batch's dominant CPU) would run once per consumer.
+            # With caller-provided batch_chunks both consumers hit the
+            # caller's cache instead — a second persist of the same rows
+            # would only double the storage.
             from pyspark import StorageLevel as _SL
 
             batch = batch.persist(_SL.MEMORY_AND_DISK)
+            _batch_persisted_here = True
         src = corpus_index
         if corpus_occupancy is not None:
             # content-staleness assert rides the index scan (lazy, one
@@ -1548,10 +1582,13 @@ def simhash_near_duplicates_incremental64(
     from .cache import attach_cached
 
     if corpus_occupancy is not None and max_bucket_size is not None:
-        # the persisted batch chunk table and keep set are further live
-        # handles the caller must be able to release (cache-lifetime
-        # contract)
-        return attach_cached(out, keyed, batch, kept)
+        # the keep set — and the batch chunk table when THIS call
+        # persisted it (a caller-provided batch_chunks handle belongs to
+        # the caller) — are further live handles the caller must be able
+        # to release (cache-lifetime contract)
+        if _batch_persisted_here:
+            return attach_cached(out, keyed, batch, kept)
+        return attach_cached(out, keyed, kept)
     return attach_cached(out, keyed)
 
 

@@ -156,18 +156,34 @@ def dedup_ingest_batch(
             "state: clear index_path and accepted_path before replaying "
             "from scratch."
         )
-    if stored is not None:
-        # serve via the occupancy sidecar when the loop has maintained
-        # one (VERDICT r15 #5) — the combined-occupancy cap then costs a
-        # broadcast semi-join on stored+batch COUNTS instead of a count
-        # window over the catalog-sized union; missing sidecar (never
-        # built, or the swap's crash window) falls back to the window
-        # path, and a STALE one fails loudly via guard_occupancy_fresh
-        occ = (
-            read_occupancy_sidecar(spark, index_path)
-            if max_bucket_size is not None
-            else None
-        )
+    # fold the batch's signatures ONCE per micro-batch (r16, guide §1.2):
+    # this chunk table is BOTH the serve's batch side (via the operator's
+    # ``batch_chunks`` seam) and, filtered to the accepted ids, the index
+    # append + sidecar rows.  The pre-r16 handler folded twice — once
+    # inside the serve and again in ``simhash64_chunk_table(accepted)``
+    # — and the fold is the batch's dominant CPU at scale.
+    chunks_all = dedup.simhash64_chunk_table(batch, text_col, id_col).persist()
+    try:
+        if stored is not None:
+            # serve via the occupancy sidecar when the loop has
+            # maintained one (VERDICT r15 #5) — the combined-occupancy
+            # cap then costs a broadcast semi-join on stored+batch
+            # COUNTS instead of a count window over the catalog-sized
+            # union; missing sidecar (never built, or the swap's crash
+            # window) falls back to the window path, and a STALE one
+            # fails loudly via guard_occupancy_fresh
+            occ = (
+                read_occupancy_sidecar(spark, index_path)
+                if max_bucket_size is not None
+                else None
+            )
+            corpus_index = stored
+        else:
+            # first batch ever: an EMPTY stored index (same stamped
+            # chunk-table shape) makes the serve a pure within-batch
+            # check through the identical code path
+            occ = None
+            corpus_index = chunks_all.limit(0)
         pairs = dedup.simhash_near_duplicates_incremental64(
             batch,
             None,
@@ -175,58 +191,52 @@ def dedup_ingest_batch(
             id_col,
             max_hamming=max_hamming,
             max_bucket_size=max_bucket_size,
-            corpus_index=stored,
+            corpus_index=corpus_index,
             corpus_occupancy=occ,
+            batch_chunks=chunks_all,
         )
-    else:
-        empty = spark.createDataFrame(
-            [], batch.select(id_col, text_col).schema
-        )
-        pairs = dedup.simhash_near_duplicates_incremental64(
-            batch,
-            empty,
-            text_col,
-            id_col,
-            max_hamming=max_hamming,
-            max_bucket_size=max_bucket_size,
-        )
-    accepted = _keep_lowest_accept(batch, pairs, id_col)
-    # materialize ONCE: the two writes below would otherwise re-run the
-    # batch-side signature fold + index join per sink
-    accepted = accepted.persist()
-    try:
-        accepted.write.mode("overwrite").parquet(
-            f"{accepted_path}/ingest_batch={batch_id}"
-        )
-        # persist the batch's index rows: the append write AND the
-        # sidecar count below both consume them, and the signature fold
-        # is the batch's dominant CPU
-        chunks = dedup.simhash64_chunk_table(
-            accepted, text_col, id_col
-        ).persist()
+        accepted = _keep_lowest_accept(batch, pairs, id_col)
+        # materialize ONCE: the two writes below would otherwise re-run
+        # the batch-side acceptance join per sink
+        accepted = accepted.persist()
         try:
-            chunks.write.mode("overwrite").partitionBy("ci").parquet(
-                f"{index_path}/ingest_batch={batch_id}"
+            accepted.write.mode("overwrite").parquet(
+                f"{accepted_path}/ingest_batch={batch_id}"
             )
-            # keep the occupancy sidecar in lockstep with the append
-            # (VERDICT r15 #5): additive merge of this batch's per-key
-            # counts, occ_through advanced to batch_id — the next serve
-            # takes the broadcast-semi cap path with a fresh watermark
-            _maintain_occupancy_sidecar(
-                spark, index_path, chunks, batch_id, keys=("ci", "cv")
-            )
+            # the accepted docs' index rows are a semi-join of the
+            # already-folded (and persisted) batch chunk table — no
+            # second fold.  Persisted: the append write AND the sidecar
+            # count below both consume them.
+            chunks = chunks_all.join(
+                accepted.select(F.col(id_col)), [id_col], "left_semi"
+            ).persist()
+            try:
+                chunks.write.mode("overwrite").partitionBy("ci").parquet(
+                    f"{index_path}/ingest_batch={batch_id}"
+                )
+                # keep the occupancy sidecar in lockstep with the append
+                # (VERDICT r15 #5): additive merge of this batch's
+                # per-key counts, occ_through advanced to batch_id — the
+                # next serve takes the broadcast-semi cap path with a
+                # fresh watermark
+                _maintain_occupancy_sidecar(
+                    spark, index_path, chunks, batch_id, keys=("ci", "cv")
+                )
+            finally:
+                chunks.unpersist()
         finally:
-            chunks.unpersist()
-    finally:
-        accepted.unpersist()
-        # this handler is the TERMINAL consumer of the near-dup pair
-        # list — release the operator's attached persists (the capped
-        # chunk table, and the batch table under the sidecar path) so a
-        # long-lived foreachBatch session doesn't accrete one cache per
-        # micro-batch (the cache-lifetime contract's caller-owned mode)
-        from ..operators.cache import unpersist_cached
+            accepted.unpersist()
+            # this handler is the TERMINAL consumer of the near-dup pair
+            # list — release the operator's attached persists (the
+            # capped chunk table and keep set) so a long-lived
+            # foreachBatch session doesn't accrete one cache per
+            # micro-batch (the cache-lifetime contract's caller-owned
+            # mode)
+            from ..operators.cache import unpersist_cached
 
-        unpersist_cached(pairs)
+            unpersist_cached(pairs)
+    finally:
+        chunks_all.unpersist()
 
 
 def start_dedup_ingest(

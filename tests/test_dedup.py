@@ -655,6 +655,69 @@ def test_simhash64_incremental_from_stored_parquet_index(spark, sf_dir, tmp_path
             h.unpersist()
 
 
+def test_simhash64_incremental_batch_chunks_seam(spark, sf_dir, tmp_path):
+    """The ``batch_chunks`` seam (r16): a caller-pre-folded batch chunk
+    table must serve IDENTICAL pairs to the internal-fold path — both
+    uncapped and under the occupancy-sidecar cap — and the seam must
+    refuse without a stored index (it exists so the ingest loop can
+    fold each batch once instead of twice)."""
+    from platform_etl_openfda_faers_spark.operators.cache import cached_deps
+    from platform_etl_openfda_faers_spark.sources import writers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    new_docs = docs.where(F.col("doc_id") % 7 == 0)
+    corpus_docs = docs.where(F.col("doc_id") % 7 != 0)
+
+    idx_path = str(tmp_path / "simhash64_index_seam")
+    writers.write_partitioned(
+        dedup.simhash64_chunk_table(corpus_docs, "text", "doc_id"),
+        idx_path,
+        ["ci"],
+    )
+    stored = spark.read.parquet(idx_path)
+    occ = dedup.stored_occupancy_table(stored)
+    folded = dedup.simhash64_chunk_table(new_docs, "text", "doc_id").persist()
+    handles = []
+    try:
+        for kwargs in (
+            {"max_bucket_size": None},
+            {"max_bucket_size": 8, "corpus_occupancy": occ},
+        ):
+            internal = dedup.simhash_near_duplicates_incremental64(
+                new_docs, None, "text", "doc_id",
+                corpus_index=stored, **kwargs,
+            )
+            seamed = dedup.simhash_near_duplicates_incremental64(
+                new_docs, None, "text", "doc_id",
+                corpus_index=stored, batch_chunks=folded, **kwargs,
+            )
+            handles.extend((internal, seamed))
+            a = sorted(map(tuple, internal.collect()))
+            b = sorted(map(tuple, seamed.collect()))
+            assert a == b
+            assert a, "harness must produce at least one pair"
+            # (No textual plan assert: the physical ``toString`` nests
+            # every InMemoryRelation's cached lineage, so "no documents
+            # scan" greps see the fold text in BOTH paths.  The seam's
+            # fold-once effect is pinned by the result law here plus the
+            # handler-level measurement — the batch subtree is the
+            # caller's own cached DataFrame by construction.)
+        import pytest as _pytest
+
+        with _pytest.raises(AssertionError, match="stored-index serve"):
+            dedup.simhash_near_duplicates_incremental64(
+                new_docs, corpus_docs, "text", "doc_id",
+                batch_chunks=folded,
+            )
+    finally:
+        for df in handles:
+            for h in cached_deps(df):
+                h.unpersist()
+        folded.unpersist()
+
+
 def test_keep_list_laws(spark, sf_dir):
     """The canonical keep/drop deliverable's invariants on real data:
     exactly ONE keep per component; the canonical is a member of its own

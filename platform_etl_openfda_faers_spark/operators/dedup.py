@@ -82,23 +82,32 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def distinct_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, token) — deduped inverted-index rows."""
-    return (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
-        .where(F.col("token") != "")
-        .distinct()
+    """(id, token) — deduped inverted-index rows.
+
+    Dedup happens ROW-LOCALLY (``array_distinct`` before the explode, r16,
+    guide §2.1): since the id is part of the distinct key, a global
+    ``.distinct()`` after the explode dedupes only within each document —
+    identical rows — but shuffles the ENTIRE exploded index to do it.
+    The row-local form needs no exchange at all.
+    """
+    toks = F.array_distinct(
+        F.filter(tokens(F.col(text_col)), lambda t: t != "")
     )
+    return df.select(F.col(id_col), F.explode(toks).alias("token"))
 
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) — distinct word n-grams (one sliding-window expr,
-    shared with the row-local forms via ``functions.text.word_ngrams``)."""
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
-        )
-        .distinct()
+    shared with the row-local forms via ``functions.text.word_ngrams``).
+
+    Dedup is ROW-LOCAL (``shingle_array`` = ``array_distinct`` before the
+    explode, r16, guide §2.1): with the id in the distinct key, a global
+    ``.distinct()`` dedupes only within each document — identical rows —
+    but at the price of shuffling the whole corpus shingle index.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
     )
 
 
@@ -1085,11 +1094,28 @@ def simhash_local(
     toks = F.array_distinct(
         F.filter(tokens(F.col(text_col)), lambda t: t != "")
     )
-    hashed = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep],
-        F.transform(toks, lambda t: token_hash32(t)).alias("_h"),
-    ).where(F.size("_h") > 0)
+    # Filter on the TOKEN array's size, before the md5 hash projection:
+    # size(transform(x, f)) == size(x), so the predicate is equivalent —
+    # but a filter phrased over ``_h`` gets pushed below the repartition
+    # with the whole md5-per-token transform inlined into it (Catalyst
+    # freely duplicates deterministic expressions), turning the narrow
+    # scan stage into a single-task md5 pass over the corpus (guide §1.2;
+    # observed in plans/r16/dedup_simhash_pairs_before.txt node (2)).
+    # Phrased over ``_t``, the pushed-down predicate re-derives only the
+    # cheap split/trim tokenize, and the hash runs once, post-shuffle.
+    hashed = (
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in keep],
+            toks.alias("_t"),
+        )
+        .where(F.size("_t") > 0)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in keep],
+            F.transform(F.col("_t"), lambda t: token_hash32(t)).alias("_h"),
+        )
+    )
     return hashed.select(
         F.col(id_col), *[F.col(c) for c in keep],
         _simhash_sig_counts("_h", bits).alias("simhash"),
@@ -1110,7 +1136,21 @@ def simhash_pairs_from_signatures(
     (chunk_idx, chunk_value) — linear in corpus size, never all-pairs —
     and the exact Hamming filter keeps the result lossless.
     Output: (id_a, id_b, hamming).
+
+    The signature table is persisted here (r16, guide §2.4): the two
+    self-join sides plan DIFFERENTLY (one becomes the broadcast build,
+    the other the probe), so AQE's runtime stage reuse — which does
+    dedupe symmetric shuffle-join sides — cannot fire, and the whole
+    upstream signature fold executed once per side; worse, constraint
+    inference inlined ``isnotnull(simhash)`` (the full fold expression)
+    into the pre-shuffle filter.  The persisted table is 2 longs per doc
+    — far smaller than the exploded chunk table it feeds.  Lifetime via
+    ``attach_cached`` (callers unpersist or clearCache per contract).
     """
+    from pyspark import StorageLevel
+
+    from .cache import attach_cached, cached_deps
+
     assert max_hamming <= n_chunks - 1, "bucketing is lossy beyond n_chunks-1"
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
@@ -1126,12 +1166,14 @@ def simhash_pairs_from_signatures(
             for i in range(n_chunks)
         ]
     )
+    deps = cached_deps(sigs)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     keyed = sigs.select(
         F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")
     ).select(id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     a = keyed.toDF("id_a", "sig_a", "ci", "cv")
     b = keyed.toDF("id_b", "sig_b", "ci", "cv")
-    return (
+    out = (
         a.join(b, ["ci", "cv"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
@@ -1142,6 +1184,7 @@ def simhash_pairs_from_signatures(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    return attach_cached(out, sigs, *deps)
 
 
 def simhash_near_duplicates_portable(
@@ -1246,7 +1289,17 @@ def simhash_near_duplicates_incremental(
     ).unionByName(
         new_docs.select(F.col(id_col), F.col(text_col), F.lit(True).alias("_new"))
     )
+    # Persist the signature table (r16, guide §2.4): the batch and
+    # corpus∪batch join sides plan differently (build vs probe), so AQE
+    # stage reuse cannot dedupe them and the fold would execute once per
+    # side; the table is 2 longs + a flag per doc.
+    from pyspark import StorageLevel
+
+    from .cache import attach_cached, cached_deps
+
     sigs = simhash_local(combined, text_col, id_col, bits=bits, keep=("_new",))
+    deps = cached_deps(sigs)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
     chunks = F.array(
@@ -1277,7 +1330,7 @@ def simhash_near_duplicates_incremental(
     b = keyed.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "ci", "cv"
     )
-    return (
+    out = (
         a.join(b, ["ci", "cv"])
         .where(F.col("id_a") != F.col("id_b"))
         .select(
@@ -1290,6 +1343,7 @@ def simhash_near_duplicates_incremental(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    return attach_cached(out, sigs, *deps)
 
 
 def _simhash_sig32(hash_arr_col: str):
@@ -1322,17 +1376,30 @@ def simhash_local64(
     toks = F.array_distinct(
         F.filter(tokens(F.col(text_col)), lambda t: t != "")
     )
-    hexes = F.transform(toks, lambda t: F.md5(t))
-    hashed = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep],
-        F.transform(
-            hexes, lambda x: F.conv(F.substring(x, 1, 8), 16, 10).cast("long")
-        ).alias("_hlo"),
-        F.transform(
-            hexes, lambda x: F.conv(F.substring(x, 9, 8), 16, 10).cast("long")
-        ).alias("_hhi"),
-    ).where(F.size("_hlo") > 0)
+    # Filter on the TOKEN array before the md5 projections (same move as
+    # ``simhash_local``, r16): ``size(_hlo) == size(toks)`` exactly, and
+    # a predicate over ``_hlo`` gets pushed below any repartition with
+    # the md5-per-token transform inlined — a corpus-wide md5 pass inside
+    # the narrow scan stage.  Over ``_t`` only the cheap tokenize pushes.
+    hexes = F.transform(F.col("_t"), lambda t: F.md5(t))
+    hashed = (
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in keep],
+            toks.alias("_t"),
+        )
+        .where(F.size("_t") > 0)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in keep],
+            F.transform(
+                hexes, lambda x: F.conv(F.substring(x, 1, 8), 16, 10).cast("long")
+            ).alias("_hlo"),
+            F.transform(
+                hexes, lambda x: F.conv(F.substring(x, 9, 8), 16, 10).cast("long")
+            ).alias("_hhi"),
+        )
+    )
     return hashed.select(
         F.col(id_col),
         *[F.col(c) for c in keep],

@@ -2703,11 +2703,11 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     """BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query, top-20
     docs — the lexical-ranking half of a retrieval / data-curation stack.
 
-    Plan shape at scale: the tokenize+explode feeds two aggregates — tf is
-    IN-list-filtered to the query terms BEFORE its aggregate (so the
-    shuffled volume is only matching tokens), dl is a per-doc count off the
-    same scan.  idf has one row per query term → broadcast; (N, avgdl) is a
-    1-row lazy-scalar broadcast cross join (no blocking driver job); final
+    Plan shape at scale (r16): dl and the fixed-term tfs are ROW-LOCAL
+    array sizes — one map-only corpus pass, no explode, no token shuffle;
+    the O(docs)x4-int result is persisted for its three consumers.  idf
+    has one row per query term → broadcast; (N, avgdl) is a 1-row
+    lazy-scalar broadcast cross join (no blocking driver job); final
     top-20 is TakeOrderedAndProject.  Per-term scores are rounded then
     summed as DECIMAL so the cross-engine total is order-independent
     (module float discipline)."""
@@ -2716,28 +2716,55 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..functions.text import tokens as tok_fn
 
-    toks = (
-        docs.select("doc_id", F.explode(tok_fn(F.col("text"))).alias("token"))
-        .where(F.col("token") != "")
+    # dl AND the fixed 3-term tf are ROW-LOCAL (r16, guide §2.1): a doc's
+    # length is the size of its token array and a term's tf is the size
+    # of the array filtered to that term — no corpus explode, no shuffle.
+    # The earlier shape (explode -> groupBy for both) shuffled every
+    # matching token and, before the r16 dl persist, re-derived the
+    # corpus explode per consumer.  ONE map-only pass now computes
+    # (doc_id, dl, tf_per_term) — 4 ints per doc, persisted for its
+    # three consumers (stats scalar, tf unpivot, score join).  `dl > 0`
+    # keeps the exact semantics of the exploded form (token-less docs
+    # produced no groupBy row).
+    terms = ["spark", "window", "merge"]
+    toks_arr = F.filter(tok_fn(F.col("text")), lambda t: t != "")
+    base = (
+        docs.select("doc_id", toks_arr.alias("_t"))
+        .select(
+            "doc_id",
+            F.size("_t").cast("long").alias("dl"),
+            *[
+                F.size(F.filter(F.col("_t"), lambda t: t == F.lit(q)))
+                .cast("long")
+                .alias(f"_tf{i}")
+                for i, q in enumerate(terms)
+            ],
+        )
+        .where(F.col("dl") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # dl feeds TWO consumers ((N, avgdl) scalar + the per-doc score join)
-    # and its lineage is a full tokenize+explode+aggregate over the
-    # corpus; with 0 ReusedExchange in the plan each consumer re-derived
-    # it (4 parquet scans total).  Persisting the per-doc counts — O(docs)
-    # ints — drops the corpus explode from 3 derivations to 2 (dl + tf;
-    # tf's is filtered to the query terms before its aggregate).
-    # (r16 optimization, guide §2.4/§5.)
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    stats = dl.agg(
+    dl = base.select("doc_id", "dl")
+    stats = base.agg(
         F.count("*").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     tf = (
-        toks.where(F.col("token").isin("spark", "window", "merge"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
+        base.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).alias("token"),
+                            F.col(f"_tf{i}").alias("tf"),
+                        )
+                        for i, q in enumerate(terms)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", F.col("c.token").alias("token"), F.col("c.tf").alias("tf"))
+        .where(F.col("tf") > 0)
     )
     idf = tf.groupBy("token").agg(F.count("*").alias("df"))
     term_score = F.round(
@@ -2764,7 +2791,7 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     from ..operators.cache import attach_cached
 
-    return attach_cached(out, dl)
+    return attach_cached(out, base)
 
 
 @query(

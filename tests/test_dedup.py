@@ -745,3 +745,45 @@ def test_keep_list_laws(spark, sf_dir):
         best = min(members, key=lambda r: (-docs[r.doc_id], r.doc_id))
         assert canon.doc_id == best.doc_id
         assert sum(r.action == "drop" for r in members) == len(members) - 1
+
+
+def test_index_rowlocal_dedup_equals_global_distinct(spark):
+    """distinct_tokens / word_shingles dedupe ROW-LOCALLY (r16,
+    array_distinct before the explode); with the doc id part of the
+    distinct key this must equal the explode-then-global-``.distinct()``
+    reference exactly — including duplicate-heavy docs, cross-doc
+    duplicates, and every token-less edge (empty, whitespace-only, and
+    tab/newline-only text, which ``trim`` does NOT strip)."""
+    from platform_etl_openfda_faers_spark.functions.text import tokens, word_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),  # within-doc duplicate tokens AND shingles
+            (2, "a b a b a"),  # cross-doc duplicate of doc 1
+            (3, ""),
+            (4, "   "),
+            (5, "\t\n"),
+            (6, "x"),  # single token, no 3-gram
+        ],
+        ["doc_id", "text"],
+    )
+    ref_tok = (
+        df.select(F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    got_tok = dedup.distinct_tokens(df, "text", "doc_id")
+    assert sorted(map(tuple, got_tok.collect())) == sorted(
+        map(tuple, ref_tok.collect())
+    )
+    assert (1, "a") in {tuple(r) for r in got_tok.collect()}
+
+    ref_sh = df.select(
+        F.col("doc_id"),
+        F.explode(word_ngrams(F.col("text"), 3)).alias("shingle"),
+    ).distinct()
+    got_sh = dedup.word_shingles(df, "text", "doc_id", n=3)
+    assert sorted(map(tuple, got_sh.collect())) == sorted(
+        map(tuple, ref_sh.collect())
+    )
+    assert (1, "a b a") in {tuple(r) for r in got_sh.collect()}

@@ -70,11 +70,24 @@ def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFra
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep exactly one (min-id) row per normalized-text fingerprint."""
-    keep = exact_duplicate_groups(df, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
+    """Keep exactly one (min-id) row per normalized-text fingerprint.
+
+    Keep-lowest via a min window over the fingerprint (r16, guide §2.4):
+    the former ``exact_duplicate_groups`` + left-semi-join-back scanned
+    the corpus twice and shuffled the PAYLOAD rows twice (once into the
+    keep-set aggregate's exchange, once into the semi join on the id —
+    the keep set is one row per distinct text, corpus-sized, never
+    broadcastable), where the window moves the payload exactly once, on
+    the fingerprint.  Ids are unique, so ``id == min(id) over fp`` keeps
+    exactly the former semi-join rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(F.col(text_col)))
+    return (
+        df.withColumn("_keep", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
     )
-    return df.join(keep, [id_col], "left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -676,21 +689,21 @@ def lsh_candidate_pairs(
     if max_bucket_size is not None:
         # single-sided candidate generation: a self-join would duplicate
         # the whole bucket lineage (and the cap's size aggregate) on both
-        # sides — measured 9 exchanges in the plan.  Instead: skew-safe
-        # partial-agg count -> size-filter join -> per-bucket collect_list
-        # (bounded by the cap, so the array is <= max_bucket_size ids —
-        # never the giant-bucket skew collect_list alone would risk) ->
-        # row-local ordered-pair expansion.  The collect_list groupBy
-        # reuses the join's (band, bucket) partitioning, so the whole
-        # capped pipeline is two bucket-keyed exchanges + the pair
-        # distinct.  Pair order matches the self-join's ``id_a < id_b``
-        # (array_sort and ``<`` agree for numeric and string ids).
-        sizes = buckets.groupBy("band", "bucket").agg(
-            F.count("*").alias("_bsz")
-        )
-        kept = buckets.join(
-            sizes.where(F.col("_bsz") <= max_bucket_size), ["band", "bucket"]
-        )
+        # sides — measured 9 exchanges in the plan.  Instead: size-cap
+        # via a count window (r16, guide §2.4 — the ``prune_df_window``
+        # identity: the former partial-agg-count + size-filter-join shape
+        # shuffled the bucket table TWICE, once into the size aggregate
+        # and once into the collect groupBy, because the size table rides
+        # a broadcast join that discards partitioning) -> per-bucket
+        # collect_list (bounded by the cap, so the array is <=
+        # max_bucket_size ids — never the giant-bucket skew collect_list
+        # alone would risk) -> row-local ordered-pair expansion.  The
+        # collect_list groupBy reuses the window's (band, bucket)
+        # partitioning, so the whole capped pipeline is ONE bucket-keyed
+        # exchange + the pair distinct.  Pair order matches the
+        # self-join's ``id_a < id_b`` (array_sort and ``<`` agree for
+        # numeric and string ids).
+        kept = prune_df_window(buckets, ["band", "bucket"], max_bucket_size)
         grouped = kept.groupBy("band", "bucket").agg(
             F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
         )
@@ -1986,11 +1999,18 @@ def jaccard_pairs_prefix(
         F.size("_arr").alias("set_size"),
         F.explode("_arr").alias("token"),
     )
-    doc_freq = index.groupBy("token").agg(F.count("*").alias("df"))
+    # document frequency attached via a count window over the token (r16,
+    # guide §2.4): the former groupBy(token) + equi-join-back consumed the
+    # index TWICE and shuffled it twice (the aggregate's exchange plus the
+    # join's probe side — the per-token freq table is corpus-vocabulary
+    # sized, never broadcastable at scale); the window computes and
+    # attaches the same count in ONE exchange on the token.
     # rank tokens rarest-first within each doc; keep the prefix
     w = Window.partitionBy(id_col).orderBy("df", "token")
     prefix = (
-        index.join(doc_freq, ["token"])
+        index.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
         .withColumn("_pos", F.row_number().over(w))
         .where(
             # prefix length |d| - ceil(t*|d|) + 1.  The 1e-9 nudge keeps the

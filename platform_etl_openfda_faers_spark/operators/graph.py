@@ -23,7 +23,7 @@ N-round lineage is quadratic; checkpointing keeps each round O(1)).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,7 +59,10 @@ def connected_components(
             labels.union(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            # lazy: the ``changed`` probe below is the materializing
+            # action — one driver-blocking job per round instead of two
+            # (same rationale as connected_components_twophase)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -140,24 +143,41 @@ def connected_components_twophase(
     Deterministic; output matches ``connected_components`` exactly.
     """
     cur = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    # NOT checkpointed (r16, guide §1.2 job economy): the node set is
+    # consumed exactly once — by the final labeling join after the loop —
+    # and it derives from the already-checkpointed ``cur``, so an eager
+    # materialization here is one whole driver-blocking job that buys
+    # nothing.  Folded into the final action instead.
     nodes = (
         cur.select(F.col("u").alias("id"))
         .union(cur.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     converged = False
     cur_count: int | None = None
     for _ in range(max_iterations):
+        # Each star phase needs "per node u: m = min over u's rows, attached
+        # back to every row of u" — written as groupBy(min) + equi-join that
+        # is TWO shuffles of the edge set (the aggregate's and the join
+        # probe side's; the aggregate output is tiny but the EDGES cross
+        # the wire twice) plus a join.  A min window over partitionBy(u)
+        # computes the same per-node min and attaches it in ONE shuffle of
+        # the edges, no join (r16, guide §2.4 "remove shuffles outright" —
+        # same identity as prune_df_window).  Per round this is 6 Exchanges
+        # + 2 joins -> 4 Exchanges + 0 joins, and the edge set crosses the
+        # network once per phase instead of twice — the dominant byte
+        # saving on a 100 TB similarity graph.  min() is insensitive to the
+        # window's row order, so the rewrite is value-identical.
+        w_u = Window.partitionBy("u")
         # ---- large-star: symmetric adjacency, min per node, link v>u to m
         sym = cur.select("u", "v").union(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
         large = (
-            sym.join(mins, "u")
+            sym.withColumn(
+                "m", F.least(F.min("v").over(w_u), F.col("u"))
+            )
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
@@ -169,27 +189,35 @@ def connected_components_twophase(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        mins2 = canon.groupBy("u").agg(F.min("v").alias("m"))
-        linked = canon.join(mins2, "u")
+        linked = canon.withColumn("m", F.min("v").over(w_u))
         small = (
             # attach each smaller neighbor v (v != m) ...
             linked.where(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            # ... and u itself to m
-            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            # ... and u itself to m (one row per canon edge here instead of
+            # the old one-row-per-u aggregate; the trailing distinct()
+            # collapses the duplicates, so the emitted SET is unchanged)
+            .union(linked.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        nxt = small.localCheckpoint(eager=True)
+        # LAZY local checkpoint (r16, guide §1.2 job economy): eager=True
+        # would spend one driver-blocking job materializing the round's
+        # edge set and then a SECOND job counting it.  Marked lazy, the
+        # convergence-probe ``count()`` below is the action that first
+        # computes the RDD, so the checkpoint data is persisted (and the
+        # lineage truncated) as a side effect of the count job — one job
+        # per round instead of two.  The next round's double reference
+        # (``sym`` unions ``cur`` with its swap) then reads the persisted
+        # partitions, never recomputing the round.
+        nxt = small.localCheckpoint(eager=False)
         # exact convergence probe: the edge set is stable when nothing was
         # added or removed (both sets are distinct, so count + one-sided
-        # anti-join suffices).  Job economy (r16 optimization, guide §1.2):
-        # counts are carried forward in Python so each round runs ONE
-        # count job for ``nxt`` instead of re-counting ``cur``, and the
-        # cheap count comparison runs FIRST so the anti-join probe is
-        # skipped entirely in rounds where the edge count still moved —
-        # per round this is 1-2 driver-blocking jobs instead of 3, which
-        # is pure fixed overhead on a converging O(log n)-round loop.
+        # anti-join suffices).  Counts are carried forward in Python so
+        # each round runs ONE count job for ``nxt`` instead of re-counting
+        # ``cur``, and the cheap count comparison runs FIRST so the
+        # anti-join probe is skipped entirely in rounds where the edge
+        # count still moved.
         nxt_count = nxt.count()
         if cur_count is None:
             cur_count = cur.count()

@@ -3545,13 +3545,21 @@ def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("_qlogit") >= 0)
     ).select("doc_id", "n_tokens", "_fp")
     # exact dedup keep-first off the persisted fingerprints — no text
-    # needed.  The survivor set feeds four consumers (both index sides,
-    # sizes, the final sample base); persist it — it is (id, n_tokens)
-    # scalars, still O(docs), and skipping it re-runs the keep-aggregate
-    # + semi join per consumer (measured +40% on this query at sf0.1)
-    keep = filtered.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    # needed.  Keep-lowest is a min window over the fingerprint (r16,
+    # guide §2.4): the former groupBy(_fp) + left-semi-join-back consumed
+    # ``filtered`` twice and moved it twice (the aggregate's exchange plus
+    # the semi join — the keep set is one row per distinct fingerprint,
+    # corpus-sized, never broadcastable at scale); the window decides
+    # keep/drop in ONE exchange on the fingerprint.  doc_ids are unique,
+    # so ``doc_id == min(doc_id) over fp`` selects exactly the former
+    # semi-join rows.  The survivor set feeds four consumers (both index
+    # sides, sizes, the final sample base); persist it — it is (id,
+    # n_tokens) scalars, still O(docs).
     exact = (
-        filtered.join(keep, ["doc_id"], "left_semi")
+        filtered.withColumn(
+            "_keep", F.min("doc_id").over(Window.partitionBy("_fp"))
+        )
+        .where(F.col("doc_id") == F.col("_keep"))
         .select("doc_id", "n_tokens")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

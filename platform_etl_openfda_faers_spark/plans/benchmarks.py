@@ -4371,6 +4371,32 @@ def _ivf_pq_oracle_sql(
     return _pq_rerank_tail(ctes, topk, rerank_from)
 
 
+def _freeze_trained(df: DataFrame) -> DataFrame:
+    """Materialize a TRAINED tiny table (coarse centroids / PQ
+    codebooks, <= m*k rows) once and TRUNCATE its lineage with a lazy
+    ``localCheckpoint`` (r16 optimization #17, guide §5:
+    "localCheckpoint is a cheaper way to cut lineage").
+
+    The former ``persist(MEMORY_AND_DISK)`` deduplicated EXECUTION but
+    kept the full Lloyd-training lineage in the logical plan, so every
+    one of the 8-16 downstream consumers (per-subspace encode
+    broadcasts, per-query LUT builds, the exact re-rank tail) re-analyzed
+    and re-canonicalized a multi-thousand-node plan on each use even
+    when execution hit the cache — the emb_pq_adc_rerank_topk plan file
+    was 189 KB, and plan-side work was ~25% of the family's wall at
+    sf0.01.  The checkpoint materializes the same decimal-exact rounded
+    rows the persist did (value-identical by construction; the DuckDB
+    oracle replay of the training is untouched), and downstream plans
+    see a leaf scan instead of the training DAG.  The trade is
+    fault-tolerance of the intermediate (an executor loss re-runs the
+    query instead of replaying lineage) — the right trade for a <=512-row
+    table that a production deployment would store next to its index
+    anyway (the stored-index pattern, cf. ``ivf_index_table``).  Storage
+    is ContextCleaner-owned; the correctness runner itemizes and sweeps
+    localCheckpoint residue (the CC-loop discipline)."""
+    return df.localCheckpoint(eager=False)
+
+
 @query("emb_ivf_pq_topk", _ivf_pq_oracle_sql())
 def emb_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """The FULL IVF-PQ pipeline (r6) — trained coarse cells prune
@@ -4378,27 +4404,22 @@ def emb_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     score them without touching raw corpus vectors.  Corpus-side cell
     assignment and PQ encoding are both map-only off broadcast tables
     (one corpus pass); the probe list broadcasts; ADC is m broadcast
-    LUT joins.  Both trained tables persist (8 consumers each — same
-    measured rationale as emb_pq_adc_topk).  The oracle replays coarse
-    training, per-subspace training, encode, probe, and fixed-order ADC
-    scoring — the complete billion-scale ANN architecture value-checked
-    end-to-end."""
-    from pyspark import StorageLevel
-
-    from ..operators.cache import attach_cached
-
+    LUT joins.  Both trained tables are lineage-truncated via
+    ``_freeze_trained`` (8 consumers each — same measured rationale as
+    emb_pq_adc_topk).  The oracle replays coarse training, per-subspace
+    training, encode, probe, and fixed-order ADC scoring — the complete
+    billion-scale ANN architecture value-checked end-to-end."""
     emb = load_emb(spark, sf)
-    coarse = similarity.kmeans_centroids(emb, k=8, iterations=1).persist(
-        StorageLevel.MEMORY_AND_DISK
+    coarse = _freeze_trained(
+        similarity.kmeans_centroids(emb, k=8, iterations=1)
     )
-    cb = similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1).persist(
-        StorageLevel.MEMORY_AND_DISK
+    cb = _freeze_trained(
+        similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1)
     )
-    out = similarity.ivf_pq_topk(
+    return similarity.ivf_pq_topk(
         emb, emb.where(F.col("vec_id") < 20), coarse, cb,
         k=5, nprobe=3, dim=64, m=4,
     )
-    return attach_cached(out, coarse, cb)
 
 
 @query("emb_pq_adc_topk", _pq_oracle_sql())
@@ -4413,24 +4434,22 @@ def emb_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     scoring in SQL, value-checking the full pipeline.  At 100 TB compose
     with IVF cell pruning in front of ADC scoring.
 
-    The trained 32-row codebook table is persisted: encode consumes it m
-    times and every LUT once more, and without the persist each of the 8
-    consumers re-runs the full Lloyd training (measured at sf0.01: 13.2s
-    -> 8.9s cold, 5.5s -> 4.7s warm; the remaining cost is the one real
-    training pass).  Same multi-consumer rationale as the minhash
-    shingle table; handle attached for caller cleanup."""
-    from pyspark import StorageLevel
-
-    from ..operators.cache import attach_cached
-
+    The trained 32-row codebook table is materialized ONCE and
+    lineage-truncated (``_freeze_trained``): encode consumes it m times
+    and every LUT once more, and without any materialization each of
+    the 8 consumers re-runs the full Lloyd training (measured at
+    sf0.01 when this was a persist: 13.2s -> 8.9s cold, 5.5s -> 4.7s
+    warm).  r16 #17 upgraded the persist to a lazy localCheckpoint —
+    same single execution, but the 8 consumers' plans now see a leaf
+    scan instead of re-analyzing the training DAG (4.55 -> ~3.4s at
+    sf0.01, plan file ~10x smaller)."""
     emb = load_emb(spark, sf)
-    cb = similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1).persist(
-        StorageLevel.MEMORY_AND_DISK
+    cb = _freeze_trained(
+        similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1)
     )
-    out = similarity.pq_adc_topk(
+    return similarity.pq_adc_topk(
         emb, emb.where(F.col("vec_id") < 20), cb, k=5, dim=64, m=4
     )
-    return attach_cached(out, cb)
 
 
 @query("emb_pq_adc_rerank_topk", _pq_oracle_sql(rerank_from=25))
@@ -4445,19 +4464,14 @@ def emb_pq_adc_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     the corpus (the corpus still never shuffles) and a |pool|-row exact
     cosine.  The oracle replays training, encode, LUT scoring, pool
     selection, AND the exact re-rank."""
-    from pyspark import StorageLevel
-
-    from ..operators.cache import attach_cached
-
     emb = load_emb(spark, sf)
-    cb = similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1).persist(
-        StorageLevel.MEMORY_AND_DISK
+    cb = _freeze_trained(
+        similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1)
     )
-    out = similarity.pq_adc_topk(
+    return similarity.pq_adc_topk(
         emb, emb.where(F.col("vec_id") < 20), cb, k=5, dim=64, m=4,
         rerank_from=25,
     )
-    return attach_cached(out, cb)
 
 
 @query("emb_pq_adc_hi_topk", _pq_oracle_sql(m=8, k=64, rerank_from=25))
@@ -4472,19 +4486,14 @@ def emb_pq_adc_hi_topk(spark: SparkSession, sf: str) -> DataFrame:
     encode, LUT scoring and exact re-rank replay in SQL at this
     resolution too, proving the recommended config end-to-end, not just
     the toy one."""
-    from pyspark import StorageLevel
-
-    from ..operators.cache import attach_cached
-
     emb = load_emb(spark, sf)
-    cb = similarity.pq_codebooks(emb, dim=64, m=8, k=64, iterations=1).persist(
-        StorageLevel.MEMORY_AND_DISK
+    cb = _freeze_trained(
+        similarity.pq_codebooks(emb, dim=64, m=8, k=64, iterations=1)
     )
-    out = similarity.pq_adc_topk(
+    return similarity.pq_adc_topk(
         emb, emb.where(F.col("vec_id") < 20), cb, k=5, dim=64, m=8,
         rerank_from=25,
     )
-    return attach_cached(out, cb)
 
 
 @query("emb_ivf_pq_rerank_topk", _ivf_pq_oracle_sql(rerank_from=25))
@@ -4495,22 +4504,17 @@ def emb_ivf_pq_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     (cell pruning for candidate volume, PQ for scoring cost, re-rank
     for recall) value-checked end-to-end against a SQL replay of all
     four stages."""
-    from pyspark import StorageLevel
-
-    from ..operators.cache import attach_cached
-
     emb = load_emb(spark, sf)
-    coarse = similarity.kmeans_centroids(emb, k=8, iterations=1).persist(
-        StorageLevel.MEMORY_AND_DISK
+    coarse = _freeze_trained(
+        similarity.kmeans_centroids(emb, k=8, iterations=1)
     )
-    cb = similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1).persist(
-        StorageLevel.MEMORY_AND_DISK
+    cb = _freeze_trained(
+        similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1)
     )
-    out = similarity.ivf_pq_topk(
+    return similarity.ivf_pq_topk(
         emb, emb.where(F.col("vec_id") < 20), coarse, cb,
         k=5, nprobe=3, dim=64, m=4, rerank_from=25,
     )
-    return attach_cached(out, coarse, cb)
 
 
 @query("emb_ivf_kmeans_topk", _ivf_kmeans_oracle_sql())

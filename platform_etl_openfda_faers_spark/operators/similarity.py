@@ -147,22 +147,58 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def _bucket_key(vec_col, planes: np.ndarray):
+def _plane_sql(plane) -> str:
+    """``array<double>`` SQL literal for one hyperplane (r16 #18).
+    ``repr(float)`` is the shortest round-trip decimal — the SAME
+    convention the DuckDB oracle generators already use to embed these
+    planes — and Spark's ``...D`` double literal parses it back to the
+    bit-identical IEEE value (pinned by
+    ``tests/test_similarity.py::test_plane_lit_bit_identical``)."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"
+
+
+def _plane_lit(plane) -> "F.Column":
+    """One-py4j-call column form of :func:`_plane_sql`."""
+    return F.expr(_plane_sql(plane))
+
+
+def _proj_sql(vec_sql: str, plane) -> str:
+    """Round-6 hyperplane projection as a SQL fragment — semantically
+    identical to ``F.round(dot(vec, plane_lit), 6)`` with the
+    deterministic left-fold ``dot`` (``functions/vectors.py``): same
+    ``zip_with`` product, same ``0.0D`` seed, same left-associated
+    accumulation, same round."""
+    return (
+        f"round(aggregate(zip_with({vec_sql}, {_plane_sql(plane)}, "
+        f"(x, y) -> x * y), 0.0D, (acc, v) -> acc + v), 6)"
+    )
+
+
+def _bucket_key(vec_sql: str, planes: np.ndarray):
     """Sign-bit bucket id: sum(2^i * (round(dot(v, plane_i), 6) >= 0)).
 
     The projection is rounded before the sign test so bucket assignment is
     replicable bit-for-bit by the DuckDB oracle (same float-discipline as
     ranking scores; a flip would need |dot| within an ulp of a 5e-7
     boundary).
-    """
-    key = F.lit(0).cast("long")
+
+    Built as ONE ``F.expr`` over a SQL fragment (r16 #18): the former
+    per-plane pyspark-API form (element-wise ``F.lit`` plane arrays plus
+    one higher-order ``dot`` per plane) issued ~27k py4j round trips per
+    8-table LSH query — ~10 s of driver-side socket chatter per query
+    CONSTRUCTION, before any job ran (cProfile evidence in
+    OPTIMIZATION_r16.md #18).  The SQL parses to the same analyzed
+    expressions — ``CAST(0 AS BIGINT)`` seed, per-plane
+    ``CAST(CASE WHEN proj >= 0 THEN 2^i ELSE 0 END AS BIGINT)``
+    left-associated sum — so bucket values are unchanged (law-pinned:
+    ``test_bucket_key_sql_matches_columnwise``)."""
+    terms = ["CAST(0 AS BIGINT)"]
     for i, plane in enumerate(planes):
-        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(
-            F.round(dot(vec_col, plane_lit), 6) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-        key = key + bit.cast("long")
-    return key
+        terms.append(
+            f"CAST(CASE WHEN {_proj_sql(vec_sql, plane)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END AS BIGINT)"
+        )
+    return F.expr(" + ".join(terms))
 
 
 def add_lsh_buckets(
@@ -176,14 +212,14 @@ def add_lsh_buckets(
     """Attach (table, bucket) rows — one row per vector per table."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    v = F.col(vec_col).cast("array<double>")
+    v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     entries = F.array(
         *[
             F.struct(
                 F.lit(t).alias("table"),
-                _bucket_key(v, random_hyperplanes(dim, n_planes, seed + t)).alias(
-                    "bucket"
-                ),
+                _bucket_key(
+                    v_sql, random_hyperplanes(dim, n_planes, seed + t)
+                ).alias("bucket"),
             )
             for t in range(n_tables)
         ]
@@ -203,8 +239,13 @@ def hyperplane_lsh_topk(
     n_tables: int = 8,
     seed: int = 42,
     score_decimals: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: LSH-bucketed candidates, exact cosine re-rank.
+
+    ``dim``: pass the known embedding width to skip the eager one-row
+    ``first()`` probe job at construction (r16 #18); ``None`` keeps the
+    probe for callers with unknown-width vectors.
 
     .. warning:: **Default change in r7** — ``n_planes`` 8 -> 4 and
        ``n_tables`` 2 -> 8, justified by the recall harness
@@ -230,7 +271,8 @@ def hyperplane_lsh_topk(
        third of the candidate volume, QUALITY.md), or use the IVF /
        IVF-PQ operators whose candidate volume is controlled by
        ``n_probes`` instead of collision geometry."""
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     cb = add_lsh_buckets(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -307,13 +349,12 @@ def add_lsh_probe_buckets(
     the DuckDB oracle.
     """
     probed = []
-    v = F.col(vec_col)
+    v_sql = f"`{vec_col}`"
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed + t)
-        projs = [
-            F.round(dot(v, F.array(*[F.lit(float(x)) for x in plane])), 6)
-            for plane in planes
-        ]
+        # one F.expr per projection (r16 #18) — the pyspark higher-order
+        # dot costs ~20ms of py4j chatter per plane at construction
+        projs = [F.expr(_proj_sql(v_sql, plane)) for plane in planes]
         home = F.lit(0).cast("long")
         for i, p in enumerate(projs):
             home = home + F.when(p >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast(
@@ -363,9 +404,11 @@ def hyperplane_lsh_multiprobe_topk(
     n_probes: int = 4,
     seed: int = 42,
     score_decimals: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-probe hyperplane LSH top-k: sparse-bucket cost, dense-bucket
-    recall.
+    recall.  (``dim``: as in :func:`hyperplane_lsh_topk` — pass the known
+    width to skip the construction-time ``first()`` probe.)
 
     The single-probe recall/cost dilemma (see the
     :func:`hyperplane_lsh_topk` warning): few planes -> dense buckets ->
@@ -384,7 +427,8 @@ def hyperplane_lsh_multiprobe_topk(
     dense default's recall band at a third of its candidate volume; see
     the table for the grid.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     cb = add_lsh_buckets(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -731,9 +775,12 @@ def cosine_near_duplicates(
     n_tables: int = 4,
     seed: int = 42,
     score_decimals: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs: (id_a, id_b, score) with score >= threshold."""
-    dim = len(df.select(vec_col).first()[0])
+    """Embedding near-dup pairs: (id_a, id_b, score) with score >= threshold.
+    (``dim``: as in :func:`hyperplane_lsh_topk`.)"""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     b = add_lsh_buckets(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")),
         "v",

@@ -3831,7 +3831,8 @@ def emb_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     """
     emb = load_emb(spark, sf)
     return similarity.hyperplane_lsh_topk(
-        emb, emb.where(F.col("vec_id") < 20), k=5, n_planes=4, n_tables=8
+        emb, emb.where(F.col("vec_id") < 20), k=5, n_planes=4, n_tables=8,
+        dim=64,
     )
 
 
@@ -3844,7 +3845,8 @@ def emb_lsh_ann_sparse(spark: SparkSession, sf: str) -> DataFrame:
     ends of the measured curve stay value-checked."""
     emb = load_emb(spark, sf)
     return similarity.hyperplane_lsh_topk(
-        emb, emb.where(F.col("vec_id") < 20), k=5, n_planes=6, n_tables=3
+        emb, emb.where(F.col("vec_id") < 20), k=5, n_planes=6, n_tables=3,
+        dim=64,
     )
 
 
@@ -3975,6 +3977,7 @@ def emb_lsh_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
         n_planes=6,
         n_tables=3,
         n_probes=7,
+        dim=64,
     )
 
 
@@ -9205,6 +9208,7 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         n_planes=8,
         n_tables=4,
         seed=42,
+        dim=64,
     ).select("id_a", "id_b")
     comp = connected_components_twophase(pairs, "id_a", "id_b")
     return comp.select(F.col("id").alias("vec_id"), F.col("comp").alias("component"))

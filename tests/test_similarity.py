@@ -435,3 +435,88 @@ def test_cell_occupancy_invariants(spark, sf_dir):
         for c in similarity.kmeans_centroids(emb, k=8, iterations=2).collect()
     }
     assert {r.cell for r in rows} <= cent_cells
+
+
+def test_plane_lit_bit_identical(spark):
+    """r16 #18: the one-call SQL-literal hyperplane (`_plane_lit`) must
+    produce the BIT-identical array<double> the former element-wise
+    ``F.array(*[F.lit(float(x))])`` form produced — repr is the shortest
+    round-trip decimal and the ``...D`` literal parses it back exactly.
+    Checked over every plane the LSH family actually uses (all tables of
+    the emb_lsh_ann / multiprobe / sparse configs)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.operators.similarity import (
+        _plane_lit,
+        random_hyperplanes,
+    )
+
+    planes = []
+    for n_planes, n_tables, seed, dim in [
+        (4, 8, 42, 64),   # emb_lsh_ann
+        (6, 3, 42, 64),   # emb_lsh_multiprobe_topk
+        (8, 2, 42, 64),   # add_lsh_buckets defaults
+        (6, 4, 7, 32),    # off-default shape
+    ]:
+        for t in range(n_tables):
+            planes.extend(random_hyperplanes(dim, n_planes, seed + t))
+    one = spark.range(1)
+    for i in range(0, len(planes), 16):
+        batch = planes[i : i + 16]
+        row = one.select(
+            *[_plane_lit(p).alias(f"n{j}") for j, p in enumerate(batch)],
+            *[
+                F.array(*[F.lit(float(x)) for x in p]).alias(f"o{j}")
+                for j, p in enumerate(batch)
+            ],
+        ).head()
+        for j, p in enumerate(batch):
+            new, old = row[f"n{j}"], row[f"o{j}"]
+            assert [struct.pack("<d", x) for x in new] == [
+                struct.pack("<d", x) for x in old
+            ], f"plane {i + j}: SQL literal round-trip changed a double"
+
+
+def test_bucket_key_sql_matches_columnwise(spark, sf_dir):
+    """r16 #18 (part 2): the single-``F.expr`` bucket key must equal the
+    former column-wise construction (per-plane higher-order dot +
+    when/otherwise sum) bit-for-bit on real embeddings, across every
+    (n_planes, n_tables) geometry the registry uses."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.functions.vectors import dot
+    from platform_etl_openfda_faers_spark.operators.similarity import (
+        _bucket_key,
+        _plane_lit,
+        random_hyperplanes,
+    )
+
+    def columnwise_key(vec_col, planes):
+        key = F.lit(0).cast("long")
+        for i, plane in enumerate(planes):
+            bit = F.when(
+                F.round(dot(vec_col, _plane_lit(plane)), 6) >= 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            key = key + bit.cast("long")
+        return key
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    v_sql = "CAST(`e` AS ARRAY<DOUBLE>)"
+    v_col = F.col("e").cast("array<double>")
+    checks = []
+    for n_planes, n_tables in [(4, 8), (6, 3), (8, 4)]:
+        for t in range(n_tables):
+            planes = random_hyperplanes(64, n_planes, 42 + t)
+            checks.append(
+                _bucket_key(v_sql, planes) == columnwise_key(v_col, planes)
+            )
+    all_equal = checks[0]
+    for c in checks[1:]:
+        all_equal = all_equal & c
+    bad = emb.where(~all_equal).count()
+    assert bad == 0, "SQL bucket key diverged from column-wise form"

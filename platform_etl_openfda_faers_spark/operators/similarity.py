@@ -44,7 +44,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot, norm
+from ..functions.vectors import cosine
 
 
 def brute_force_topk(
@@ -147,13 +147,66 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _sql_ident(name: str) -> str:
+    """Backtick-quote a column name for embedding in a SQL fragment.
+    Escapes embedded backticks (`` ` `` -> ```` `` ````) so any column
+    name round-trips — the bare-backtick interpolation the r16 ADVICE
+    flagged broke on names containing a backtick."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """``functions.vectors.dot`` as a SQL fragment — same left-fold
+    ``zip_with`` product, same ``0.0D`` seed, same left-associated
+    accumulation, so the parsed expression evaluates bit-identically."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), 0.0D, "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a_sql: str) -> str:
+    """``functions.vectors.norm`` as a SQL fragment."""
+    return f"sqrt(aggregate({a_sql}, 0.0D, (acc, v) -> acc + v * v))"
+
+
+def _cosine_sql(a_sql: str, b_sql: str) -> str:
+    """``functions.vectors.cosine`` as a SQL fragment (dot / (norm*norm),
+    same operator shape and associativity as the Column form)."""
+    return f"({_dot_sql(a_sql, b_sql)} / ({_norm_sql(a_sql)} * {_norm_sql(b_sql)}))"
+
+
+def _ranked_cells_sql(cents_sql: str, vec_sql: str, score_decimals: int) -> str:
+    """The centroid argmax ranking shared by :func:`ivf_cells` and
+    :func:`pq_encode`, as ONE SQL fragment (r17, the r16 #18 recipe
+    applied to the PQ/IVF builders): ascending struct sort on
+    (-round(cosine, sd), cell) — lowest negated score first, ties to the
+    lower cell id, exactly the former column-wise
+    ``sort_array(transform(...))`` construction (law-pinned:
+    ``test_ranked_cells_sql_matches_columnwise``).  The column-wise form
+    issued hundreds of py4j round trips per call (3 higher-order lambdas
+    per cosine, built once per Lloyd iteration per subspace) — the PQ
+    family paid ~9k round trips / 2.7-6.3 s per query CONSTRUCTION."""
+    return (
+        f"sort_array(transform({cents_sql}, c -> struct("
+        f"-round({_cosine_sql(vec_sql, 'c.centroid')}, {score_decimals}) "
+        f"AS _neg_score, c.cell AS cell)))"
+    )
+
+
 def _plane_sql(plane) -> str:
     """``array<double>`` SQL literal for one hyperplane (r16 #18).
     ``repr(float)`` is the shortest round-trip decimal — the SAME
     convention the DuckDB oracle generators already use to embed these
     planes — and Spark's ``...D`` double literal parses it back to the
     bit-identical IEEE value (pinned by
-    ``tests/test_similarity.py::test_plane_lit_bit_identical``)."""
+    ``tests/test_similarity.py::test_plane_lit_bit_identical``).
+    Precondition: plane values must be finite (``infD``/``nanD`` would
+    not parse); ``random_hyperplanes`` output always is, and the assert
+    keeps any future caller honest at construction time."""
+    assert all(x == x and x not in (float("inf"), float("-inf")) for x in map(float, plane)), (
+        "non-finite hyperplane value cannot be embedded as a SQL literal"
+    )
     return "array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"
 
 
@@ -209,10 +262,17 @@ def add_lsh_buckets(
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """Attach (table, bucket) rows — one row per vector per table."""
+    """Attach (table, bucket) rows — one row per vector per table.
+
+    ``dim``: pass the known vector width to skip the construction-time
+    ``first()`` probe.  CALLER CONTRACT: a supplied ``dim`` must match the
+    actual vector width — ``zip_with`` null-pads unequal arrays, so a
+    mismatch silently NULLs every projection and hashes all rows to
+    bucket 0 (a near-brute-force candidate explosion, not an error).
+    Pass ``dim=None`` when the width is not certain."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    v_sql = f"CAST({_sql_ident(vec_col)} AS ARRAY<DOUBLE>)"
     entries = F.array(
         *[
             F.struct(
@@ -245,7 +305,9 @@ def hyperplane_lsh_topk(
 
     ``dim``: pass the known embedding width to skip the eager one-row
     ``first()`` probe job at construction (r16 #18); ``None`` keeps the
-    probe for callers with unknown-width vectors.
+    probe for callers with unknown-width vectors.  A WRONG ``dim`` fails
+    silently (all rows bucket to 0 — see :func:`add_lsh_buckets`), so
+    only pass it when the width is a schema-level certainty.
 
     .. warning:: **Default change in r7** — ``n_planes`` 8 -> 4 and
        ``n_tables`` 2 -> 8, justified by the recall harness
@@ -349,7 +411,7 @@ def add_lsh_probe_buckets(
     the DuckDB oracle.
     """
     probed = []
-    v_sql = f"`{vec_col}`"
+    v_sql = _sql_ident(vec_col)
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed + t)
         # one F.expr per projection (r16 #18) — the pyspark higher-order
@@ -509,16 +571,11 @@ def ivf_cells(
     cent_arr = centroids.groupBy().agg(
         F.collect_list(F.struct(F.col("cell"), F.col("centroid"))).alias("_cents")
     )
-    ranked = F.sort_array(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                (-F.round(cosine(F.col(vec_col), c["centroid"]), score_decimals)).alias(
-                    "_neg_score"
-                ),
-                c["cell"].alias("cell"),
-            ),
-        )
+    # ONE F.expr for the whole argmax ranking (r17; formerly a pyspark
+    # higher-order transform whose nested cosine lambdas cost hundreds of
+    # py4j round trips per call — per Lloyd iteration per subspace)
+    ranked = F.expr(
+        _ranked_cells_sql("_cents", _sql_ident(vec_col), score_decimals)
     )
     return (
         df.join(F.broadcast(cent_arr))
@@ -591,21 +648,18 @@ def kmeans_centroids(
             c, cent, "_id", "_v", nprobe=1, score_decimals=score_decimals
         )
         per_dim = assigned.select("cell", F.posexplode("_v").alias("pos", "val"))
+        # one F.expr per aggregate (r17): same decimal-exact mean and
+        # struct-sorted fold, fewer py4j round trips per Lloyd iteration
         means = per_dim.groupBy("cell", "pos").agg(
-            F.round(
-                F.sum(F.col("val").cast("decimal(27,10)")).cast("double")
-                / F.count("*"),
-                score_decimals,
+            F.expr(
+                f"round(CAST(sum(CAST(val AS DECIMAL(27,10))) AS DOUBLE) "
+                f"/ count(*), {score_decimals})"
             ).alias("m")
         )
         cent = (
             means.groupBy("cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                ).alias("_pm")
-            )
-            .select("cell", F.col("_pm").getField("m").alias("centroid"))
+            .agg(F.expr("array_sort(collect_list(struct(pos, m)))").alias("_pm"))
+            .select("cell", F.expr("_pm.m").alias("centroid"))
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             cent = cent.localCheckpoint(eager=True)
@@ -932,31 +986,110 @@ def pq_codebooks(
 ) -> DataFrame:
     """Product-quantization codebooks: ``m`` INDEPENDENT deterministic
     Lloyd k-means runs, one per contiguous ``dim/m``-wide subspace of the
-    embedding (each exactly :func:`kmeans_centroids` on a sliced vector —
-    decimal-exact means, rounded scores, id-seeded init — so every run
-    replays bit-for-bit in the SQL oracle).  Output: (sub, cell,
-    centroid) with ``m*k`` rows — tiny and broadcastable regardless of
-    corpus size."""
+    embedding (decimal-exact means, rounded scores, id-seeded init — so
+    every run replays bit-for-bit in the SQL oracle).  Output: (sub,
+    cell, centroid) with ``m*k`` rows — tiny and broadcastable
+    regardless of corpus size.
+
+    FUSED training (r17): the former implementation ran
+    :func:`kmeans_centroids` once per subspace and unioned the results —
+    ``m`` parallel Lloyd DAGs meant ``m`` corpus scans per iteration at
+    execution, ``m`` broadcasts, and an ``m``-times-larger plan whose
+    construction (py4j chatter) and planning/codegen (paid at the
+    ``_freeze_trained`` checkpoint) dominated the PQ family's wall — the
+    r16 VERDICT's "#2 remaining waste" (~9k py4j round trips, 2.7-6.3 s
+    per query construction).  Training now runs ONE Lloyd chain over the
+    subspace-exploded corpus — each vector contributes ``m`` (sub,
+    sliced-vector) rows, every aggregate keys on ``sub`` as well, the
+    centroid broadcast joins on ``sub`` — which is value-identical per
+    subspace (decimal sums are exact and order-independent; the argmax
+    ranking is total-ordered per subspace; init stays the k lowest-id
+    vectors) and pinned by ``test_pq_codebooks_fused_matches_legacy``
+    plus the unchanged DuckDB oracle replay.  At scale: per iteration,
+    one corpus scan instead of m (same total bytes — each row explodes
+    into its m slices), one broadcast instead of m."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     width = dim // m
-    subs = []
-    for s in range(m):
-        sliced = corpus.select(
-            F.col(id_col),
-            F.slice(
-                F.col(vec_col).cast("array<double>"), s * width + 1, width
-            ).alias("_sv"),
+    v_sql = f"CAST({_sql_ident(vec_col)} AS ARRAY<DOUBLE>)"
+    sliced = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"s -> slice({v_sql}, s * {width} + 1, {width}))"
+            )
+        ).alias("sub", "_sv"),
+    )
+    cent = sliced.where(F.col("_id") < k).select(
+        "sub", F.col("_id").alias("cell"), F.col("_sv").alias("centroid")
+    )
+    for _ in range(iterations):
+        cent_arr = cent.groupBy("sub").agg(
+            F.collect_list(F.struct(F.col("cell"), F.col("centroid"))).alias(
+                "_cents"
+            )
         )
-        cent = kmeans_centroids(
-            sliced, id_col, "_sv", k=k, iterations=iterations,
-            score_decimals=score_decimals,
+        assigned = sliced.join(F.broadcast(cent_arr), "sub").select(
+            "sub",
+            F.expr(
+                f"element_at({_ranked_cells_sql('_cents', '_sv', score_decimals)},"
+                f" 1).cell"
+            ).alias("cell"),
+            "_sv",
         )
-        subs.append(cent.select(F.lit(s).alias("sub"), "cell", "centroid"))
-    out = subs[0]
-    for other in subs[1:]:
-        out = out.unionByName(other)
-    return out
+        per_dim = assigned.select(
+            "sub", "cell", F.posexplode("_sv").alias("pos", "val")
+        )
+        means = per_dim.groupBy("sub", "cell", "pos").agg(
+            F.expr(
+                f"round(CAST(sum(CAST(val AS DECIMAL(27,10))) AS DOUBLE) "
+                f"/ count(*), {score_decimals})"
+            ).alias("m")
+        )
+        cent = (
+            means.groupBy("sub", "cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("_pm")
+            )
+            .select("sub", "cell", F.col("_pm").getField("m").alias("centroid"))
+        )
+    return cent
+
+
+def _cents_all(codebooks: DataFrame, m: int) -> DataFrame:
+    """Collapse the (sub, cell, centroid) codebook table to ONE row with
+    ``m`` per-subspace struct arrays ``_cents0.._cents{m-1}`` — the
+    broadcastable form every PQ consumer scores against.  ``collect_list``
+    skips the NULLs the ``when`` guard leaves for other subspaces, so
+    each array is exactly the per-subspace codebook (order irrelevant:
+    every consumer's ranking sort / map build is order-insensitive)."""
+    return codebooks.groupBy().agg(
+        *[
+            F.collect_list(
+                F.when(F.col("sub") == s, F.struct("cell", "centroid"))
+            ).alias(f"_cents{s}")
+            for s in range(m)
+        ]
+    )
+
+
+def _lut_maps_expr(m: int, width: int, q_sql: str, score_decimals: int):
+    """Per-query ADC lookup tables as ONE row-local expression: an array
+    (indexed by subspace) of ``cell -> round(dot(q_s, centroid), sd)``
+    maps.  Entry values are computed with the same rounded left-fold dot
+    the former per-subspace LUT joins used, so ``element_at(map, code)``
+    returns bit-identically the ``_l{s}`` the join produced (map keys are
+    the unique cell ids of that subspace's codebook)."""
+    entries = ", ".join(
+        f"map_from_entries(transform(_cents{s}, c -> struct(c.cell, "
+        f"round({_dot_sql(f'slice({q_sql}, {s * width + 1}, {width})', 'c.centroid')}, "
+        f"{score_decimals}))))"
+        for s in range(m)
+    )
+    return F.expr(f"array({entries})")
 
 
 def pq_encode(
@@ -967,46 +1100,31 @@ def pq_encode(
     dim: int = 64,
     m: int = 4,
     score_decimals: int = 6,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Encode each vector as ``m`` codebook cells — MAP-ONLY: each
-    subspace's codebook collapses to a broadcast 1-row struct array and
-    the argmax-cosine assignment is a row-local higher-order-function
-    expression (the ``ivf_cells`` trick, once per subspace in a single
-    projection).  A 64-dim float vector becomes m small ints — the
-    ~32x compression that lets ADC scoring avoid touching raw vectors.
-    Output: (id, c0..c{m-1})."""
+    """Encode each vector as ``m`` codebook cells — MAP-ONLY: the whole
+    codebook collapses to ONE broadcast row holding ``m`` per-subspace
+    struct arrays (r17; formerly m single-row tables and m cross joins)
+    and the argmax-cosine assignment is a row-local SQL expression per
+    subspace in a single projection (the ``ivf_cells`` trick).  A 64-dim
+    float vector becomes m small ints — the ~32x compression that lets
+    ADC scoring avoid touching raw vectors.  ``keep`` names extra input
+    columns carried through (the IVF-PQ pipeline threads the coarse
+    ``cell`` so encoding and cell assignment stay one corpus pass).
+    Output: (id, *keep, c0..c{m-1})."""
     width = dim // m
     df = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    )
-    for s in range(m):
-        cent_arr = (
-            codebooks.where(F.col("sub") == s)
-            .groupBy()
-            .agg(
-                F.collect_list(F.struct("cell", "centroid")).alias(
-                    f"_cents{s}"
-                )
-            )
-        )
-        df = df.join(F.broadcast(cent_arr))
+        F.col(id_col), *keep, F.col(vec_col).cast("array<double>").alias("_v")
+    ).join(F.broadcast(_cents_all(codebooks, m)))
     def code_expr(s: int):
-        # closure (not a lambda default): a 2-arg lambda in F.transform
-        # would be called as (element, index) and clobber the capture
-        sv = F.slice(F.col("_v"), s * width + 1, width)
+        # ONE F.expr per subspace (r17, the r16 #18 recipe): the former
+        # per-subspace transform+cosine lambda chain dominated the PQ
+        # family's construction wall with py4j chatter
+        sv = f"slice(_v, {s * width + 1}, {width})"
+        ranked = _ranked_cells_sql(f"_cents{s}", sv, score_decimals)
+        return F.expr(f"element_at({ranked}, 1).cell").alias(f"c{s}")
 
-        def scored_cell(c):
-            return F.struct(
-                (-F.round(cosine(sv, c["centroid"]), score_decimals)).alias(
-                    "_neg"
-                ),
-                c["cell"].alias("cell"),
-            )
-
-        ranked = F.sort_array(F.transform(F.col(f"_cents{s}"), scored_cell))
-        return F.element_at(ranked, 1)["cell"].alias(f"c{s}")
-
-    return df.select(F.col(id_col), *[code_expr(s) for s in range(m)])
+    return df.select(F.col(id_col), *keep, *[code_expr(s) for s in range(m)])
 
 
 def _exact_rerank(
@@ -1074,9 +1192,15 @@ def pq_adc_topk(
     decomposition (dot DECOMPOSES across subspaces; cosine does not,
     which is why ADC scores dots — on unit embeddings they coincide).
 
-    Plan shape: encode is map-only; each LUT is |queries| x k rows
-    (broadcast); scoring is m broadcast hash joins on the code columns —
-    no shuffle of the corpus, no raw-vector pair join.  Per-subspace LUT
+    Plan shape (r17): encode is map-only; ALL ``m`` per-query lookup
+    tables ride ONE broadcast row per query — an array (by subspace) of
+    ``cell -> rounded dot`` maps — and scoring is one broadcast cross
+    join plus ``m`` row-local map lookups.  (Formerly m separate
+    broadcast hash joins on the code columns: one broadcast build and
+    one join materialization per subspace; value-identical —
+    ``element_at(map, c_s)`` returns exactly the ``_l{s}`` the join
+    matched, pinned by ``test_pq_adc_lut_map_matches_join``.)  No
+    shuffle of the corpus, no raw-vector pair join.  Per-subspace LUT
     entries round to ``score_decimals`` and the final score sums them in
     FIXED subspace order (left-associated), so results replay exactly in
     the SQL oracle.  At 100 TB compose with IVF cells to prune candidates
@@ -1096,40 +1220,27 @@ def pq_adc_topk(
         raise ValueError(f"rerank_from {rerank_from} must be >= k {k}")
     width = dim // m
     scored = pq_encode(corpus, codebooks, id_col, vec_col, dim, m, score_decimals)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_q"),
+    luts = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_q"),
+        )
+        .join(F.broadcast(_cents_all(codebooks, m)))
+        .select(
+            "query_id",
+            _lut_maps_expr(m, width, "_q", score_decimals).alias("_luts"),
+        )
     )
-    for s in range(m):
-        cb = codebooks.where(F.col("sub") == s).select(
-            F.col("cell").alias(f"_code{s}"), F.col("centroid").alias("_c")
-        )
-        lut = q.crossJoin(F.broadcast(cb)).select(
-            F.col("query_id").alias(f"_qid{s}"),
-            F.col(f"_code{s}"),
-            F.round(
-                dot(F.slice(F.col("_q"), s * width + 1, width), F.col("_c")),
-                score_decimals,
-            ).alias(f"_l{s}"),
-        )
-        on = [scored[f"c{s}"] == lut[f"_code{s}"]]
-        if s > 0:
-            on.append(scored["query_id"] == lut[f"_qid{s}"])
-        scored = scored.join(F.broadcast(lut), on).drop(f"_code{s}")
-        scored = (
-            scored.withColumnRenamed("_qid0", "query_id")
-            if s == 0
-            else scored.drop(f"_qid{s}")
-        )
-    score = F.col("_l0")
-    for s in range(1, m):
-        score = score + F.col(f"_l{s}")
+    scored = scored.join(F.broadcast(luts))
+    score_sql = " + ".join(
+        f"element_at(element_at(_luts, {s + 1}), c{s})" for s in range(m)
+    )
     adc = (
         scored.where(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(score, score_decimals).alias("score"),
+            F.expr(f"round({score_sql}, {score_decimals})").alias("score"),
         )
         .withColumn("rank", F.row_number().over(
             Window.partitionBy("query_id").orderBy(
@@ -1164,15 +1275,18 @@ def ivf_pq_topk(
     nearest cells' vectors), PQ codes + per-query LUTs score them without
     touching raw corpus vectors.
 
-    Plan shape: corpus-side cell assignment AND PQ encoding are each
-    map-only off broadcast tables and fuse into ONE corpus pass; the
-    candidate join broadcasts the (|queries| x nprobe) probe list; ADC
-    scoring is ``m`` broadcast LUT joins.  The corpus never shuffles and
-    raw vectors never pair-join — candidate volume is |cell| x nprobe
-    per query instead of |corpus|, scoring cost is m lookups per
-    candidate.  Same determinism discipline as ``pq_adc_topk`` (rounded
-    scores, fixed-order LUT sum, id tie-breaks), so the whole pipeline
-    replays in the SQL oracle.
+    Plan shape (r17): corpus-side cell assignment and PQ encoding run in
+    ONE corpus pass (``pq_encode`` threads the coarse ``cell`` through
+    via ``keep`` — formerly the codes re-joined the cells table on the
+    id, a corpus-sized self-join); the candidate join broadcasts the
+    (|queries| x nprobe) probe list, which CARRIES each query's LUT-map
+    array, so ADC scoring is ``m`` row-local map lookups with no further
+    join (formerly m broadcast LUT joins; value-identical — see
+    ``pq_adc_topk``).  The corpus never shuffles and raw vectors never
+    pair-join — candidate volume is |cell| x nprobe per query instead of
+    |corpus|, scoring cost is m lookups per candidate.  Same determinism
+    discipline as ``pq_adc_topk`` (rounded scores, fixed-order LUT sum,
+    id tie-breaks), so the whole pipeline replays in the SQL oracle.
 
     ``rerank_from=R`` appends the exact-cosine re-rank of the ADC top-R
     pool per query (:func:`_exact_rerank`) — see ``pq_adc_topk``; within
@@ -1200,43 +1314,31 @@ def ivf_pq_topk(
     # probes nprobe cells -> each (query, neighbor) pair appears at most
     # once, no dedup needed (same argument as ivf_topk)
     enc = pq_encode(
-        c_cells.select(F.col("_nid"), F.col("_v")), codebooks,
-        "_nid", "_v", dim, m, score_decimals,
+        c_cells, codebooks, "_nid", "_v", dim, m, score_decimals,
+        keep=("cell",),
     )
-    cands = (
-        c_cells.select("_nid", "cell")
-        .join(F.broadcast(q_cells.select("query_id", "cell")), ["cell"])
+    # the broadcast probe list carries each query's LUT-map array (the
+    # maps ride along its <= nprobe rows — still broadcast-sized)
+    probes = (
+        q_cells.join(F.broadcast(_cents_all(codebooks, m)))
+        .select(
+            "query_id",
+            "cell",
+            _lut_maps_expr(m, width, "_q", score_decimals).alias("_luts"),
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(probes), ["cell"])
         .where(F.col("query_id") != F.col("_nid"))
-        .select("query_id", "_nid")
     )
-    scored = cands.join(enc, ["_nid"])
-    for s in range(m):
-        cb = codebooks.where(F.col("sub") == s).select(
-            F.col("cell").alias(f"_code{s}"), F.col("centroid").alias("_c")
-        )
-        lut = q.crossJoin(F.broadcast(cb)).select(
-            F.col("query_id").alias(f"_qid{s}"),
-            F.col(f"_code{s}"),
-            F.round(
-                dot(F.slice(F.col("_q"), s * width + 1, width), F.col("_c")),
-                score_decimals,
-            ).alias(f"_l{s}"),
-        )
-        scored = scored.join(
-            F.broadcast(lut),
-            [
-                scored["query_id"] == lut[f"_qid{s}"],
-                scored[f"c{s}"] == lut[f"_code{s}"],
-            ],
-        ).drop(f"_qid{s}", f"_code{s}")
-    score = F.col("_l0")
-    for s in range(1, m):
-        score = score + F.col(f"_l{s}")
+    score_sql = " + ".join(
+        f"element_at(element_at(_luts, {s + 1}), c{s})" for s in range(m)
+    )
     adc = (
         scored.select(
             "query_id",
             F.col("_nid").alias("neighbor_id"),
-            F.round(score, score_decimals).alias("score"),
+            F.expr(f"round({score_sql}, {score_decimals})").alias("score"),
         )
         .withColumn(
             "rank",

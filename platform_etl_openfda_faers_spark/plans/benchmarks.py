@@ -4400,6 +4400,27 @@ def _freeze_trained(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def _freeze_trained_pair(
+    coarse: DataFrame, cb: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Freeze BOTH trained tables of an IVF-PQ pipeline (coarse
+    centroids + PQ codebooks) through ONE ``localCheckpoint`` (r17): the
+    coarse rows ride the union tagged ``sub = -1`` (real subspaces are
+    >= 0) and the two consumers filter their slice off the shared leaf.
+    Halves the per-query checkpoint cost — the RDD materialization that
+    dominates PQ construction wall is paid once instead of twice —
+    with row-identical results (the tag column is filtered and dropped
+    before either table is consumed)."""
+    both = coarse.select(
+        F.lit(-1).alias("sub"), "cell", "centroid"
+    ).unionByName(cb)
+    frozen = _freeze_trained(both)
+    return (
+        frozen.where(F.col("sub") == -1).select("cell", "centroid"),
+        frozen.where(F.col("sub") >= 0),
+    )
+
+
 @query("emb_ivf_pq_topk", _ivf_pq_oracle_sql())
 def emb_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """The FULL IVF-PQ pipeline (r6) — trained coarse cells prune
@@ -4413,11 +4434,9 @@ def emb_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     training, encode, probe, and fixed-order ADC scoring — the complete
     billion-scale ANN architecture value-checked end-to-end."""
     emb = load_emb(spark, sf)
-    coarse = _freeze_trained(
-        similarity.kmeans_centroids(emb, k=8, iterations=1)
-    )
-    cb = _freeze_trained(
-        similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1)
+    coarse, cb = _freeze_trained_pair(
+        similarity.kmeans_centroids(emb, k=8, iterations=1),
+        similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1),
     )
     return similarity.ivf_pq_topk(
         emb, emb.where(F.col("vec_id") < 20), coarse, cb,
@@ -4508,11 +4527,9 @@ def emb_ivf_pq_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     for recall) value-checked end-to-end against a SQL replay of all
     four stages."""
     emb = load_emb(spark, sf)
-    coarse = _freeze_trained(
-        similarity.kmeans_centroids(emb, k=8, iterations=1)
-    )
-    cb = _freeze_trained(
-        similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1)
+    coarse, cb = _freeze_trained_pair(
+        similarity.kmeans_centroids(emb, k=8, iterations=1),
+        similarity.pq_codebooks(emb, dim=64, m=4, k=8, iterations=1),
     )
     return similarity.ivf_pq_topk(
         emb, emb.where(F.col("vec_id") < 20), coarse, cb,

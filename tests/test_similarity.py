@@ -520,3 +520,192 @@ def test_bucket_key_sql_matches_columnwise(spark, sf_dir):
         all_equal = all_equal & c
     bad = emb.where(~all_equal).count()
     assert bad == 0, "SQL bucket key diverged from column-wise form"
+
+
+def test_ranked_cells_sql_matches_columnwise(spark, sf_dir):
+    """r17 (the r16 #18 recipe applied to the PQ/IVF builders): the
+    single-``F.expr`` centroid argmax ranking used by ``ivf_cells`` /
+    ``pq_encode`` must equal the former column-wise construction
+    (higher-order ``transform`` with nested cosine lambdas) bit-for-bit
+    on real embeddings — struct order, rounding, and tie-breaks
+    included."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.functions.vectors import cosine
+    from platform_etl_openfda_faers_spark.operators.similarity import (
+        _ranked_cells_sql,
+        _sql_ident,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    cent = kmeans_centroids(emb, "vec_id", "_v", k=8, iterations=1)
+    cent_arr = cent.groupBy().agg(
+        F.collect_list(F.struct(F.col("cell"), F.col("centroid"))).alias("_cents")
+    )
+
+    def columnwise_ranked(vec_col, sd):
+        return F.sort_array(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    (-F.round(cosine(vec_col, c["centroid"]), sd)).alias(
+                        "_neg_score"
+                    ),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )
+
+    joined = emb.join(F.broadcast(cent_arr))
+    for sd in (6, 4):
+        sql_form = F.expr(_ranked_cells_sql("_cents", _sql_ident("_v"), sd))
+        bad = joined.where(
+            sql_form.cast("string") != columnwise_ranked(F.col("_v"), sd).cast("string")
+        ).count()
+        assert bad == 0, f"SQL ranked-cells diverged from column-wise form (sd={sd})"
+
+
+def test_pq_lut_sql_matches_columnwise(spark, sf_dir):
+    """r17: the one-``F.expr`` ADC lookup-table entry (rounded subspace
+    dot) must equal the former Column-form ``round(dot(slice(..), _c))``
+    bit-for-bit for every subspace geometry the registry uses."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.functions.vectors import dot
+    from platform_etl_openfda_faers_spark.operators.similarity import (
+        _dot_sql,
+        pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_q")
+    )
+    for dim, m, k in [(64, 4, 8), (64, 8, 16)]:
+        width = dim // m
+        cb = pq_codebooks(emb, "vec_id", "_q", dim=dim, m=m, k=k, iterations=1)
+        for s in (0, m - 1):
+            side = cb.where(F.col("sub") == s).select(
+                F.col("cell").alias("_code"), F.col("centroid").alias("_c")
+            )
+            j = emb.crossJoin(F.broadcast(side))
+            sql_form = F.expr(
+                f"round({_dot_sql(f'slice(_q, {s * width + 1}, {width})', '_c')}, 6)"
+            )
+            col_form = F.round(
+                dot(F.slice(F.col("_q"), s * width + 1, width), F.col("_c")), 6
+            )
+            bad = j.where(sql_form != col_form).count()
+            assert bad == 0, f"LUT SQL diverged (dim={dim} m={m} sub={s})"
+
+
+def test_pq_codebooks_fused_matches_legacy(spark, sf_dir):
+    """r17: the FUSED one-chain PQ trainer (subspace-exploded corpus, all
+    aggregates keyed on ``sub``) must produce exactly the codebook rows
+    of the former per-subspace ``kmeans_centroids`` union, for both
+    registry geometries — decimal-exact means make the per-subspace
+    arithmetic order-independent, so the tables must match row-for-row,
+    value-for-value."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.operators.similarity import (
+        kmeans_centroids,
+        pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for dim, m, k in [(64, 4, 8), (64, 8, 64)]:
+        width = dim // m
+        legacy = None
+        for s in range(m):
+            sliced = emb.select(
+                F.col("vec_id"),
+                F.slice(
+                    F.col("embedding").cast("array<double>"),
+                    s * width + 1,
+                    width,
+                ).alias("_sv"),
+            )
+            cent = kmeans_centroids(sliced, "vec_id", "_sv", k=k, iterations=1)
+            part = cent.select(F.lit(s).alias("sub"), "cell", "centroid")
+            legacy = part if legacy is None else legacy.unionByName(part)
+        fused = pq_codebooks(emb, dim=dim, m=m, k=k, iterations=1)
+        l_rows = {
+            (r["sub"], r["cell"]): tuple(r["centroid"])
+            for r in legacy.collect()
+        }
+        f_rows = {
+            (r["sub"], r["cell"]): tuple(r["centroid"])
+            for r in fused.collect()
+        }
+        assert f_rows == l_rows, f"fused codebooks diverged (dim={dim} m={m})"
+
+
+def test_pq_adc_lut_map_matches_join(spark, sf_dir):
+    """r17: ADC scoring via the broadcast LUT-map array must reproduce
+    the former m-broadcast-join scoring exactly — every (query, neighbor)
+    row and every rounded score — on real embeddings, for both registry
+    geometries (m=4 k=8 and m=8 k=64)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.functions.vectors import dot
+    from platform_etl_openfda_faers_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    for dim, m, k in [(64, 4, 8), (64, 8, 64)]:
+        width = dim // m
+        cb = pq_codebooks(emb, dim=dim, m=m, k=k, iterations=1)
+
+        # legacy scoring: m broadcast LUT joins (the pre-r17 operator body)
+        scored = pq_encode(emb, cb, "vec_id", "embedding", dim, m, 6)
+        q = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("_q"),
+        )
+        for s in range(m):
+            side = cb.where(F.col("sub") == s).select(
+                F.col("cell").alias(f"_code{s}"), F.col("centroid").alias("_c")
+            )
+            qid = "query_id" if s == 0 else f"_qid{s}"
+            lut = q.crossJoin(F.broadcast(side)).select(
+                F.col("query_id").alias(qid),
+                F.col(f"_code{s}"),
+                F.round(
+                    dot(F.slice(F.col("_q"), s * width + 1, width), F.col("_c")),
+                    6,
+                ).alias(f"_l{s}"),
+            )
+            on = [F.col(f"c{s}") == F.col(f"_code{s}")]
+            if s > 0:
+                on.append(F.col("query_id") == F.col(f"_qid{s}"))
+            scored = scored.join(F.broadcast(lut), on).drop(f"_code{s}")
+            if s > 0:
+                scored = scored.drop(f"_qid{s}")
+        score = F.col("_l0")
+        for s in range(1, m):
+            score = score + F.col(f"_l{s}")
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.col("neighbor_id")
+        )
+        legacy = (
+            scored.where(F.col("query_id") != F.col("vec_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(score, 6).alias("score"),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 5)
+        )
+        new = pq_adc_topk(emb, queries, cb, k=5, dim=dim, m=m)
+        l_rows = {(r[0], r[1]): (r[2], r[3]) for r in legacy.collect()}
+        n_rows = {(r[0], r[1]): (r[2], r[3]) for r in new.collect()}
+        assert n_rows == l_rows, f"LUT-map ADC diverged from join ADC (m={m})"

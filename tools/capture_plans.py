@@ -1,8 +1,10 @@
 """Capture ``explain("formatted")`` for named registry queries into
-``plans/r16/<query>_<tag>.txt`` — the optimization round's before/after
-plan evidence (the judge checks plan claims against these files).
+``plans/<round>/<query>_<tag>.txt`` — the optimization round's
+before/after plan evidence (the judge checks plan claims against these
+files).
 
 Usage: python tools/capture_plans.py TAG QUERY [QUERY ...] [--sf SF_DIR]
+       [--dir ROUND_DIR]   (default r17)
 
 TAG is typically ``before`` or ``after``.  Queries whose registry callable
 eagerly builds a stored index (the BUILD_SERVE families) run those builds
@@ -26,6 +28,11 @@ def main() -> None:
         i = args.index("--sf")
         sf_dir = args[i + 1]
         del args[i : i + 2]
+    round_dir = "r17"
+    if "--dir" in args:
+        i = args.index("--dir")
+        round_dir = args[i + 1]
+        del args[i : i + 2]
     tag, names = args[0], args[1:]
 
     from platform_etl_openfda_faers_spark.plans import benchmarks
@@ -41,7 +48,7 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r16"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / round_dir
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = benchmarks.SPARK_QUERIES[name](spark, sf_dir)
@@ -49,7 +56,7 @@ def main() -> None:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         (out_dir / f"{name}_{tag}.txt").write_text(buf.getvalue())
-        print(f"wrote plans/r16/{name}_{tag}.txt", file=sys.stderr)
+        print(f"wrote plans/{round_dir}/{name}_{tag}.txt", file=sys.stderr)
         spark.catalog.clearCache()
 
 

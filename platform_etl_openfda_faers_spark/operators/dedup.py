@@ -56,6 +56,12 @@ def token_hash32(tok):
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
 
 
+def _sql_ident(name: str) -> str:
+    """Backtick-quote a column name for a SQL fragment (escapes embedded
+    backticks — same helper as ``operators.similarity``)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 
@@ -1104,9 +1110,6 @@ def simhash_local(
     rows) and the DuckDB oracle replay (its unnest CTE drops such docs).
     """
     assert bits <= 32
-    toks = F.array_distinct(
-        F.filter(tokens(F.col(text_col)), lambda t: t != "")
-    )
     # Filter on the TOKEN array's size, before the md5 hash projection:
     # size(transform(x, f)) == size(x), so the predicate is equivalent —
     # but a filter phrased over ``_h`` gets pushed below the repartition
@@ -1116,22 +1119,27 @@ def simhash_local(
     # observed in plans/r16/dedup_simhash_pairs_before.txt node (2)).
     # Phrased over ``_t``, the pushed-down predicate re-derives only the
     # cheap split/trim tokenize, and the hash runs once, post-shuffle.
+    # Each stage is ONE F.expr (r17): the former Column-by-Column build
+    # cost ~3.6k py4j round trips per call — pure driver chatter.
     hashed = (
         df.select(
             F.col(id_col),
             *[F.col(c) for c in keep],
-            toks.alias("_t"),
+            F.expr(_toks_sql(_sql_ident(text_col))).alias("_t"),
         )
         .where(F.size("_t") > 0)
         .select(
             F.col(id_col),
             *[F.col(c) for c in keep],
-            F.transform(F.col("_t"), lambda t: token_hash32(t)).alias("_h"),
+            F.expr(
+                "transform(_t, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10)"
+                " AS BIGINT))"
+            ).alias("_h"),
         )
     )
     return hashed.select(
         F.col(id_col), *[F.col(c) for c in keep],
-        _simhash_sig_counts("_h", bits).alias("simhash"),
+        F.expr(_simhash_sig_sql("_h", bits)).alias("simhash"),
     )
 
 
@@ -1367,6 +1375,42 @@ def _simhash_sig32(hash_arr_col: str):
     return _simhash_sig_counts(hash_arr_col, 32)
 
 
+def _simhash_sig_sql(hash_arr_sql: str, bits: int) -> str:
+    """:func:`_simhash_sig_counts` as ONE SQL fragment (r17, the r16 #18
+    recipe): same single-pass ``zip_with`` counter fold, same majority
+    test, same left-associated packing sum — the parsed expression
+    evaluates identically (law-pinned:
+    ``test_simhash_sql_matches_columnwise``).  The Column form issued
+    ~1.8k py4j round trips per signature (nested lambda construction),
+    paid once per batch in the ingest loop and once per build in every
+    SimHash index query."""
+    powers = (
+        "array(" + ",".join(f"CAST({1 << p} AS BIGINT)" for p in range(bits)) + ")"
+    )
+    counts = (
+        f"aggregate({hash_arr_sql}, array_repeat(0, {bits}), "
+        f"(acc, h) -> zip_with(acc, {powers}, "
+        f"(a, pw) -> a + (CASE WHEN (h & pw) != 0 THEN 1 ELSE 0 END)))"
+    )
+    return (
+        f"aggregate(zip_with({counts}, {powers}, "
+        f"(c, pw) -> CASE WHEN (c * 2) > size({hash_arr_sql}) THEN pw "
+        f"ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _toks_sql(text_sql: str) -> str:
+    """``array_distinct(filter(tokens(text), t -> t != ''))`` as a SQL
+    fragment — the distinct-token array both simhash_local forms fold
+    (textually reproducing ``functions.text.tokens``: split of
+    trim(lower(text)) on ``\\s+``)."""
+    return (
+        f"array_distinct(filter(split(trim(lower({text_sql})), '\\\\s+'), "
+        f"t -> t != ''))"
+    )
+
+
 def simhash_local64(
     df: DataFrame, text_col: str, id_col: str, keep: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -1386,38 +1430,39 @@ def simhash_local64(
     columns through the map-only stage.  Token-less documents are
     EXCLUDED, same rationale and same oracle semantics as
     ``simhash_local`` (two empty docs must not pair at Hamming 0)."""
-    toks = F.array_distinct(
-        F.filter(tokens(F.col(text_col)), lambda t: t != "")
-    )
     # Filter on the TOKEN array before the md5 projections (same move as
     # ``simhash_local``, r16): ``size(_hlo) == size(toks)`` exactly, and
     # a predicate over ``_hlo`` gets pushed below any repartition with
     # the md5-per-token transform inlined — a corpus-wide md5 pass inside
     # the narrow scan stage.  Over ``_t`` only the cheap tokenize pushes.
-    hexes = F.transform(F.col("_t"), lambda t: F.md5(t))
+    # Each stage is ONE F.expr (r17, the r16 #18 recipe): the Column form
+    # cost ~3.6k py4j round trips per call, paid once per micro-batch in
+    # the ingest loop and once per build in every stored-index query.
+    def _half(first_hex: int) -> str:
+        return (
+            f"transform(transform(_t, t -> md5(t)), "
+            f"x -> CAST(conv(substring(x, {first_hex}, 8), 16, 10) AS BIGINT))"
+        )
+
     hashed = (
         df.select(
             F.col(id_col),
             *[F.col(c) for c in keep],
-            toks.alias("_t"),
+            F.expr(_toks_sql(_sql_ident(text_col))).alias("_t"),
         )
         .where(F.size("_t") > 0)
         .select(
             F.col(id_col),
             *[F.col(c) for c in keep],
-            F.transform(
-                hexes, lambda x: F.conv(F.substring(x, 1, 8), 16, 10).cast("long")
-            ).alias("_hlo"),
-            F.transform(
-                hexes, lambda x: F.conv(F.substring(x, 9, 8), 16, 10).cast("long")
-            ).alias("_hhi"),
+            F.expr(_half(1)).alias("_hlo"),
+            F.expr(_half(9)).alias("_hhi"),
         )
     )
     return hashed.select(
         F.col(id_col),
         *[F.col(c) for c in keep],
-        _simhash_sig32("_hhi").alias("sim_hi"),
-        _simhash_sig32("_hlo").alias("sim_lo"),
+        F.expr(_simhash_sig_sql("_hhi", 32)).alias("sim_hi"),
+        F.expr(_simhash_sig_sql("_hlo", 32)).alias("sim_lo"),
     )
 
 

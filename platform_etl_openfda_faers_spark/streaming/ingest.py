@@ -81,8 +81,13 @@ def _keep_lowest_accept(
     classify each pair side as batch or indexed-corpus, then a
     within-batch pair drops the higher id and a pair with an indexed doc
     drops the batch side unconditionally (the indexed doc was accepted
-    first).  Pure joins — no driver loop."""
-    bids = batch.select(F.col(id_col).alias("_bid")).distinct()
+    first).  Pure joins — no driver loop.
+
+    No ``.distinct()`` on the batch-id lookup (r17): a duplicate batch id
+    would only duplicate intermediate ``fl`` rows, which the ``rejected``
+    distinct collapses anyway — the removed aggregate was one exchange
+    per micro-batch for a result the plan already canonicalizes."""
+    bids = batch.select(F.col(id_col).alias("_bid"))
     fl = pairs.join(
         bids.select(
             F.col("_bid").alias("id_a"), F.lit(True).alias("_a_batch")
@@ -96,19 +101,18 @@ def _keep_lowest_accept(
         ["id_b"],
         "left",
     )
-    rejected = (
-        fl.select(
-            F.when(
-                F.col("_a_batch").isNotNull() & F.col("_b_batch").isNotNull(),
-                F.greatest("id_a", "id_b"),
-            )
-            .when(F.col("_a_batch").isNotNull(), F.col("id_a"))
-            .when(F.col("_b_batch").isNotNull(), F.col("id_b"))
-            .alias(id_col)
+    # no ``.distinct()`` on the rejected list either (r17): its only
+    # consumer is the left-anti join, whose semantics ignore duplicate
+    # build-side rows — the dedup aggregate was a pure extra exchange
+    rejected = fl.select(
+        F.when(
+            F.col("_a_batch").isNotNull() & F.col("_b_batch").isNotNull(),
+            F.greatest("id_a", "id_b"),
         )
-        .where(F.col(id_col).isNotNull())
-        .distinct()
-    )
+        .when(F.col("_a_batch").isNotNull(), F.col("id_a"))
+        .when(F.col("_b_batch").isNotNull(), F.col("id_b"))
+        .alias(id_col)
+    ).where(F.col(id_col).isNotNull())
     return batch.join(rejected, [id_col], "left_anti")
 
 
@@ -220,7 +224,8 @@ def dedup_ingest_batch(
                 # next serve takes the broadcast-semi cap path with a
                 # fresh watermark
                 _maintain_occupancy_sidecar(
-                    spark, index_path, chunks, batch_id, keys=("ci", "cv")
+                    spark, index_path, chunks, batch_id, keys=("ci", "cv"),
+                    index_was_empty=stored is None,
                 )
             finally:
                 chunks.unpersist()
@@ -527,6 +532,7 @@ def _maintain_occupancy_sidecar(
     batch_index_rows,
     batch_id: int,
     keys: tuple[str, ...] = ("ci", "cv"),
+    index_was_empty: bool = False,
 ) -> None:
     """Per-batch sidecar maintenance (VERDICT r15 #5): occupancy counts
     are ADDITIVE, so after appending ``ingest_batch=<id>`` the new
@@ -544,18 +550,43 @@ def _maintain_occupancy_sidecar(
 
     ``batch_index_rows`` — the batch's just-appended index rows (chunk
     table / landmark table), PERSISTED by the caller so the signature
-    fold isn't re-paid for the count."""
+    fold isn't re-paid for the count.
+
+    ``index_was_empty`` — caller's knowledge that the index held NOTHING
+    before this batch's append (the very first batch against a fresh
+    path).  The bootstrap sidecar is then computed straight off the
+    persisted batch rows — value-identical to the full-rebuild fallback
+    (the index IS this batch) without re-reading the just-written
+    parquet (r17; one fewer index scan on batch 0)."""
     local = _as_local_path(
         occupancy_sidecar_path(index_path), "occupancy sidecar update"
     )
     if not local.exists():
-        refresh_occupancy_sidecar(spark, index_path, keys)
+        if index_was_empty:
+            occ = dedup.stored_occupancy_table(
+                batch_index_rows.withColumn(
+                    "ingest_batch", F.lit(batch_id).cast("int")
+                ),
+                keys=tuple(keys),
+            )
+            _write_occupancy_sidecar(spark, occ, index_path)
+        else:
+            refresh_occupancy_sidecar(spark, index_path, keys)
         return
     old = spark.read.parquet(str(local))
     wm = None
+    fp = None
+    has_fp = "index_fp" in old.columns
     if "occ_through" in old.columns:
-        # bounded 1-value collect over the key-domain-sized sidecar
-        wm = old.agg(F.min("occ_through").alias("w")).first()["w"]
+        # bounded 1-row collect over the key-domain-sized sidecar; the
+        # constant fp (compactor single-stamp invariant) rides the SAME
+        # aggregate (r17 — formerly a second collect job per batch)
+        aggs = [F.min("occ_through").alias("w")]
+        if has_fp:
+            aggs.append(F.first("index_fp").alias("fp"))
+        head = old.agg(*aggs).first()
+        wm = head["w"]
+        fp = head["fp"] if has_fp else None
     if wm is None or wm >= batch_id:
         refresh_occupancy_sidecar(spark, index_path, keys)
         return
@@ -573,10 +604,8 @@ def _maintain_occupancy_sidecar(
             ).cast("long").alias("n"),
         )
     )
-    if "index_fp" in old.columns:
-        # constant by the compactor's single-stamp invariant — bounded
-        # 1-row collect so batch-introduced keys carry it too
-        fp = old.select("index_fp").first()["index_fp"]
+    if has_fp:
+        # batch-introduced keys carry the constant stamp too
         merged = merged.withColumn("index_fp", F.lit(fp))
     merged = merged.withColumn(
         "occ_through", F.lit(batch_id).cast("long")

@@ -787,3 +787,79 @@ def test_index_rowlocal_dedup_equals_global_distinct(spark):
         map(tuple, ref_sh.collect())
     )
     assert (1, "a b a") in {tuple(r) for r in got_sh.collect()}
+
+
+def test_simhash_sql_matches_columnwise(spark, sf_dir):
+    """r17: the one-``F.expr`` SimHash fold (tokenize, md5 halves,
+    majority-vote signature) must reproduce the former Column-form
+    construction bit-for-bit on real documents, for both the 16-bit and
+    the 64-bit family."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.functions.text import tokens
+    from platform_etl_openfda_faers_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def legacy_local64(df):
+        toks = F.array_distinct(
+            F.filter(tokens(F.col("text")), lambda t: t != "")
+        )
+        hexes = F.transform(F.col("_t"), lambda t: F.md5(t))
+        hashed = (
+            df.select(F.col("doc_id"), toks.alias("_t"))
+            .where(F.size("_t") > 0)
+            .select(
+                F.col("doc_id"),
+                F.transform(
+                    hexes,
+                    lambda x: F.conv(F.substring(x, 1, 8), 16, 10).cast("long"),
+                ).alias("_hlo"),
+                F.transform(
+                    hexes,
+                    lambda x: F.conv(F.substring(x, 9, 8), 16, 10).cast("long"),
+                ).alias("_hhi"),
+            )
+        )
+        return hashed.select(
+            "doc_id",
+            dedup._simhash_sig32("_hhi").alias("sim_hi"),
+            dedup._simhash_sig32("_hlo").alias("sim_lo"),
+        )
+
+    new64 = {
+        r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+        for r in dedup.simhash_local64(docs, "text", "doc_id").collect()
+    }
+    old64 = {
+        r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+        for r in legacy_local64(docs).collect()
+    }
+    assert new64 == old64, "64-bit SQL fold diverged from Column form"
+
+    def legacy_local16(df):
+        toks = F.array_distinct(
+            F.filter(tokens(F.col("text")), lambda t: t != "")
+        )
+        hashed = (
+            df.select(F.col("doc_id"), toks.alias("_t"))
+            .where(F.size("_t") > 0)
+            .select(
+                F.col("doc_id"),
+                F.transform(
+                    F.col("_t"), lambda t: dedup.token_hash32(t)
+                ).alias("_h"),
+            )
+        )
+        return hashed.select(
+            "doc_id", dedup._simhash_sig_counts("_h", 16).alias("simhash")
+        )
+
+    new16 = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_local(docs, "text", "doc_id", bits=16).collect()
+    }
+    old16 = {
+        r["doc_id"]: r["simhash"] for r in legacy_local16(docs).collect()
+    }
+    assert new16 == old16, "16-bit SQL fold diverged from Column form"

@@ -142,7 +142,13 @@ def connected_components_twophase(
     component's min id, so the final label is min(id, min neighbor).
     Deterministic; output matches ``connected_components`` exactly.
     """
-    cur = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    # lazy checkpoint + immediate count (r17): the count job IS the
+    # materializing action, so the initial edge set is persisted and its
+    # round-0 cardinality learned in ONE job — the former eager
+    # checkpoint spent a whole driver-blocking job materializing, then
+    # round 1's convergence probe paid a second job to count it.
+    cur = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    initial_count = cur.count()
     # NOT checkpointed (r16, guide §1.2 job economy): the node set is
     # consumed exactly once — by the final labeling join after the loop —
     # and it derives from the already-checkpointed ``cur``, so an eager
@@ -155,7 +161,7 @@ def connected_components_twophase(
     )
 
     converged = False
-    cur_count: int | None = None
+    cur_count: int | None = initial_count
     for _ in range(max_iterations):
         # Each star phase needs "per node u: m = min over u's rows, attached
         # back to every row of u" — written as groupBy(min) + equi-join that
@@ -181,14 +187,16 @@ def connected_components_twophase(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        # ---- small-star on the canonical (larger→smaller) direction
-        canon = (
-            large.select(
-                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-            )
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-        )
+        # ---- small-star on the canonical (larger→smaller) direction.
+        # No ``.distinct()`` here (r17): the min window below is
+        # duplicate-insensitive (min over u's rows is unchanged by
+        # repeats) and ``small``'s trailing distinct bounds the emitted
+        # SET either way — the dedup bought nothing but one more
+        # edge-set exchange per round (its input is at most |E| rows,
+        # one per large-star emission, with or without it).
+        canon = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v"))
         linked = canon.withColumn("m", F.min("v").over(w_u))
         small = (
             # attach each smaller neighbor v (v != m) ...
@@ -219,8 +227,6 @@ def connected_components_twophase(
         # anti-join probe is skipped entirely in rounds where the edge
         # count still moved.
         nxt_count = nxt.count()
-        if cur_count is None:
-            cur_count = cur.count()
         changed = (
             nxt_count != cur_count
             or nxt.join(cur, ["u", "v"], "left_anti").limit(1).count() > 0

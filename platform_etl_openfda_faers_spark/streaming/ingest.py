@@ -769,39 +769,47 @@ def compact_ingest_index(
     df = spark.read.parquet(index_path)
     # stamp preservation: a constant build-stamp column must be constant
     # ACROSS the batches being merged.  The stamp checks and the row
-    # count are fused into ONE aggregate job over the index (r16
-    # optimization, guide §1.2 "remove passes" — previously one
-    # distinct+collect job per stamp column plus a separate count job,
-    # i.e. up to three scans of the index before the rewrite even
-    # started).  ``countDistinct`` ignores NULLs, so a NULL-stamp
-    # detector rides along to keep the refusal semantics of the old
-    # ``distinct()`` (which counted NULL as a value) — including the
-    # degenerate empty-index case (0 distinct values) refusing loudly.
+    # count are fused into ONE aggregate job over the index (r16, guide
+    # §1.2 "remove passes"), and the constancy test is phrased over
+    # min/max/null-count (r17) instead of ``countDistinct``: the distinct
+    # machinery planned an Expand plus a second exchange for a question —
+    # "is this column one constant non-null value?" — that plain
+    # aggregates answer in a single partial+final pass.  Refusal
+    # semantics are EXACTLY the old ``countDistinct + null-detector``
+    # rule: pass iff all rows carry one non-null value, or (the old
+    # rule's degenerate acceptance) every row is NULL; an empty index
+    # (0 rows) still refuses loudly.
     stamp_cols = [c for c in ("index_fp", "centroid_fp") if c in df.columns]
     agg_row = df.agg(
         F.count(F.lit(1)).alias("_rows"),
         *[
-            (
-                F.countDistinct(F.col(c))
-                + F.coalesce(
-                    F.max(F.when(F.col(c).isNull(), 1).otherwise(0)),
-                    F.lit(0),
-                )
-            ).alias(f"_nd_{i}")
+            x
             for i, c in enumerate(stamp_cols)
+            for x in (
+                F.min(F.col(c)).alias(f"_min_{i}"),
+                F.max(F.col(c)).alias(f"_max_{i}"),
+                F.count(F.col(c)).alias(f"_nn_{i}"),
+            )
         ],
     ).collect()[0]
     for i, stamp_col in enumerate(stamp_cols):
-        if agg_row[f"_nd_{i}"] != 1:
+        n_rows, n_nonnull = agg_row["_rows"], agg_row[f"_nn_{i}"]
+        constant_nonnull = (
+            n_nonnull == n_rows
+            and n_rows > 0
+            and agg_row[f"_min_{i}"] == agg_row[f"_max_{i}"]
+        )
+        all_null = n_rows > 0 and n_nonnull == 0
+        if not (constant_nonnull or all_null):
             # explicit raise, not assert: this safety check must
             # survive `python -O` — a stripped assert would silently
             # consolidate two builds' geometry into one index
             raise ValueError(
-                f"compaction refused: {index_path} holds "
-                f"{agg_row[f'_nd_{i}']} distinct {stamp_col} values — "
-                "batches from different builds were appended to one "
-                "index path; serving it would mix stale and fresh "
-                "geometry"
+                f"compaction refused: {index_path} holds multiple "
+                f"distinct {stamp_col} values (or a partly-missing "
+                "stamp) — batches from different builds were appended "
+                "to one index path; serving it would mix stale and "
+                "fresh geometry"
             )
     rows = agg_row["_rows"]
     files_before = len(_list_files())

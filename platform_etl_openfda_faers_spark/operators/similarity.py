@@ -245,13 +245,19 @@ def _bucket_key(vec_sql: str, planes: np.ndarray):
     ``CAST(CASE WHEN proj >= 0 THEN 2^i ELSE 0 END AS BIGINT)``
     left-associated sum — so bucket values are unchanged (law-pinned:
     ``test_bucket_key_sql_matches_columnwise``)."""
+    return F.expr(_bucket_key_sql(vec_sql, planes))
+
+
+def _bucket_key_sql(vec_sql: str, planes: np.ndarray) -> str:
+    """:func:`_bucket_key` as a SQL fragment (r17: the multiprobe bucket
+    list embeds the home key inside one larger expression)."""
     terms = ["CAST(0 AS BIGINT)"]
     for i, plane in enumerate(planes):
         terms.append(
             f"CAST(CASE WHEN {_proj_sql(vec_sql, plane)} >= 0 "
             f"THEN {1 << i} ELSE 0 END AS BIGINT)"
         )
-    return F.expr(" + ".join(terms))
+    return " + ".join(terms)
 
 
 def add_lsh_buckets(
@@ -415,31 +421,27 @@ def add_lsh_probe_buckets(
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed + t)
         # one F.expr per projection (r16 #18) — the pyspark higher-order
-        # dot costs ~20ms of py4j chatter per plane at construction
-        projs = [F.expr(_proj_sql(v_sql, plane)) for plane in planes]
-        home = F.lit(0).cast("long")
-        for i, p in enumerate(projs):
-            home = home + F.when(p >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast(
-                "long"
-            )
-        perturbs = [
-            F.struct(F.abs(p).alias("m"), F.lit(1 << i).alias("mask"))
-            for i, p in enumerate(projs)
+        # the WHOLE per-table probe-bucket list is ONE F.expr (r17, the
+        # r16 #18 recipe finished: the perturbation cost/mask structs
+        # were still built Column-by-Column — ~0.7 s of py4j chatter per
+        # table at construction).  Textually identical arithmetic: home
+        # key as in ``_bucket_key_sql``, abs-projection costs,
+        # single+pair masks, (m, mask) struct sort, XOR flips.
+        proj_sqls = [_proj_sql(v_sql, plane) for plane in planes]
+        home_sql = "(" + _bucket_key_sql(v_sql, planes) + ")"
+        pert_sqls = [
+            f"struct(abs({proj_sqls[i]}) AS m, {1 << i} AS mask)"
+            for i in range(n_planes)
         ] + [
-            F.struct(
-                (F.abs(projs[i]) + F.abs(projs[j])).alias("m"),
-                F.lit((1 << i) | (1 << j)).alias("mask"),
-            )
+            f"struct((abs({proj_sqls[i]}) + abs({proj_sqls[j]})) AS m, "
+            f"{(1 << i) | (1 << j)} AS mask)"
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
-        flips = F.slice(F.sort_array(F.array(*perturbs)), 1, n_probes - 1)
-        buckets = F.array_union(
-            F.array(home),
-            F.transform(
-                flips,
-                lambda e: home.bitwiseXOR(e["mask"].cast("long")),
-            ),
+        buckets = F.expr(
+            f"array_union(array({home_sql}), "
+            f"transform(slice(sort_array(array({', '.join(pert_sqls)})), "
+            f"1, {n_probes - 1}), e -> {home_sql} ^ CAST(e.mask AS BIGINT)))"
         )
         probed.append(
             F.struct(F.lit(t).alias("table"), buckets.alias("buckets"))

@@ -709,3 +709,72 @@ def test_pq_adc_lut_map_matches_join(spark, sf_dir):
         l_rows = {(r[0], r[1]): (r[2], r[3]) for r in legacy.collect()}
         n_rows = {(r[0], r[1]): (r[2], r[3]) for r in new.collect()}
         assert n_rows == l_rows, f"LUT-map ADC diverged from join ADC (m={m})"
+
+
+def test_probe_buckets_sql_matches_columnwise(spark, sf_dir):
+    """r17: the one-``F.expr`` multi-probe bucket list must equal the
+    former column-wise construction (per-plane projs, cost/mask structs,
+    sort, XOR flips) exactly — same buckets, same order — on real
+    embeddings for the registry geometry."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_openfda_faers_spark.operators.similarity import (
+        _bucket_key_sql,
+        _proj_sql,
+        add_lsh_probe_buckets,
+        random_hyperplanes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("q_vec")
+    )
+    n_planes, n_tables, n_probes, seed, dim = 6, 3, 4, 42, 64
+
+    def legacy(df):
+        probed = []
+        v_sql = "`q_vec`"
+        for t in range(n_tables):
+            planes = random_hyperplanes(dim, n_planes, seed + t)
+            projs = [F.expr(_proj_sql(v_sql, plane)) for plane in planes]
+            home = F.lit(0).cast("long")
+            for i, p in enumerate(projs):
+                home = home + F.when(p >= 0, F.lit(1 << i)).otherwise(
+                    F.lit(0)
+                ).cast("long")
+            perturbs = [
+                F.struct(F.abs(p).alias("m"), F.lit(1 << i).alias("mask"))
+                for i, p in enumerate(projs)
+            ] + [
+                F.struct(
+                    (F.abs(projs[i]) + F.abs(projs[j])).alias("m"),
+                    F.lit((1 << i) | (1 << j)).alias("mask"),
+                )
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
+            flips = F.slice(F.sort_array(F.array(*perturbs)), 1, n_probes - 1)
+            buckets = F.array_union(
+                F.array(home),
+                F.transform(
+                    flips, lambda e: home.bitwiseXOR(e["mask"].cast("long"))
+                ),
+            )
+            probed.append(
+                F.struct(F.lit(t).alias("table"), buckets.alias("buckets"))
+            )
+        return df.select("*", F.explode(F.array(*probed)).alias("_t")).select(
+            *df.columns,
+            F.col("_t.table").alias("table"),
+            F.explode(F.col("_t.buckets")).alias("bucket"),
+        )
+
+    new_rows = sorted(
+        (r["vec_id"], r["table"], r["bucket"])
+        for r in add_lsh_probe_buckets(
+            emb, "q_vec", n_planes, n_tables, n_probes, seed, dim
+        ).collect()
+    )
+    old_rows = sorted(
+        (r["vec_id"], r["table"], r["bucket"]) for r in legacy(emb).collect()
+    )
+    assert new_rows == old_rows, "one-expr probe buckets diverged"
